@@ -1,0 +1,201 @@
+"""Minimal pure-Python computational geometry (driver-side, AOI-scale).
+
+The reference leans on PostGIS/GEOS for polygon predicates
+(ST_Intersects/ST_Union/ST_Split — SURVEY §2.7). Neither shapely nor GEOS
+is available here, so this module implements the public textbook
+algorithms (ray casting, segment intersection, bbox algebra) for the
+*small* side of every spatial operation: AOIs and tiles number in the
+thousands and are processed once at ingest, while the billion-row point
+side only ever sees native quadkey/bbox column math (functions/quadkey.py)
+plus the vectorized point-in-polygon UDF in operators/spatial.py.
+
+WKT support covers POLYGON and MULTIPOLYGON (what the reference stores —
+models.py:37,44,202).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+Ring = list[tuple[float, float]]
+Polygon = list[Ring]  # first ring = exterior, rest = holes
+MultiPolygon = list[Polygon]
+
+_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+
+
+def parse_wkt(wkt: str) -> MultiPolygon:
+    """Parse POLYGON/MULTIPOLYGON WKT into nested coordinate lists."""
+    wkt = wkt.strip()
+    head = wkt.split("(", 1)[0].strip().upper()
+    body = wkt[wkt.index("(") :]
+
+    def parse_ring(s: str) -> Ring:
+        pts = re.findall(rf"({_NUM})\s+({_NUM})", s)
+        return [(float(x), float(y)) for x, y in pts]
+
+    def parse_polygon(s: str) -> Polygon:
+        rings = re.findall(r"\(([^()]+)\)", s)
+        return [parse_ring(r) for r in rings]
+
+    if head == "POLYGON":
+        return [parse_polygon(body)]
+    if head == "MULTIPOLYGON":
+        polys = re.findall(r"\((?:\([^()]+\)\s*,?\s*)+\)", body)
+        return [parse_polygon(p) for p in polys]
+    raise ValueError(f"unsupported WKT type: {head}")
+
+
+def to_wkt(mp: MultiPolygon) -> str:
+    def ring_s(r: Ring) -> str:
+        return "(" + ", ".join(f"{x} {y}" for x, y in r) + ")"
+
+    def poly_s(p: Polygon) -> str:
+        return "(" + ", ".join(ring_s(r) for r in p) + ")"
+
+    return "MULTIPOLYGON (" + ", ".join(poly_s(p) for p in mp) + ")"
+
+
+def bbox(mp: MultiPolygon) -> tuple[float, float, float, float]:
+    xs = [x for p in mp for r in p for x, _ in r]
+    ys = [y for p in mp for r in p for _, y in r]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def bbox_to_polygon(xmin: float, ymin: float, xmax: float, ymax: float) -> MultiPolygon:
+    """G10: bbox → 5-point ring polygon (ref utils/spatial.py:23-47)."""
+    return [[[(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)]]]
+
+
+def bboxes_overlap(a: tuple[float, float, float, float], b: tuple[float, float, float, float]) -> bool:
+    return a[0] <= b[2] and b[0] <= a[2] and a[1] <= b[3] and b[1] <= a[3]
+
+
+def point_in_ring(x: float, y: float, ring: Ring) -> bool:
+    """Ray casting (crossing number), boundary counted as inside."""
+    inside = False
+    n = len(ring)
+    for i in range(n - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > y) != (y2 > y):
+            xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x <= xint:
+                inside = not inside
+    return inside
+
+
+def point_in_multipolygon(x: float, y: float, mp: MultiPolygon) -> bool:
+    for poly in mp:
+        if not poly:
+            continue
+        if point_in_ring(x, y, poly[0]):
+            in_hole = any(point_in_ring(x, y, hole) for hole in poly[1:])
+            if not in_hole:
+                return True
+    return False
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return min(a[0], b[0]) <= c[0] <= max(a[0], b[0]) and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and on_seg(p1, p2, p3):
+        return True
+    if o2 == 0 and on_seg(p1, p2, p4):
+        return True
+    if o3 == 0 and on_seg(p3, p4, p1):
+        return True
+    if o4 == 0 and on_seg(p3, p4, p2):
+        return True
+    return False
+
+
+def multipolygons_intersect(a: MultiPolygon, b: MultiPolygon) -> bool:
+    """J3 exact test: boundary crossing, or one contains a vertex of the
+    other (covers containment)."""
+    if not bboxes_overlap(bbox(a), bbox(b)):
+        return False
+    a_edges = [(r[i], r[i + 1]) for p in a for r in p for i in range(len(r) - 1)]
+    b_edges = [(r[i], r[i + 1]) for p in b for r in p for i in range(len(r) - 1)]
+    for e1 in a_edges:
+        for e2 in b_edges:
+            if _segments_intersect(e1[0], e1[1], e2[0], e2[1]):
+                return True
+    ax, ay = a[0][0][0]
+    bx, by = b[0][0][0]
+    return point_in_multipolygon(ax, ay, b) or point_in_multipolygon(bx, by, a)
+
+
+# ---------------------------------------------------------------- tiles
+
+def tile_bounds(x: int, y: int, z: int) -> tuple[float, float, float, float]:
+    """Slippy-map tile → (west, south, east, north) lon/lat degrees."""
+    n = 2.0**z
+
+    def lon(xx: float) -> float:
+        return xx / n * 360.0 - 180.0
+
+    def lat(yy: float) -> float:
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * yy / n))))
+
+    return (lon(x), lat(y + 1), lon(x + 1), lat(y))
+
+
+def quadkey_to_tile(qk: str) -> tuple[int, int, int]:
+    x = y = 0
+    for d in qk:
+        x = (x << 1) | (int(d) & 1)
+        y = (y << 1) | ((int(d) >> 1) & 1)
+    return x, y, len(qk)
+
+
+def tile_to_quadkey(x: int, y: int, z: int) -> str:
+    return "".join(str(((x >> (z - i)) & 1) + 2 * ((y >> (z - i)) & 1)) for i in range(1, z + 1))
+
+
+def quadkey_bbox(qk: str) -> tuple[float, float, float, float]:
+    x, y, z = quadkey_to_tile(qk)
+    return tile_bounds(x, y, z)
+
+
+def tile_cover(mp: MultiPolygon, max_depth: int, qk: str = "") -> list[str]:
+    """G4/G16-style adaptive tile cover: recursively subdivide from the
+    root, keeping tiles fully inside the polygon and refining boundary
+    tiles until ``max_depth``. Output quadkeys are mutually non-nested —
+    exactly the cover shape the prefix semi-join (J1) broadcasts."""
+    west, south, east, north = quadkey_bbox(qk) if qk else (-180.0, -85.051128779806589, 180.0, 85.051128779806589)
+    tile_poly = bbox_to_polygon(west, south, east, north)
+    if not multipolygons_intersect(tile_poly, mp):
+        return []
+    corners_inside = all(
+        point_in_multipolygon(cx, cy, mp)
+        for cx, cy in [(west, south), (east, south), (east, north), (west, north)]
+    )
+    boundary_crosses = any(
+        _segments_intersect(e1[0], e1[1], e2[0], e2[1])
+        for p in mp
+        for r in p
+        for i in range(len(r) - 1)
+        for e1 in [(r[i], r[i + 1])]
+        for ring in tile_poly[0]
+        for j in range(len(ring) - 1)
+        for e2 in [(ring[j], ring[j + 1])]
+    )
+    if corners_inside and not boundary_crosses:
+        return [qk] if qk else ["0", "1", "2", "3"]
+    if len(qk) >= max_depth:
+        return [qk]
+    out: list[str] = []
+    for d in "0123":
+        out.extend(tile_cover(mp, max_depth, qk + d))
+    return out

@@ -1,0 +1,125 @@
+"""Text-analysis functions for the training-data pipeline (north-star ops
+on the ``documents`` table): token counting, quality scoring, language-ID
+heuristic, and document fingerprinting — all native expressions that stay
+inside whole-stage codegen over a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import rolling_fingerprint
+
+#: Tiny per-language marker lexicons for the n-gram/stopword language-ID
+#: heuristic. Deliberately deterministic and SQL-expressible so the DuckDB
+#: oracle can replay the classification.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "que", "los"),
+}
+
+#: BPE-ish token regex: words, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokens (empty strings removed)."""
+    return F.filter(F.split(_c(col), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def regex_token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish token count via regexp extraction."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0)))
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of character n-grams (shingles) — feeds MinHash / Jaccard.
+
+    Guarded for short strings: Spark's ``sequence(1, 0)`` counts *down*,
+    so the empty case must short-circuit explicitly."""
+    c = _c(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: F.substring(c, i.cast("int"), n),
+    )
+    return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-grams joined by a space."""
+    ws = words(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = _c(col)
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    ws = words(col)
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop, F.lower(w))))
+    return n_stop.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
+
+
+def mean_word_length(col: Column | str) -> Column:
+    ws = words(col)
+    total = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    some stopwords, sane mean word length. Deterministic rational
+    arithmetic (int/int divisions) so any engine reproduces it."""
+    c = _c(col)
+    len_ok = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(c) * F.lit(5.0), F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(c) * F.lit(10.0), F.lit(1.0))
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_ok + punct_pen + stop_ok + mwl_ok) / F.lit(4.0)
+
+
+def lang_marker_count(col: Column | str, lang: str) -> Column:
+    """Number of words that are marker stopwords of ``lang``."""
+    ws = words(col)
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(ws, lambda w: F.array_contains(markers, F.lower(w))))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-based language ID: argmax over per-language marker counts,
+    ties and zero-evidence → 'und'. Fixed evaluation order (en, de, fr,
+    es) makes the argmax deterministic."""
+    counts = {lang: lang_marker_count(col, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    result = F.lit("und")
+    # reversed so earlier languages win ties via later when() precedence
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Rabin-Karp rolling-hash document fingerprint (exact-dup key that is
+    cheaper to compare than full text)."""
+    return rolling_fingerprint(col)

@@ -1,0 +1,203 @@
+"""Deduplication operators for the training-data pipeline (north-star):
+exact, MinHash-LSH, SimHash, and n-gram Jaccard — all built from native
+expressions + hash-groupBy/joins, designed so the only shuffles are on
+hash keys (band buckets / gram ids), never all-pairs.
+
+Scale notes
+-----------
+- Exact dedup: one hash-groupBy on a 60-bit digest — map-side partial
+  aggregation, no skew (digests are uniform).
+- MinHash-LSH: signatures are per-row narrow work (explode grams →
+  groupBy doc, min per perm); candidate pairs come from a self-join on
+  (band_id, band_hash) buckets, so cost is Σ bucket² not n².
+- SimHash: per-row 64-bit sketch; near-dup = equal sketch (or banded
+  sketch pieces), again a groupBy not a cross join.
+- n-gram Jaccard: exact verification join on shared grams — used to
+  verify LSH candidates, not as the primary path at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.textstats import char_ngrams, words
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content digest: one row per distinct text with the
+    canonical (min) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: explode char n-grams, hash each
+    gram under ``num_perm`` salted hash functions, take per-perm minima.
+
+    Output: (id, sig: array<long> of length num_perm). The heavy operation
+    is one groupBy(id) with map-side partial min aggregation.
+    """
+    grams = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(char_ngrams(text_col, ngram))).alias("gram"))
+    )
+    mins = [
+        F.min(md5_long(F.col("gram"), salt=str(i))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sigs = grams.groupBy(id_col).agg(*mins)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows of
+    ``num_perm/bands`` values, hash each band, self-join on
+    (band_id, band_key) buckets → candidate pairs (a < b), deduplicated.
+
+    The self-join shuffles on the band bucket key only; bucket sizes are
+    tiny for non-duplicate data, so the pair expansion is Σ|bucket|².
+    """
+    rows_per_band = num_perm // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard(sigs_a: str = "sig_a", sigs_b: str = "sig_b") -> F.Column:
+    """Estimated Jaccard from two signature arrays: fraction of agreeing
+    positions."""
+    return (
+        F.size(F.filter(F.zip_with(F.col(sigs_a), F.col(sigs_b), lambda x, y: x == y), lambda v: v))
+        .cast("double")
+        / F.size(F.col(sigs_a)).cast("double")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash sketch: each distinct word votes ±1 on every bit of its
+    60-bit hash; sketch bit b is 1 iff the vote sum is positive.
+
+    Computed as explode(words) → explode(bits) → groupBy(id, bit) votes →
+    groupBy(id) assemble — shuffles only on (id, bit)."""
+    ws = df.select(F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("word"))
+    hashed = ws.select(F.col(id_col), md5_long(F.col("word")).alias("h"))
+    bit_votes = hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.struct(
+                    b.alias("bit"),
+                    F.when(
+                        F.call_function("shiftright", F.col("h"), b.cast("int")).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .alias("vote"),
+                ),
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
+    sums = bit_votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bit").cast("int")),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def hamming_distance(a: str = "simhash_a", b: str = "simhash_b", bits: int = 32) -> F.Column:
+    """Popcount of XOR via bit explosion (no UDF)."""
+    x = F.col(a).bitwiseXOR(F.col(b))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.call_function("shiftright", x, i.cast("int")).bitwiseAND(F.lit(1)).cast("int"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: docs → distinct grams →
+    self-join on gram → per-pair intersection counts → Jaccard =
+    |∩| / (|A|+|B|-|∩|) ≥ threshold. Returns (id_a, id_b, inter, union_n).
+
+    At scale this runs *after* LSH candidate generation (join the pair
+    list first); standalone it is quadratic in gram-collision volume.
+    Jaccard is compared as exact integer cross-multiplication, so engine
+    float behavior can't flip the threshold."""
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(char_ngrams(text_col, ngram))).alias("gram")
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    num, den = threshold.as_integer_ratio()
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * den >= F.col("union_n") * num)
+        .select("id_a", "id_b", "inter", "union_n")
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (north-star): brute-force
+cosine top-k as the exact baseline, and an IVF (inverted-file) variant as
+the scale path.
+
+Dot products are native higher-order functions (``zip_with`` +
+``aggregate``) in double precision — sequential fold, so results are
+deterministic and reproducible by the DuckDB oracle. No Python UDF in
+either path.
+
+Scale notes: brute force is O(n·q) dot products — fine when the query set
+is broadcastable. IVF turns it into O(n/k · q · probes) by bucketing both
+sides on nearest-centroid id and equi-joining on the bucket, which is a
+hash-partitioned join instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .windows import first_row_per_key
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<numeric> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the query set, cross-join
+    against the corpus, per-query top-k via window rank.
+
+    Output: (query_id, neighbor_id, rank). Plan: BroadcastNestedLoopJoin
+    over the corpus scan (one pass, no corpus shuffle) then a partial
+    top-k per partition folded by the rank window on query_id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        v.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def threshold_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup
+    detection. Exact all-pairs; at scale gate it behind IVF buckets."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def assign_ivf_buckets(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """IVF assignment: nearest centroid (max cosine) per vector via
+    broadcast join + per-vector argmax. Centroid count is small (√n rule
+    of thumb), so the broadcast never shuffles the corpus."""
+    scored = vectors.join(broadcast(centroids)).withColumn(
+        "cos", cosine(F.col(vec_col), F.col(centroid_vec))
+    )
+    best = first_row_per_key(
+        scored,
+        [id_col],
+        [F.col("cos").desc(), F.col(centroid_id).asc()],
+    )
+    return best.select(id_col, vec_col, centroid_id)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: both sides bucketed by nearest centroid, join on
+    bucket id (hash join, not cross join), per-query top-k within the
+    probed bucket. Recall < 1 by construction; verified in tests against
+    brute force."""
+    bucketed = assign_ivf_buckets(vectors, centroids, id_col, vec_col)
+    q_bucketed = assign_ivf_buckets(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("centroid_id"),
+    )
+    v = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), "centroid_id"
+    )
+    scored = (
+        v.join(broadcast(q_bucketed), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,107 @@
+"""Upsert / MERGE operators (SURVEY §2.3 J10-J11).
+
+The reference's ``get_or_create`` / ``update_or_create`` / moved-listing
+audit become set-based MERGE semantics. On a lakehouse these are Delta /
+Iceberg ``MERGE INTO`` (ACID, file-level conflict detection); this module
+implements the same semantics engine-side as DataFrame algebra so the
+logic is testable without a table format, plus a parquet-backed
+table helper. At 100 TB the merge is a single shuffle-on-key full outer
+join — or with AQE + partitioned storage, a dynamic-partition-overwrite
+touching only affected partitions."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """J10: MERGE — WHEN MATCHED UPDATE (source wins), WHEN NOT MATCHED
+    INSERT. Equivalent to ``source UNION ALL (target ANTI JOIN source)``,
+    which Catalyst executes with one shuffle of each side on ``keys``
+    (ref get_or_create/update_or_create sites: workunits.py:145,
+    managers.py:241-264,356-363)."""
+    keys = list(keys)
+    kept_target = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    return source.select(*target.columns).unionByName(kept_target)
+
+
+def insert_if_absent(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """J10 (get_or_create flavor): WHEN NOT MATCHED INSERT only — existing
+    target rows win (placeholder-user semantics, ref managers.py:241-264)."""
+    keys = list(keys)
+    new_rows = source.join(target.select(*keys).distinct(), keys, "left_anti")
+    return target.unionByName(new_rows.select(*target.columns))
+
+
+def change_detect_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    changed: Column,
+    update_cols: Sequence[str],
+    audit_col: str | None = None,
+    audit_value: Column | None = None,
+) -> DataFrame:
+    """J11: MERGE with a change predicate + audit trail — the
+    moved-listing upsert (ref workunits.py:124-164): new key → insert;
+    matched and ``changed`` (e.g. moved > 150 m) → update + append audit
+    entry; matched and unchanged → keep target row.
+
+    ``changed`` may reference ``target.<col>`` as ``F.col("t." + c)`` and
+    source columns as ``F.col("s." + c)``.
+    """
+    keys = list(keys)
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, keys, "full_outer")
+
+    is_insert = F.col(f"t.{update_cols[0]}").isNull() & F.col(f"s.{update_cols[0]}").isNotNull()
+    take_source = is_insert | F.coalesce(changed, F.lit(False))
+
+    out_cols: list[Column] = [F.col(k).alias(k) for k in keys]
+    for c in target.columns:
+        if c in keys:
+            continue
+        if c in update_cols:
+            out_cols.append(
+                F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        elif audit_col is not None and c == audit_col:
+            out_cols.append(
+                F.when(
+                    F.coalesce(changed, F.lit(False)) & ~is_insert,
+                    F.concat(
+                        F.coalesce(F.col(f"t.{c}"), F.array().cast(target.schema[c].dataType)),
+                        F.array(audit_value),
+                    ),
+                )
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+    return joined.select(*out_cols)
+
+
+def upsert_parquet(
+    spark_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+) -> None:
+    """Parquet-backed table upsert: read-modify-overwrite. A stand-in for
+    Delta ``MERGE INTO`` when no transactional format is available; at
+    cluster scale, partition the table and use dynamic partition overwrite
+    so only affected partitions rewrite."""
+    spark = spark_df.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        spark_df.write.mode("overwrite").parquet(path)
+        return
+    merged = upsert(existing, spark_df, keys).cache()
+    merged.count()
+    merged.write.mode("overwrite").parquet(path)
+    merged.unpersist()

@@ -1,0 +1,1253 @@
+"""The engine's query battery: every SURVEY §2 operator exercised as a
+(Spark DataFrame callable, DuckDB oracle SQL) pair over the driver's
+synthetic tables (TESTDATA.md / FIXTURES.md §C mapping).
+
+Determinism rules (so value-hashes match the oracle bit-for-bit):
+
+- Sums of doubles go through ``DECIMAL(18,2)`` (exact, associative) and
+  cast back to double — both engines produce identical bits regardless of
+  aggregation order.
+- Ratios are plain double divisions of identical operands in identical
+  order.
+- Hashes are md5-derived (portable), never engine-specific hash().
+- Top-k queries always carry a unique tiebreak column.
+
+Spatial / LSH / IVF entries that aren't faithfully expressible in ANSI
+SQL omit the oracle (the driver then records a rows-only check) and are
+instead verified by pytest against pure-Python oracles (tests/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import hashing, jsonutils, quadkey, textstats, timeutils
+from .operators import dedup, joins, similarity, upsert, windows
+from .sources.tables import load_table
+
+
+def _dec_sum(c: F.Column) -> F.Column:
+    """Deterministic double sum: sum in DECIMAL(18,2), cast back."""
+    return F.sum(c.cast("decimal(18,2)")).cast("double")
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    ops: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 ids
+    note: str = ""
+
+
+_REGISTRY: list[QuerySpec] = []
+
+
+def q(name: str, ops: tuple[str, ...], sql: str | None, note: str = ""):
+    def deco(fn):
+        _REGISTRY.append(QuerySpec(name, fn, sql, ops, note))
+        return fn
+
+    return deco
+
+
+def registry() -> list[QuerySpec]:
+    return list(_REGISTRY)
+
+
+# --------------------------------------------------------------------------
+# Flagship relational queries (A2/P8/J8/W1 composites)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    ("A1", "A2", "P8"),
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape — grouped aggregate with map-side partial agg",
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (_dec_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dec_sum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_top_revenue",
+    ("J8", "A2", "W1", "W4"),
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "TPC-H Q3 shape — join + grouped agg + deterministic top-k",
+)
+def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15 00:00:00'")
+    )
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_volume",
+    ("J8", "A2"),
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape — star join with broadcast dims",
+)
+def q5_region_volume(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Projections / filters / predicates (P*)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "p1_projection",
+    ("P1",),
+    "SELECT c_custkey, c_mktsegment FROM customer",
+    "column pruning reaches the parquet scan (ReadSchema)",
+)
+def p1_projection(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "p2_flag_filter",
+    ("P2", "P11"),
+    "SELECT doc_id, (n_chars > 300) AS is_long FROM documents WHERE n_chars > 300",
+    "boolean-flag filter (scan_for_new_listings analog)",
+)
+def p2_flag_filter(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").withColumn("is_long", F.col("n_chars") > 300)
+    return docs.filter(F.col("is_long")).select("doc_id", "is_long")
+
+
+@q(
+    "p3_equality_filter",
+    ("P3",),
+    "SELECT event_id, user_id FROM events WHERE event_type = 'purchase'",
+)
+def p3_equality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id")
+    )
+
+
+@q(
+    "p4_icontains",
+    ("P4",),
+    "SELECT c_custkey, c_name FROM customer WHERE lower(c_name) LIKE '%00001%'",
+    "name__icontains analog (ref list-aoi.py:47)",
+)
+def p4_icontains(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    return cust.filter(F.lower(F.col("c_name")).contains("00001")).select("c_custkey", "c_name")
+
+
+@q(
+    "p5_prefix",
+    ("P5",),
+    "SELECT p_partkey, p_type FROM part WHERE p_type LIKE 'PROMO%'",
+    "quadkey__startswith analog (ref utils/grids.py:67)",
+)
+def p5_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_type").startswith("PROMO"))
+        .select("p_partkey", "p_type")
+    )
+
+
+@q(
+    "p6_prefix_chain",
+    ("P6", "U2"),
+    """
+    SELECT event_id, user_id FROM events
+    WHERE CAST(user_id AS VARCHAR) IN ('1', '12', '120')
+    """,
+    "disjunctive ancestor-prefix chain (ref utils/grids.py:78-85)",
+)
+def p6_prefix_chain(spark: SparkSession, sf: str) -> DataFrame:
+    # all proper prefixes of the key '1204' — the ancestor-check idiom
+    key = "1204"
+    prefixes = [key[:i] for i in range(1, len(key))]
+    ev = load_table(spark, sf, "events")
+    return ev.filter(F.col("user_id").cast("string").isin(prefixes)).select("event_id", "user_id")
+
+
+@q(
+    "p7_staleness",
+    ("P7", "U2"),
+    """
+    SELECT event_id, CASE WHEN value < 50 THEN NULL ELSE ts END AS maybe_ts
+    FROM events
+    WHERE (CASE WHEN value < 50 THEN NULL ELSE ts END) < TIMESTAMP '2024-01-10 00:00:00'
+       OR (CASE WHEN value < 50 THEN NULL ELSE ts END) IS NULL
+    """,
+    "stale-or-never predicate (ref operations/calendars.py:104)",
+)
+def p7_staleness(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "maybe_ts", F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("ts"))
+    )
+    return ev.filter(
+        (F.col("maybe_ts") < F.expr("TIMESTAMP '2024-01-10 00:00:00'")) | F.col("maybe_ts").isNull()
+    ).select("event_id", "maybe_ts")
+
+
+@q(
+    "p8_range",
+    ("P8",),
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def p8_range(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-04-01 00:00:00'"))
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@q(
+    "p9_json_haskey",
+    ("P9", "X8"),
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND json_extract_string(props, '$.missing') IS NULL
+    """,
+    "jsonb has_key + typed key extraction (ref utils/tasks.py:40-47)",
+)
+def p9_json_haskey(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.filter(
+        jsonutils.json_has_key("props", "k") & ~jsonutils.json_has_key("props", "missing")
+    ).select("event_id", jsonutils.json_key_long("props", "k").alias("k_val"))
+
+
+@q(
+    "p10_exists_probe",
+    ("P10",),
+    "SELECT (COUNT(*) FILTER (WHERE o_totalprice > 490000) > 0) AS exists_flag FROM orders",
+)
+def p10_exists_probe(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "orders").agg(
+        (F.count(F.when(F.col("o_totalprice") > 490000, F.lit(1))) > 0).alias("exists_flag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J*)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "j4_semi_exists",
+    ("J4", "J5", "J7"),
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "correlated-EXISTS → left_semi (ref operations/grids.py:130-139)",
+)
+def j4_semi_exists(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    big = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return joins.semi_join(cust, big, "c_custkey").select("c_custkey", "c_name")
+
+
+@q(
+    "j6_anti_join",
+    ("J6",),
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "in-flight dedup anti-join (ref operations/reviews.py:116-117)",
+)
+def j6_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    ordered = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.anti_join(cust, ordered, "c_custkey").select("c_custkey")
+
+
+@q(
+    "j8_fk_chain",
+    ("J8",),
+    """
+    SELECT r_name, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, o_orderpriority
+    """,
+    "FK equi-join chain (review→listing→user analog)",
+)
+def j8_fk_chain(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "j9_bridge_join",
+    ("J9",),
+    """
+    SELECT c_mktsegment, p_brand, COUNT(*) AS n_links
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN part ON l_partkey = p_partkey
+    GROUP BY c_mktsegment, p_brand
+    """,
+    "M2M bridge traversal (user↔listing analog; lineitem is the bridge)",
+)
+def j9_bridge_join(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf, "part")
+    return (
+        joins.bridge_join(
+            orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+                "o_orderkey", "c_mktsegment"
+            ),
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "o_orderkey",
+            "l_partkey",
+        )
+        .groupBy("c_mktsegment", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+@q(
+    "j10_upsert",
+    ("J10",),
+    """
+    WITH target AS (SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0),
+         source AS (SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 3 = 0)
+    SELECT event_id, user_id, value FROM source
+    UNION ALL
+    SELECT t.event_id, t.user_id, t.value FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.event_id = t.event_id)
+    """,
+    "MERGE / update_or_create semantics (ref workunits.py:145)",
+)
+def j10_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    target = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id", "value")
+    source = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value")
+    )
+    return upsert.upsert(target, source, ["event_id"])
+
+
+@q(
+    "j11_move_audit_upsert",
+    ("J11", "G9"),
+    """
+    WITH t AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+         s AS (SELECT event_id, value + (event_id % 7) * 40.0 AS value FROM events WHERE event_id % 3 = 0)
+    SELECT COALESCE(t.event_id, s.event_id) AS event_id,
+           CASE WHEN t.event_id IS NULL THEN s.value
+                WHEN s.event_id IS NOT NULL AND abs(s.value - t.value) > 150.0 THEN s.value
+                ELSE t.value END AS value,
+           CASE WHEN t.event_id IS NOT NULL AND s.event_id IS NOT NULL
+                     AND abs(s.value - t.value) > 150.0 THEN 1 ELSE 0 END AS n_notes
+    FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+    """,
+    "change-detection MERGE with audit (moved>150m — ref workunits.py:124-164)",
+)
+def j11_move_audit_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    target = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "value")
+        .withColumn("notes", F.array().cast("array<string>"))
+    )
+    source = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", (F.col("value") + (F.col("event_id") % 7) * 40.0).alias("value")
+    )
+    merged = upsert.change_detect_upsert(
+        target,
+        source,
+        ["event_id"],
+        changed=F.abs(F.col("s.value") - F.col("t.value")) > 150.0,
+        update_cols=["value"],
+        audit_col="notes",
+        audit_value=F.concat(F.lit("moved:"), F.col("s.value").cast("string")),
+    )
+    # size(NULL) is NULL (inserted rows have no audit array) → normalize to 0
+    return merged.select(
+        "event_id", "value", F.coalesce(F.size("notes"), F.lit(0)).alias("n_notes")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A*)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "a1_count",
+    ("A1",),
+    "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+)
+def a1_count(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.countDistinct("l_orderkey").alias("n_orders")
+    )
+
+
+@q(
+    "a2_grouped_tally",
+    ("A2",),
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "Counter() analog (ref workunits.py:132-163)",
+)
+def a2_grouped_tally(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "a4_array_sum",
+    ("A4",),
+    """
+    SELECT doc_id,
+           CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0),
+                                        w -> length(w))) AS BIGINT) AS total_word_chars
+    FROM documents
+    """,
+    "fold-sum over an array (price_histogram_sum analog, ref json_parsers.py:68-73)",
+)
+def a4_array_sum(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    total = F.aggregate(
+        textstats.words("text"), F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return docs.select("doc_id", total.alias("total_word_chars"))
+
+
+@q(
+    "a5_distinct_on",
+    ("A5", "W2"),
+    """
+    SELECT user_id, event_id, ts FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    "Postgres DISTINCT ON ordering semantics (ref managers.py:316-317)",
+)
+def a5_distinct_on(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return windows.first_row_per_key(
+        ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "event_id", "ts")
+
+
+@q(
+    "a6_distinct_singleton",
+    ("A6",),
+    """
+    SELECT user_id, MIN(event_type) AS only_type FROM events
+    GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 1
+    """,
+    "distinct-set-is-singleton invariant (ref json_parsers.py:79-84)",
+)
+def a6_distinct_singleton(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("event_type").alias("only_type"),
+            F.countDistinct("event_type").alias("__n"),
+        )
+        .filter(F.col("__n") == 1)
+        .drop("__n")
+    )
+
+
+@q(
+    "a7_per_relation_count",
+    ("A7",),
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    "per-relation count incl. zeros (user.listing_count analog)",
+)
+def a7_per_relation_count(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / sorts / limits (W*)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "w1_topk_stalest",
+    ("W1",),
+    """
+    SELECT event_id, maybe_ts FROM (
+      SELECT event_id, CASE WHEN value < 50 THEN NULL ELSE ts END AS maybe_ts FROM events)
+    ORDER BY maybe_ts ASC NULLS FIRST, event_id LIMIT 20
+    """,
+    "top-k stalest nulls-first (ref operations/reviews.py:118-122)",
+)
+def w1_topk_stalest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("ts")).alias("maybe_ts"),
+    )
+    return windows.topk_stalest(ev, "maybe_ts", 20, tiebreak="event_id")
+
+
+@q(
+    "w2_latest_per_key",
+    ("W2",),
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    "latest response per listing analog (ref tasks.py:133-138, README export)",
+)
+def w2_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return windows.latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+@q(
+    "w3_ranked_sort",
+    ("W3",),
+    """
+    SELECT o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 15
+    """,
+)
+def w3_ranked_sort(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 15)
+        .select("o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@q(
+    "w5_availability_streak",
+    ("W5", "S7"),
+    """
+    WITH e AS (
+      SELECT user_id, event_id, (value > 100.0) AS avail,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, (value > 100.0) ORDER BY event_id) AS rn2
+      FROM events),
+    islands AS (SELECT user_id, event_id, rn - rn2 AS island FROM e WHERE avail),
+    runs AS (
+      SELECT user_id, island, MIN(event_id) AS run_start, MAX(event_id) AS run_end,
+             COUNT(*) AS run_len
+      FROM islands GROUP BY user_id, island HAVING COUNT(*) >= 3)
+    SELECT user_id, run_start, run_end, run_len FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY run_start) AS rr FROM runs)
+    WHERE rr = 1
+    """,
+    "first feasible check-in window (ref airbnb_api.py:447-480) as gaps-and-islands",
+)
+def w5_availability_streak(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return windows.availability_runs(ev, "user_id", "event_id", F.col("value") > 100.0, 3).select(
+        "user_id", "run_start", "run_end", "run_len"
+    )
+
+
+@q(
+    "w6_batch_assign",
+    ("W6",),
+    """
+    SELECT batch_id, COUNT(*) AS n, MIN(event_id) AS first_id, MAX(event_id) AS last_id
+    FROM (SELECT event_id, CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
+          FROM events)
+    GROUP BY batch_id
+    """,
+    "fixed-size batching, CELERY_TASK_CHUNK_SIZE=100 (ref core/settings.py:9)",
+)
+def w6_batch_assign(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_id")
+    return (
+        windows.assign_batches(ev, "event_id", 100)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (U*)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "u1_union_dedup",
+    ("U1", "U3"),
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    """,
+    "queryset |= accumulation (ref operations/calendars.py:60-63)",
+)
+def u1_union_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    b = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    return a.unionByName(b).dropDuplicates(["o_orderkey"])
+
+
+@q(
+    "u4_explode_flatten",
+    ("U4",),
+    """
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)) AS word
+      FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    "chain.from_iterable analog — explode + tally (ref models.py:182-186)",
+)
+def u4_explode_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(textstats.words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions / temporal semantics (C*, T*)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "c1_day_bounds",
+    ("C1",),
+    """
+    SELECT date_trunc('day', ts) AS day_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND AS day_end,
+           COUNT(*) AS n
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+    "start_of_day/end_of_day (ref utils/time.py:6-15)",
+)
+def c1_day_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.withColumn("day_start", timeutils.start_of_day("ts"))
+        .withColumn("day_end", timeutils.end_of_day("ts"))
+        .groupBy("day_start", "day_end")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "c5_elapsed_seconds",
+    ("C5",),
+    """
+    SELECT user_id,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS span_s
+    FROM events GROUP BY user_id
+    """,
+    "elapsed-seconds arithmetic (ref managers.py:175, task_managers.py:96-100)",
+)
+def c5_elapsed_seconds(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        timeutils.elapsed_seconds(F.min("ts"), F.max("ts")).alias("span_s")
+    )
+
+
+@q(
+    "c6_url_params",
+    ("C6", "X5"),
+    """
+    SELECT event_id,
+           regexp_extract(url, 'offset=([0-9]+)', 1) AS offset_val,
+           CASE WHEN strpos(url, '?') > 0 THEN substr(url, 1, strpos(url, '?') - 1) ELSE url END AS base_url
+    FROM (SELECT event_id,
+                 'https://api.example.com/search?offset=' || CAST(event_id % 50 AS VARCHAR) || '&limit=20' AS url
+          FROM events)
+    """,
+    "query-param extraction + URL-query strip (ref convenience.py:4-10, managers.py:285)",
+)
+def c6_url_params(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://api.example.com/search?offset="),
+            (F.col("event_id") % 50).cast("string"),
+            F.lit("&limit=20"),
+        ),
+    )
+    return ev.select(
+        "event_id",
+        jsonutils.url_query_param("url", "offset").alias("offset_val"),
+        jsonutils.strip_url_query("url").alias("base_url"),
+    )
+
+
+@q(
+    "c7c8_digests",
+    ("C7", "C8", "X9"),
+    """
+    SELECT doc_id, md5(text) AS digest, to_base64(encode(substr(text, 1, 24))) AS b64_prefix
+    FROM documents
+    """,
+    "md5 + base64 encapsulation keys (ref airbnb_api.py:477-478, managers.py:115)",
+)
+def c7c8_digests(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("digest"),
+        F.base64(F.substring(F.col("text"), 1, 24).cast("binary")).alias("b64_prefix"),
+    )
+
+
+@q(
+    "c11_paging_math",
+    ("C11",),
+    """
+    SELECT user_id, COUNT(*) AS n,
+           CAST(floor((COUNT(*) + 9) / 10) AS BIGINT) AS num_pages,
+           CAST((floor((COUNT(*) + 9) / 10) - 1) * 10 AS BIGINT) AS last_offset
+    FROM events GROUP BY user_id
+    """,
+    "pagination fan-out math (ref tasks.py:56-60, workunits.py:23-30)",
+)
+def c11_paging_math(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    n = F.count(F.lit(1))
+    pages = F.floor((n + 9) / 10)
+    return ev.groupBy("user_id").agg(
+        n.alias("n"),
+        pages.cast("long").alias("num_pages"),
+        ((pages - 1) * 10).cast("long").alias("last_offset"),
+    )
+
+
+@q(
+    "t2_inflight_dedup",
+    ("T2", "J6"),
+    """
+    SELECT DISTINCT user_id FROM events
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'signup'
+      AND ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 24 HOUR
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    "24h in-flight dedup window (ref utils/tasks.py:15-56)",
+)
+def t2_inflight_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    now = F.expr("TIMESTAMP '2024-01-15 00:00:00'")
+    engaged = (
+        ev.filter(
+            (F.col("event_type") == "signup")
+            & (F.col("ts") >= now - F.expr("INTERVAL 24 HOUR"))
+            & (F.col("ts") < now)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return joins.anti_join(ev.select("user_id").distinct(), engaged, "user_id")
+
+
+@q(
+    "t3_expiry_filter",
+    ("T3", "C2"),
+    """
+    SELECT event_id, ts + INTERVAL 23 HOUR AS expires_at FROM events
+    WHERE ts + INTERVAL 23 HOUR > TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    "task-expiry suppression (ref operations/grids.py:118,156-160)",
+)
+def t3_expiry_filter(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "expires_at", F.col("ts") + F.expr("INTERVAL 23 HOUR")
+    )
+    return ev.filter(F.col("expires_at") > F.expr("TIMESTAMP '2024-01-20 00:00:00'")).select(
+        "event_id", "expires_at"
+    )
+
+
+@q(
+    "st_tumbling_window",
+    ("T1",),
+    """
+    SELECT CAST(floor(floor(epoch(ts)) / 600) * 600 AS BIGINT) AS window_start_s,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "10-min tumbling window agg — batch twin of the Structured Streaming job "
+    "(streaming/jobs.py); windowed counts match readStream+watermark output",
+)
+def st_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "window_start_s", (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("long")
+        )
+        .groupBy("window_start_s", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum(F.col("value")).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Tile math / spatial kernels (G*, J1) on synthetic coordinates
+# --------------------------------------------------------------------------
+
+_QK_SQL = """
+    list_reduce(list_transform(generate_series(1, 10),
+      i -> CAST(((x >> (10 - i)) & 1) + 2 * ((y >> (10 - i)) & 1) AS VARCHAR)),
+      (a, b) -> a || b)
+"""
+
+
+@q(
+    "g1_quadkey_codec",
+    ("G1", "G5"),
+    f"""
+    SELECT event_id, x, y, {_QK_SQL} AS qk,
+           x AS x2, y AS y2,
+           {_QK_SQL} || '0' AS child0
+    FROM (SELECT event_id, event_id % 1024 AS x, (user_id * 13) % 1024 AS y FROM events)
+    """,
+    "quadkey encode/decode roundtrip as native bit math (mercantile analog)",
+)
+def g1_quadkey_codec(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        (F.col("event_id") % 1024).alias("x"),
+        ((F.col("user_id") * 13) % 1024).alias("y"),
+    )
+    with_qk = ev.withColumn("qk", quadkey.tile_to_quadkey("x", "y", 10))
+    return with_qk.select(
+        "event_id",
+        "x",
+        "y",
+        "qk",
+        quadkey.quadkey_to_tile_x("qk").alias("x2"),
+        quadkey.quadkey_to_tile_y("qk").alias("y2"),
+        quadkey.children("qk")[0].alias("child0"),
+    )
+
+
+@q(
+    "j1_prefix_cover_semi",
+    ("J1", "J2", "P5"),
+    f"""
+    WITH pts AS (
+      SELECT event_id, {_QK_SQL} AS quadkey
+      FROM (SELECT event_id, event_id % 1024 AS x, (user_id * 13) % 1024 AS y FROM events)),
+    cov(qk_prefix) AS (VALUES ('02'), ('031'), ('1'), ('2301'))
+    SELECT DISTINCT event_id FROM pts JOIN cov ON pts.quadkey LIKE cov.qk_prefix || '%'
+    """,
+    "spatial semi-join kernel: broadcast tile-cover prefix join (J1)",
+)
+def j1_prefix_cover_semi(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        (F.col("event_id") % 1024).alias("x"),
+        ((F.col("user_id") * 13) % 1024).alias("y"),
+    )
+    pts = ev.withColumn("quadkey", quadkey.tile_to_quadkey("x", "y", 10))
+    covers = spark.createDataFrame(
+        [("02",), ("031",), ("1",), ("2301",)], "qk_prefix string"
+    )
+    return joins.prefix_semi_join(pts, covers, keep=["event_id"]).select("event_id")
+
+
+# --------------------------------------------------------------------------
+# North-star: dedup / similarity / text analysis / multimodal
+# --------------------------------------------------------------------------
+
+
+@q(
+    "ns_dedup_exact",
+    ("NS-dedup",),
+    "SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM documents GROUP BY md5(text)",
+    "exact dedup via content digest hash-groupBy",
+)
+def ns_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+@q(
+    "ns_dedup_ngram_jaccard",
+    ("NS-dedup",),
+    """
+    WITH grams AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 2, 0)),
+               i -> substr(text, CAST(i AS INT), 3)))) AS gram
+      FROM documents),
+    sizes AS (SELECT id, COUNT(*) AS n_grams FROM grams GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b, inter, (n_a + n_b - inter) AS union_n
+    FROM (SELECT inter.*, sa.n_grams AS n_a, sb.n_grams AS n_b
+          FROM inter JOIN sizes sa ON sa.id = inter.id_a
+                     JOIN sizes sb ON sb.id = inter.id_b)
+    WHERE inter * 2 >= (n_a + n_b - inter) * 1
+    """,
+    "exact char-3-gram Jaccard similarity join (verification stage of LSH)",
+)
+def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), "doc_id", "text", ngram=3, threshold=0.5
+    )
+
+
+@q(
+    "ns_dedup_minhash_lsh",
+    ("NS-dedup",),
+    None,
+    "MinHash(16 perms)+LSH(4 bands) candidate pairs; verified in "
+    "tests/test_dedup.py against exact Jaccard (rows-only here: the banded "
+    "md5 pipeline is not faithfully expressible in ANSI SQL)",
+)
+def ns_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=16, ngram=3)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=4)
+
+
+@q(
+    "ns_dedup_simhash",
+    ("NS-dedup",),
+    """
+    WITH w AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                                        x -> length(x) > 0))) AS word
+        FROM documents)),
+    h AS (SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(word), 1, 15)) AS BIGINT) AS h FROM w),
+    bits AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    "32-bit SimHash sketch per document (near-dup by sketch equality)",
+)
+def ns_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf, "documents"), "doc_id", "text", bits=32)
+
+
+@q(
+    "ns_embed_cosine_pairs",
+    ("NS-similarity",),
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+    """,
+    "embedding near-dup pairs by cosine threshold (native zip_with fold)",
+)
+def ns_embed_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.threshold_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
+
+
+@q(
+    "ns_embed_topk",
+    ("NS-similarity",),
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+         v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      list_dot_product(qv, nv)
+                      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos
+               FROM q, v WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= 5
+    """,
+    "brute-force cosine top-k (exact ANN baseline)",
+)
+def ns_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@q(
+    "ns_embed_ivf_topk",
+    ("NS-similarity",),
+    None,
+    "IVF approximate top-k (centroids = 16 seed vectors); recall vs brute "
+    "force asserted in tests/test_similarity.py (rows-only here)",
+)
+def ns_embed_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+        )
+    )
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), centroids, k=5)
+
+
+_MARKER_SQL = {
+    "en": "['the','and','of','to','a']",
+    "de": "['der','die','und','das','ist']",
+    "fr": "['le','la','et','les','des']",
+    "es": "['el','la','de','que','los']",
+}
+_CNT_SQL = {
+    lang: f"len(list_filter(words, w -> list_contains({arr}, lower(w))))"
+    for lang, arr in _MARKER_SQL.items()
+}
+
+
+@q(
+    "ns_lang_id",
+    ("NS-text",),
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_CNT_SQL['en']} = best AND best > 0 THEN 'en'
+                WHEN {_CNT_SQL['de']} = best AND best > 0 THEN 'de'
+                WHEN {_CNT_SQL['fr']} = best AND best > 0 THEN 'fr'
+                WHEN {_CNT_SQL['es']} = best AND best > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+    FROM (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS words,
+             greatest({_CNT_SQL['en']}, {_CNT_SQL['de']}, {_CNT_SQL['fr']}, {_CNT_SQL['es']}) AS best
+      FROM documents)
+    """,
+    "marker-lexicon language ID heuristic",
+)
+def ns_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", "lang", textstats.lang_id("text").alias("pred_lang"))
+
+
+@q(
+    "ns_quality_score",
+    ("NS-text",),
+    """
+    SELECT doc_id,
+           (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+            + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                            / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0))
+            + least((CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a'], lower(w)))) AS DOUBLE)
+                     / CAST(greatest(len(words), 1) AS DOUBLE)) * 10.0, 1.0)
+            + CASE WHEN (CAST(list_sum(list_prepend(0, list_transform(words, w -> length(w)))) AS DOUBLE)
+                         / CAST(greatest(len(words), 1) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+                   THEN 1.0 ELSE 0.5 END) / 4.0 AS quality
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS words
+          FROM documents)
+    """,
+    "length/punct/stopword/word-length quality heuristic",
+)
+def ns_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", textstats.quality_score("text").alias("quality"))
+
+
+@q(
+    "ns_token_stats",
+    ("NS-text",),
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+    "whitespace + BPE-ish regex token counting",
+)
+def ns_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.whitespace_token_count("text").cast("long").alias("n_ws_tokens"),
+        textstats.regex_token_count("text").cast("long").alias("n_regex_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@q(
+    "ns_fingerprint",
+    ("NS-text", "C7"),
+    f"""
+    SELECT doc_id, {hashing.rolling_fingerprint_sql('text')} AS fp FROM documents
+    """,
+    "Rabin-Karp rolling-hash document fingerprint (no UDF)",
+)
+def ns_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", textstats.fingerprint("text").alias("fp"))
+
+
+@q(
+    "mm_binary_meta",
+    ("NS-multimodal",),
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_digest,
+           'text/plain' AS media_type
+    FROM documents
+    """,
+    "multimodal binary-column plumbing: payload bytes + typed metadata "
+    "(decode stage stubbed in multimodal/binary_ops.py)",
+)
+def mm_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_digest"),
+        F.lit("text/plain").alias("media_type"),
+    )

@@ -1,0 +1,68 @@
+"""Parquet table loaders for the driver's synthetic TPC-H-ish tables.
+
+See TESTDATA.md: tables live at ``{sf_dir}/{name}.parquet``. At cluster
+scale these would be catalog (Delta/Iceberg) tables partitioned by date /
+quadkey-prefix; the loader keeps the scan declarative so Catalyst pushes
+filters and prunes columns into the parquet reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table.
+
+    Spark refuses TIMESTAMP(NANOS) parquet columns (the ``events.ts``
+    column is nanos). We read those as raw int64 via the documented
+    ``nanosAsLong`` escape hatch and truncate to microseconds with exact
+    integer division — the same ns→µs truncation DuckDB's reader applies,
+    so oracle comparisons stay bit-identical.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        ns_cols = [
+            f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+        ]
+    except Exception:
+        ns_cols = []
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API paths)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
