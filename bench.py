@@ -1,0 +1,73 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed once after a tiny warmup query that pays JVM/codegen
+startup; timing covers logical plan → execution → count() (results are
+small aggregates, so count() materializes the full computation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ubdc_airbnb_spark import queries as q_mod
+from ubdc_airbnb_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_volume",
+    "j9_bridge_join",
+    "w2_latest_per_key",
+    "w5_availability_streak",
+    "j1_prefix_cover_semi",
+    "ns_dedup_exact",
+    "ns_dedup_minhash_lsh",
+    "ns_dedup_simhash",
+    "ns_embed_topk",
+    "ns_token_stats",
+    "st_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    # warmup: JVM + whole-stage-codegen compilation path
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    specs = {s.name: s for s in q_mod.registry()}
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = specs[name].spark
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,10 +54,17 @@ def minhash_signatures(
     grams = (
         df.select(F.col(id_col), F.explode(F.array_distinct(char_ngrams(text_col, ngram))).alias("gram"))
     )
-    mins = [
-        F.min(md5_long(F.col("gram"), salt=str(i))).alias(f"h{i}") for i in range(num_perm)
-    ]
-    sigs = grams.groupBy(id_col).agg(*mins)
+    # Hash each DISTINCT gram once (the gram vocabulary is tiny relative to
+    # occurrences — Zipf), then broadcast-join the per-gram hash vector back
+    # to occurrences. Cuts md5 work from O(occurrences × perms) to
+    # O(vocab × perms).
+    gram_hashes = grams.select("gram").distinct().select(
+        "gram",
+        F.array(*[md5_long(F.col("gram"), salt=str(i)) for i in range(num_perm)]).alias("hv"),
+    )
+    joined = grams.join(F.broadcast(gram_hashes), "gram")
+    mins = [F.min(F.col("hv")[i]).alias(f"h{i}") for i in range(num_perm)]
+    sigs = joined.groupBy(id_col).agg(*mins)
     return sigs.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),

@@ -51,29 +51,37 @@ def prefix_semi_join(
     ancestor (point-in-tile-cover; ref AOIShape.listings models.py:196-198
     via PostGIS ST_Intersects).
 
-    Implementation for scale: the cover is exploded per distinct prefix
-    *length* so the probe becomes an equi-join on ``substring(quadkey, 1,
-    len)`` — a broadcast hash join per length, unioned. No LIKE-range scan,
-    no cartesian: a 100 TB point table is never shuffled (cover side is
-    broadcast) and the probe is codegen'd substring equality.
+    Implementation for scale: the probe is grouped by distinct prefix
+    *length* so membership becomes ``substring(quadkey, 1, len) IN
+    <set>``. When the cover fits on the driver (the designed case — tile
+    covers are thousands of keys) this compiles to a pure codegen'd
+    hash-set filter over the scan: zero shuffles, zero joins, and no
+    dedup pass (each point is emitted once regardless of how many
+    prefixes match). Covers too big to collect fall back to a broadcast
+    equi-join on the exploded per-length truncations.
     """
-    lengths = [r[0] for r in covers.select(F.length(prefix_col).alias("l")).distinct().collect()]
-    pieces = []
-    for ln in sorted(lengths):
-        cov_l = covers.filter(F.length(prefix_col) == ln).select(prefix_col).distinct()
-        probe = points.withColumn("__qk_trunc", F.substring(F.col(qk_col), 1, ln))
-        pieces.append(
-            probe.join(
-                broadcast(cov_l), probe["__qk_trunc"] == cov_l[prefix_col], "left_semi"
-            ).drop("__qk_trunc")
-        )
-    if not pieces:
+    per_len: dict[int, list[str]] = {}
+    cover_rows = covers.select(prefix_col).distinct()
+    n_cover = cover_rows.count()
+    if n_cover == 0:
         return points.limit(0)
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
+    if n_cover <= 100_000:
+        for (p,) in cover_rows.collect():
+            per_len.setdefault(len(p), []).append(p)
+        cond = None
+        for ln, prefixes in sorted(per_len.items()):
+            piece = F.substring(F.col(qk_col), 1, ln).isin(prefixes)
+            cond = piece if cond is None else (cond | piece)
+        return points.filter(cond)
+    # big-cover fallback: explode per-length truncations, one broadcast semi-join
+    lengths = [r[0] for r in cover_rows.select(F.length(prefix_col).alias("l")).distinct().collect()]
+    truncs = F.array(*[F.substring(F.col(qk_col), 1, ln) for ln in sorted(lengths)])
+    probe = points.withColumn("__trunc", F.explode(truncs))
+    hit = probe.join(
+        broadcast(cover_rows), probe["__trunc"] == cover_rows[prefix_col], "left_semi"
+    ).drop("__trunc")
     key = keep or [points.columns[0]]
-    return out.dropDuplicates(list(key))
+    return hit.dropDuplicates(list(key))
 
 
 def flagged_cover_semi_join(
