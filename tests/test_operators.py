@@ -1,0 +1,249 @@
+"""Operator-layer unit tests: upserts, windows, dedup, similarity,
+spatial join — small deterministic fixtures with hand-computed oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubdc_airbnb_spark.operators import dedup, joins, similarity, spatial, upsert, windows
+
+
+# ------------------------------------------------------------------ upsert
+
+
+def test_upsert_source_wins(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "id long, v string")
+    got = {(r.id, r.v) for r in upsert.upsert(target, source, ["id"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_insert_if_absent_target_wins(spark):
+    target = spark.createDataFrame([(1, "a")], "id long, v string")
+    source = spark.createDataFrame([(1, "X"), (2, "Y")], "id long, v string")
+    got = {(r.id, r.v) for r in upsert.insert_if_absent(target, source, ["id"]).collect()}
+    assert got == {(1, "a"), (2, "Y")}
+
+
+def test_change_detect_upsert_moved_audit(spark):
+    """Reference semantics (workunits.py:124-164): insert new; update+audit
+    only when moved beyond threshold; keep otherwise."""
+    target = spark.createDataFrame(
+        [(1, 0.0, []), (2, 100.0, []), (3, 50.0, ["old"])],
+        "id long, pos double, notes array<string>",
+    )
+    source = spark.createDataFrame(
+        [(1, 10.0, ), (2, 500.0,), (4, 7.0,)], "id long, pos double"
+    )
+    out = upsert.change_detect_upsert(
+        target,
+        source,
+        ["id"],
+        changed=F.abs(F.col("s.pos") - F.col("t.pos")) > 150.0,
+        update_cols=["pos"],
+        audit_col="notes",
+        audit_value=F.lit("moved"),
+    )
+    got = {r.id: (r.pos, list(r.notes or [])) for r in out.collect()}
+    assert got[1] == (0.0, [])            # moved 10 < 150: keep
+    assert got[2] == (500.0, ["moved"])   # moved 400 > 150: update + audit
+    assert got[3] == (50.0, ["old"])      # absent from source: untouched
+    assert got[4][0] == 7.0               # new: inserted
+
+
+def test_upsert_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    upsert.upsert_parquet(t1, path, ["id"])
+    t2 = spark.createDataFrame([(2, "B"), (3, "C")], "id long, v string")
+    upsert.upsert_parquet(t2, path, ["id"])
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+# ------------------------------------------------------------------ windows
+
+
+def test_availability_runs_finds_first_window(spark):
+    """W5: calendar-style availability — first run of >=3 available days."""
+    rows = []
+    # key 1: avail days 2,3,4 (run of 3 starting at 2), then 6,7
+    for d, a in [(1, False), (2, True), (3, True), (4, True), (5, False), (6, True), (7, True)]:
+        rows.append((1, d, a))
+    # key 2: never 3 in a row
+    for d, a in [(1, True), (2, False), (3, True), (4, False)]:
+        rows.append((2, d, a))
+    df = spark.createDataFrame(rows, "listing_id long, day int, avail boolean")
+    got = {
+        r.listing_id: (r.run_start, r.run_end, r.run_len)
+        for r in windows.availability_runs(df, "listing_id", "day", "avail", 3).collect()
+    }
+    assert got == {1: (2, 4, 3)}
+
+
+def test_topk_stalest_nulls_first(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-05"), (2, None), (3, "2024-01-01"), (4, None)],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [r.id for r in windows.topk_stalest(df, "ts", 3, tiebreak="id").collect()]
+    assert got == [2, 4, 3]
+
+
+def test_batching_sizes(spark):
+    df = spark.range(250).withColumnRenamed("id", "k")
+    got = (
+        windows.assign_batches(df, "k", 100)
+        .groupBy("batch_id")
+        .count()
+        .orderBy("batch_id")
+        .collect()
+    )
+    assert [(r.batch_id, r["count"]) for r in got] == [(0, 100), (1, 100), (2, 50)]
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    got = {r.keep_id: r.n_docs for r in dedup.exact_duplicates(df, "doc_id", "text").collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different content here with other words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", num_perm=16)
+    pairs = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash agreement rate approximates exact n-gram Jaccard."""
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    exact = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()[0]
+    true_j = exact.inter / exact.union_n
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", num_perm=64)
+    s = {r.doc_id: r.sig for r in sigs.collect()}
+    est = sum(1 for x, y in zip(s[1], s[2]) if x == y) / 64
+    assert abs(est - true_j) < 0.25
+
+
+def test_simhash_identical_equal_similar_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine query plan optimizer"),
+            (2, "spark engine query plan optimizer"),
+            (3, "zebra yoga xylophone watermelon vacuum"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark):
+    """On real synthetic docs: every pair with exact Jaccard >= 0.8 must
+    be produced by LSH (16 perms / 4 bands -> collision prob ~0.98 at 0.8)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=16)
+    lsh = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4).collect()}
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {len(missed)}/{len(exact)}"
+
+
+# ------------------------------------------------------------------ similarity
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    order = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [1, 3]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    approx = similarity.ivf_topk(emb, queries, centroids, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"IVF recall {recall} implausibly low"
+    assert len(approx_set) == len(exact_set)
+
+
+# ------------------------------------------------------------------ spatial
+
+
+def test_points_in_aoi_matches_exact_oracle(spark):
+    """J1 end-to-end: quadkey-cover prejoin + boundary exact test equals
+    brute-force ray casting for every point."""
+    import random
+
+    from ubdc_airbnb_spark.functions import geometry as geo
+
+    wkt = "POLYGON ((-0.2 51.4, 0.15 51.45, 0.1 51.6, -0.25 51.55, -0.2 51.4))"
+    mp = geo.parse_wkt(wkt)
+    rng = random.Random(11)
+    pts = [
+        (i, rng.uniform(-0.4, 0.3), rng.uniform(51.3, 51.7)) for i in range(500)
+    ]
+    df = spark.createDataFrame(pts, "listing_id long, lon double, lat double")
+    got = {r.listing_id for r in spatial.points_in_aoi(df, wkt, depth=12).collect()}
+    expected = {i for i, lon, lat in pts if geo.point_in_multipolygon(lon, lat, mp)}
+    assert got == expected
+
+
+def test_grids_intersecting_aois(spark):
+    from ubdc_airbnb_spark.functions import geometry as geo
+
+    wkt = "POLYGON ((-0.2 51.4, 0.1 51.4, 0.1 51.6, -0.2 51.6, -0.2 51.4))"
+    cover = geo.tile_cover(geo.parse_wkt(wkt), 10)
+    inside_qk = cover[0]
+    far_qk = "3333333333"
+    grids = spark.createDataFrame([(inside_qk,), (far_qk,), (inside_qk[:5],)], "quadkey string")
+    got = {r.quadkey for r in spatial.grids_intersecting_aois(grids, [(1, wkt)], depth=10).collect()}
+    assert inside_qk in got
+    assert inside_qk[:5] in got  # ancestor of a cover tile intersects
+    assert far_qk not in got
+
+
+def test_union_cover_normalized(spark):
+    a = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    b = "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+    cover = spatial.union_cover([(1, a), (2, b)], depth=8)
+    s = set(cover)
+    for qk in s:
+        assert not any(qk != o and qk.startswith(o) for o in s)
