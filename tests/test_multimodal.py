@@ -1,0 +1,41 @@
+"""Multimodal binary-column plumbing: schema, batch shape, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubdc_airbnb_spark.multimodal import binary_ops
+from ubdc_airbnb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_attach_binary_schema_and_meta(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    media = binary_ops.attach_binary(docs, "doc_id", "text", media_type="text/plain")
+    assert [f.name for f in media.schema.fields] == ["media_id", "media_type", "content", "meta"]
+    r = media.filter(F.col("media_id") == 0).collect()[0]
+    assert r.media_type == "text/plain"
+    assert r.meta.n_bytes == len(bytes(r.content))
+    assert len(r.meta.content_digest) == 32
+
+
+def test_decode_fake_deterministic_features(spark):
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = binary_ops.attach_binary(docs, "doc_id", "text")
+    feats1 = {r.media_id: r.feature for r in binary_ops.decode_fake(media).collect()}
+    feats2 = {r.media_id: r.feature for r in binary_ops.decode_fake(media).collect()}
+    assert feats1 == feats2
+    assert all(len(v) == 8 for v in feats1.values())
+    # oracle: python replay of the byte fold for one row
+    text = docs.filter(F.col("doc_id") == 0).collect()[0].text
+    expected, w, h = binary_ops._extract_features(text.encode())
+    assert feats1[0] == expected
+
+
+def test_decode_real_is_stubbed(spark):
+    docs = load_table(spark, SF, "documents").limit(1)
+    media = binary_ops.attach_binary(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        binary_ops.decode_real(media)

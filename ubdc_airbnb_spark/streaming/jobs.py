@@ -1,0 +1,107 @@
+"""Structured Streaming analogs of the reference's incremental semantics
+(SURVEY §2.10): the reference emulates streaming with cron-driven Celery
+beats (T1); here the same jobs are real streams.
+
+- windowed_counts     — T1: the tumbling-window aggregation (the batch
+                        twin is queries.st_tumbling_window; equality is
+                        asserted in tests/test_streaming.py)
+- dedup_stream        — T2: the 24 h in-flight dedup as
+                        withWatermark + dropDuplicates
+- foreach_batch_upsert— J10/T6: MERGE-per-microbatch into a parquet
+                        table (Delta MERGE stand-in)
+
+All entry points accept any streaming DataFrame; tests feed them with a
+file-source stream over the events parquet. ``Trigger.AvailableNow``
+(``availableNow=True``) gives the reference's cron-batch behavior: drain
+everything pending, then stop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.upsert import upsert_parquet
+
+
+def events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over an events parquet directory (schema fixed
+    up front — streaming sources don't infer)."""
+    import pyarrow.parquet as pq
+
+    import glob
+    import os
+
+    sample = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))[0]
+    has_ns = any(str(f.type) == "timestamp[ns]" for f in pq.read_schema(sample))
+    if has_ns:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(src_dir)
+    stream = spark.readStream.schema(static.schema).parquet(src_dir)
+    if has_ns and dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T1: tumbling-window counts + decimal-exact value sums with late
+    data bounded by the watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key: str,
+    watermark: str = "24 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T2: the in-flight dedup window as streaming state —
+    ``withWatermark(24h) + dropDuplicates([key])`` keeps exactly the
+    reference's 'one task per listing per day' guarantee with bounded
+    state."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([key])
+
+
+def run_available_now(stream_df: DataFrame, query_name: str):
+    """Drain-everything-then-stop execution — the streaming equivalent of
+    one cron tick (T1). Results land in an in-memory table named
+    ``query_name``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def foreach_batch_upsert(stream: DataFrame, target_path: str, keys: list[str]):
+    """J10 in streaming form: MERGE every micro-batch into the target
+    table (Delta ``MERGE INTO`` stand-in over parquet)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df, target_path, keys)
+
+    q = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
