@@ -57,13 +57,17 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Array of word n-grams joined by a space."""
+    """Array of word n-grams joined by a space.
+
+    Built as n-1 zip_with concatenations over shifted slices — O(words)
+    per row, unlike the naive per-index ``slice`` which is O(words²)."""
     ws = words(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-        lambda i: F.array_join(F.slice(ws, i, n), " "),
-    )
-    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    acc = F.slice(ws, F.lit(1), m)
+    for k in range(1, n):
+        nxt = F.slice(ws, F.lit(k + 1), m)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(ws) >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
 def punct_ratio(col: Column | str) -> Column:

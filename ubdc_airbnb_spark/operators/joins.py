@@ -40,6 +40,22 @@ def bridge_join(
     return left.join(bridge, left_key).join(right, right_key)
 
 
+def prefix_filter(
+    points: DataFrame, prefixes: list[str], qk_col: str = "quadkey"
+) -> DataFrame:
+    """J1 fast path: driver-resident cover → pure codegen'd filter
+    ``substring(qk,1,len) IN <hash-set>`` per distinct length. No join,
+    no shuffle, no dedup; the predicate is pushed into the scan stage."""
+    per_len: dict[int, list[str]] = {}
+    for p in prefixes:
+        per_len.setdefault(len(p), []).append(p)
+    cond = None
+    for ln, ps in sorted(per_len.items()):
+        piece = F.substring(F.col(qk_col), 1, ln).isin(ps)
+        cond = piece if cond is None else (cond | piece)
+    return points.filter(cond) if cond is not None else points.limit(0)
+
+
 def prefix_semi_join(
     points: DataFrame,
     covers: DataFrame,
@@ -60,19 +76,12 @@ def prefix_semi_join(
     prefixes match). Covers too big to collect fall back to a broadcast
     equi-join on the exploded per-length truncations.
     """
-    per_len: dict[int, list[str]] = {}
     cover_rows = covers.select(prefix_col).distinct()
-    n_cover = cover_rows.count()
-    if n_cover == 0:
+    sample = cover_rows.take(100_001)  # one job: fetch-or-overflow probe
+    if not sample:
         return points.limit(0)
-    if n_cover <= 100_000:
-        for (p,) in cover_rows.collect():
-            per_len.setdefault(len(p), []).append(p)
-        cond = None
-        for ln, prefixes in sorted(per_len.items()):
-            piece = F.substring(F.col(qk_col), 1, ln).isin(prefixes)
-            cond = piece if cond is None else (cond | piece)
-        return points.filter(cond)
+    if len(sample) <= 100_000:
+        return prefix_filter(points, [r[0] for r in sample], qk_col)
     # big-cover fallback: explode per-length truncations, one broadcast semi-join
     lengths = [r[0] for r in cover_rows.select(F.length(prefix_col).alias("l")).distinct().collect()]
     truncs = F.array(*[F.substring(F.col(qk_col), 1, ln) for ln in sorted(lengths)])

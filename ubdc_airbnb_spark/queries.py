@@ -1048,13 +1048,14 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     "ns_dedup_minhash_lsh",
     ("NS-dedup",),
     None,
-    "MinHash(16 perms)+LSH(4 bands) candidate pairs; verified in "
-    "tests/test_dedup.py against exact Jaccard (rows-only here: the banded "
-    "md5 pipeline is not faithfully expressible in ANSI SQL)",
+    "MinHash(16 perms, word-3-gram shingles)+LSH(4 bands) candidate "
+    "pairs; verified in tests/test_operators.py against exact Jaccard "
+    "(rows-only here: the banded md5 pipeline is not faithfully "
+    "expressible in ANSI SQL)",
 )
 def ns_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=16, ngram=3)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=16, ngram=3, shingle="word")
     return dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=4)
 
 
