@@ -25,6 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import schemas
 from .functions import hashing, jsonutils, quadkey, textstats, timeutils
 from .operators import dedup, joins, similarity, upsert, windows
 from .sources.tables import load_table
@@ -999,6 +1000,344 @@ def j1_prefix_cover_semi(spark: SparkSession, sf: str) -> DataFrame:
         [("02",), ("031",), ("1",), ("2301",)], "qk_prefix string"
     )
     return joins.prefix_semi_join(pts, covers, keep=["event_id"]).select("event_id")
+
+
+@q(
+    "g3_tile_bbox",
+    ("G2", "G3"),
+    """
+    SELECT event_id,
+           round(x / pow(2.0, 10) * 360.0 - 180.0, 7) AS west,
+           round(degrees(atan((exp(pi() * (1.0 - 2.0 * y / pow(2.0, 10))) - exp(-(pi() * (1.0 - 2.0 * y / pow(2.0, 10))))) / 2.0)), 2) AS north,
+           round((x + 1) / pow(2.0, 10) * 360.0 - 180.0, 7) AS east,
+           round(degrees(atan((exp(pi() * (1.0 - 2.0 * (y + 1) / pow(2.0, 10))) - exp(-(pi() * (1.0 - 2.0 * (y + 1) / pow(2.0, 10))))) / 2.0)), 2) AS south
+    FROM (SELECT event_id, event_id % 1024 AS x, (user_id * 13) % 1024 AS y FROM events)
+    """,
+    "tile → lon/lat bbox as closed-form column math (mercantile.bounds "
+    "analog). Latitudes rounded to 2 decimals in BOTH engines: libm "
+    "tan/atan/exp differ by ~1ulp between JVM and DuckDB, so comparisons "
+    "must quantize below that noise",
+)
+def g3_tile_bbox(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        (F.col("event_id") % 1024).alias("x"),
+        ((F.col("user_id") * 13) % 1024).alias("y"),
+    )
+
+    def north(y):
+        t = F.lit(3.141592653589793) * (F.lit(1.0) - F.lit(2.0) * y.cast("double") / F.lit(1024.0))
+        return F.degrees(F.atan((F.exp(t) - F.exp(-t)) / F.lit(2.0)))
+
+    return ev.select(
+        "event_id",
+        F.round(quadkey.tile_bounds_west("x", 10), 7).alias("west"),
+        F.round(north(F.col("y")), 2).alias("north"),
+        F.round(quadkey.tile_bounds_west(F.col("x") + 1, 10), 7).alias("east"),
+        F.round(north(F.col("y") + 1), 2).alias("south"),
+    )
+
+
+@q(
+    "g7_mercator",
+    ("G7", "G8", "G9"),
+    """
+    SELECT event_id,
+           round(lon * 20037508.342789244 / 180.0, 2) AS x3857,
+           round(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 2) AS y3857,
+           round(sqrt(pow(lon * 20037508.342789244 / 180.0 - 0.0, 2)
+                      + pow(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)) - 0.0, 2)), 2) AS dist_origin_m,
+           (sqrt(pow(lon * 20037508.342789244 / 180.0 - 0.0, 2)
+                 + pow(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)) - 0.0, 2)) > 150.0) AS moved
+    FROM (SELECT event_id,
+                 (event_id % 360) - 180 + 0.5 AS lon,
+                 (user_id % 160) - 80 + 0.5 AS lat
+          FROM events)
+    """,
+    "EPSG:4326→3857 forward projection + planar distance + moved-threshold "
+    "predicate, all native column math (ref utils/spatial.py:179-251)",
+)
+def g7_mercator(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import mercator as m
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        ((F.col("event_id") % 360) - 180 + 0.5).alias("lon"),
+        ((F.col("user_id") % 160) - 80 + 0.5).alias("lat"),
+    )
+    x = m.lon_to_x("lon")
+    y = m.lat_to_y("lat")
+    dist = m.planar_distance(x, y, F.lit(0.0), F.lit(0.0))
+    # 2-decimal (cm) quantization: JVM vs DuckDB libm tan/ln differ ~1ulp
+    # (~1e-9 at 1e7 m), which flips finer roundings
+    return ev.select(
+        "event_id",
+        F.round(x, 2).alias("x3857"),
+        F.round(y, 2).alias("y3857"),
+        F.round(dist, 2).alias("dist_origin_m"),
+        (dist > 150.0).alias("moved"),
+    )
+
+
+@q(
+    "a3_cover_union",
+    ("A3", "G16", "U1"),
+    """
+    WITH cov(qk_prefix) AS (
+      SELECT DISTINCT * FROM (VALUES ('0'), ('01'), ('022'), ('120'), ('12'), ('3001'), ('3001'), ('31')))
+    SELECT qk_prefix FROM cov c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cov d
+      WHERE d.qk_prefix <> c.qk_prefix AND c.qk_prefix LIKE d.qk_prefix || '%')
+    """,
+    "ST_Union-of-covers analog: union + ancestor-normalization of quadkey "
+    "covers via anti-join on the prefix relation (ref utils/spatial.py:16-20, "
+    "utils/grids.py:22-58)",
+)
+def a3_cover_union(spark: SparkSession, sf: str) -> DataFrame:
+    cov = spark.createDataFrame(
+        [("0",), ("01",), ("022",), ("120",), ("12",), ("3001",), ("3001",), ("31",)],
+        "qk_prefix string",
+    ).distinct()
+    a = cov.alias("a")
+    b = cov.alias("b")
+    covered = a.join(
+        b,
+        (F.col("a.qk_prefix") != F.col("b.qk_prefix"))
+        & F.col("a.qk_prefix").startswith(F.col("b.qk_prefix")),
+        "left_anti",
+    )
+    return covered.select("qk_prefix")
+
+
+@q(
+    "g16_ancestors",
+    ("P6", "G16", "U4"),
+    """
+    SELECT qk, unnest(list_transform(generate_series(1, length(qk) - 1),
+                                     i -> substr(qk, 1, CAST(i AS INT)))) AS ancestor
+    FROM (SELECT DISTINCT substr({qk}, 1, 1 + CAST(event_id % 5 AS INT)) AS qk
+          FROM (SELECT event_id, event_id % 1024 AS x, (user_id * 13) % 1024 AS y FROM events))
+    """.replace(
+        "{qk}",
+        """
+    list_reduce(list_transform(generate_series(1, 10),
+      i -> CAST(((x >> (10 - i)) & 1) + 2 * ((y >> (10 - i)) & 1) AS VARCHAR)),
+      (a, b) -> a || b)
+    """,
+    ),
+    "ancestor-prefix expansion (explode over generated prefixes; ref "
+    "utils/grids.py:78-85)",
+)
+def g16_ancestors(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        (F.col("event_id") % 1024).alias("x"),
+        ((F.col("user_id") * 13) % 1024).alias("y"),
+    )
+    qks = ev.select(
+        F.substring(
+            quadkey.tile_to_quadkey("x", "y", 10), 1, (F.lit(1) + (F.col("event_id") % 5)).cast("int")
+        ).alias("qk")
+    ).distinct()
+    return qks.select("qk", F.explode(quadkey.ancestors("qk")).alias("ancestor"))
+
+
+@q(
+    "j3_prefix_intersects",
+    ("J3", "J4"),
+    f"""
+    WITH grids AS (
+      SELECT DISTINCT substr({_QK_SQL}, 1, 1 + CAST(event_id % 7 AS INT)) AS quadkey
+      FROM (SELECT event_id, event_id % 1024 AS x, (user_id * 13) % 1024 AS y FROM events)),
+    cov(qk_prefix) AS (VALUES ('021'), ('1'), ('3023'))
+    SELECT DISTINCT quadkey FROM grids JOIN cov
+      ON grids.quadkey LIKE cov.qk_prefix || '%' OR cov.qk_prefix LIKE grids.quadkey || '%'
+    """,
+    "polygon-polygon intersects as ancestor-or-descendant prefix algebra "
+    "(intersect_with_aoi — ref managers.py:308-318)",
+)
+def j3_prefix_intersects(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        (F.col("event_id") % 1024).alias("x"),
+        ((F.col("user_id") * 13) % 1024).alias("y"),
+    )
+    grids = ev.select(
+        F.substring(
+            quadkey.tile_to_quadkey("x", "y", 10), 1, (F.lit(1) + (F.col("event_id") % 7)).cast("int")
+        ).alias("quadkey")
+    ).distinct()
+    cov = spark.createDataFrame([("021",), ("1",), ("3023",)], "qk_prefix string")
+    g = grids.alias("g")
+    c = F.broadcast(cov).alias("c")
+    cond = F.col("g.quadkey").startswith(F.col("c.qk_prefix")) | F.col(
+        "c.qk_prefix"
+    ).startswith(F.col("g.quadkey"))
+    return g.join(c, cond, "inner").select("g.quadkey").distinct()
+
+
+_SEARCH_JSON = (
+    "'{\"explore_tabs\":[{\"pagination_metadata\":{\"has_next_page\":' || "
+    "CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END || "
+    "',\"items_offset\":' || CAST(event_id % 50 AS VARCHAR) || "
+    "'},\"sections\":[{\"listings\":[{\"listing\":{\"id\":' || CAST(user_id * 100 AS VARCHAR) || "
+    "',\"lat\":51.5,\"lng\":-0.1}},{\"listing\":{\"id\":' || CAST(user_id * 100 + 1 AS VARCHAR) || "
+    "',\"lat\":51.6,\"lng\":-0.2}}]}]}]}'"
+)
+
+
+@q(
+    "x1_search_extract",
+    ("X1", "X3", "U4"),
+    f"""
+    WITH raw AS (SELECT event_id, {_SEARCH_JSON} AS payload FROM events),
+    l AS (
+      SELECT event_id,
+             CAST(json_extract(payload, '$.explore_tabs[0].pagination_metadata.has_next_page') AS BOOLEAN) AS has_next_page,
+             CAST(json_extract_string(payload, '$.explore_tabs[0].sections[0].listings[0].listing.id') AS BIGINT) AS id0,
+             CAST(json_extract_string(payload, '$.explore_tabs[0].sections[0].listings[1].listing.id') AS BIGINT) AS id1
+      FROM raw)
+    SELECT event_id, has_next_page, id0 AS listing_id FROM l
+    UNION ALL
+    SELECT event_id, has_next_page, id1 AS listing_id FROM l
+    """,
+    "search-payload listing extraction (jsonpath $..listing[id] → "
+    "from_json + explode; ref utils/spatial.py:153-171)",
+)
+def x1_search_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    payload = F.concat(
+        F.lit('{"explore_tabs":[{"pagination_metadata":{"has_next_page":'),
+        F.when(F.col("event_id") % 3 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"items_offset":'),
+        (F.col("event_id") % 50).cast("string"),
+        F.lit('},"sections":[{"listings":[{"listing":{"id":'),
+        (F.col("user_id") * 100).cast("string"),
+        F.lit(',"lat":51.5,"lng":-0.1}},{"listing":{"id":'),
+        (F.col("user_id") * 100 + 1).cast("string"),
+        F.lit(',"lat":51.6,"lng":-0.2}}]}]}]}'),
+    )
+    raw = ev.select("event_id", payload.alias("payload"))
+    parsed = raw.withColumn("__p", F.from_json("payload", schemas.SEARCH_PAYLOAD))
+    tab0 = F.col("__p.explore_tabs")[0]
+    return (
+        parsed.select(
+            "event_id",
+            tab0["pagination_metadata"]["has_next_page"].alias("has_next_page"),
+            F.explode(tab0["sections"][0]["listings"]).alias("entry"),
+        )
+        .select("event_id", "has_next_page", F.col("entry.listing.id").alias("listing_id"))
+    )
+
+
+@q(
+    "x11_calendar_extract",
+    ("X11", "C4", "U4"),
+    """
+    WITH raw AS (
+      SELECT event_id,
+             '{"calendar_months":[{"listing_id":' || CAST(user_id AS VARCHAR) ||
+             ',"days":[{"date":"2024-01-0' || CAST(1 + event_id % 9 AS VARCHAR) ||
+             '","available":' || CASE WHEN value > 100 THEN 'true' ELSE 'false' END ||
+             ',"min_nights":' || CAST(1 + event_id % 4 AS VARCHAR) ||
+             ',"price":{"local_price":' || CAST(event_id % 300 AS VARCHAR) || '.0}}]}]}' AS payload
+      FROM events)
+    SELECT event_id,
+           CAST(json_extract_string(payload, '$.calendar_months[0].listing_id') AS BIGINT) AS listing_id,
+           strftime(CAST(json_extract_string(payload, '$.calendar_months[0].days[0].date') AS DATE), '%Y-%m-%d') AS date_str,
+           CAST(json_extract(payload, '$.calendar_months[0].days[0].available') AS BOOLEAN) AS available,
+           CAST(json_extract_string(payload, '$.calendar_months[0].days[0].min_nights') AS INT) AS min_nights,
+           CAST(json_extract_string(payload, '$.calendar_months[0].days[0].price.local_price') AS DOUBLE) AS local_price
+    FROM raw
+    """,
+    "calendar-payload day extraction → silver calendar_days shape "
+    "(ref airbnb_api.py:447-480, samples/calendar_response.sample.json)",
+)
+def x11_calendar_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    payload = F.concat(
+        F.lit('{"calendar_months":[{"listing_id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"days":[{"date":"2024-01-0'),
+        (1 + F.col("event_id") % 9).cast("string"),
+        F.lit('","available":'),
+        F.when(F.col("value") > 100, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"min_nights":'),
+        (1 + F.col("event_id") % 4).cast("string"),
+        F.lit(',"price":{"local_price":'),
+        (F.col("event_id") % 300).cast("string"),
+        F.lit(".0}}]}]}"),
+    )
+    raw = ev.select("event_id", payload.alias("payload"))
+    p = raw.withColumn("__p", F.from_json("payload", schemas.CALENDAR_PAYLOAD))
+    m0 = F.col("__p.calendar_months")[0]
+    d0 = m0["days"][0]
+    # DATE → string for the compare: pandas renders Spark dates and DuckDB
+    # dates differently; the typed to_date round-trips through date_format
+    return p.select(
+        "event_id",
+        m0["listing_id"].alias("listing_id"),
+        F.date_format(F.to_date(d0["date"], "yyyy-MM-dd"), "yyyy-MM-dd").alias("date_str"),
+        d0["available"].alias("available"),
+        d0["min_nights"].alias("min_nights"),
+        d0["price"]["local_price"].alias("local_price"),
+    )
+
+
+@q(
+    "t5_retry_backoff",
+    ("T5", "C11"),
+    """
+    SELECT event_id, retries,
+           CAST(least(pow(2.0, retries), 30.0) AS BIGINT) AS backoff_s,
+           (retries <= 2) AS within_budget
+    FROM (SELECT event_id, CAST(event_id % 6 AS INT) AS retries FROM events)
+    """,
+    "retry/backoff policy: exponential capped at 30s, budget ≤2 retries "
+    "(ref task_managers.py:24-30)",
+)
+def t5_retry_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id", (F.col("event_id") % 6).cast("int").alias("retries")
+    )
+    return ev.select(
+        "event_id",
+        "retries",
+        F.least(F.pow(F.lit(2.0), F.col("retries")), F.lit(30.0)).cast("long").alias("backoff_s"),
+        (F.col("retries") <= 2).alias("within_budget"),
+    )
+
+
+@q(
+    "w4_limit",
+    ("W4", "W3"),
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 5",
+)
+def w4_limit(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "c4_date_format",
+    ("C4", "C1"),
+    """
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    "date parse/format %Y-%m-%d (ref airbnb_api.py:455-480)",
+)
+def c4_date_format(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 # --------------------------------------------------------------------------
