@@ -247,3 +247,17 @@ def test_union_cover_normalized(spark):
     s = set(cover)
     for qk in s:
         assert not any(qk != o and qk.startswith(o) for o in s)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Skew-salted join must produce exactly the plain join's rows."""
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(1000)], "k long, payload long"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (5, "z")], "k long, v string")
+    plain = {(r.k, r.payload, r.v) for r in big.join(small, "k").collect()}
+    salted = {
+        (r.k, r.payload, r.v)
+        for r in joins.salted_join(big, small, "k", salt=8).collect()
+    }
+    assert salted == plain and len(plain) == 334 + 333

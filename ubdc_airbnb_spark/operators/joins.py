@@ -93,6 +93,32 @@ def prefix_semi_join(
     return hit.dropDuplicates(list(key))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-mitigating equi-join: salt the big side's key with a
+    deterministic bucket (``pmod(hash(row), salt)``) and replicate the
+    small side across all salt values, so one hot key spreads over
+    ``salt`` reducers instead of melting a single task.
+
+    Use when a key's frequency is pathological and AQE's skew-join split
+    (enabled in session.py) isn't available — e.g. non-sort-merge plans
+    or deliberate pre-partitioning. Results are identical to a plain
+    join on ``key``."""
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_big.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def flagged_cover_semi_join(
     points: DataFrame,
     aoi_covers: DataFrame,

@@ -1286,6 +1286,100 @@ def x11_calendar_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "x12_review_extract",
+    ("X12", "X5", "C11"),
+    """
+    WITH raw AS (
+      SELECT event_id,
+             '{"reviews":[{"id":' || CAST(event_id * 10 AS VARCHAR) ||
+             ',"comments":"nice stay","language":"en","author":{"id":' || CAST(user_id + 1000 AS VARCHAR) ||
+             ',"picture_url":"https://img/' || CAST(user_id AS VARCHAR) || '.jpg?s=64"}},{"id":' ||
+             CAST(event_id * 10 + 1 AS VARCHAR) ||
+             ',"comments":"too noisy","language":"de","author":{"id":' || CAST(user_id + 2000 AS VARCHAR) ||
+             ',"picture_url":"https://img/x.jpg"}}],"metadata":{"reviews_count":' ||
+             CAST(1 + event_id % 400 AS VARCHAR) || '}}' AS payload
+      FROM events),
+    pages AS (
+      SELECT event_id,
+             CAST(json_extract_string(payload, '$.metadata.reviews_count') AS BIGINT) AS reviews_count
+      FROM raw),
+    r0 AS (
+      SELECT event_id,
+             CAST(json_extract_string(payload, '$.reviews[0].id') AS BIGINT) AS review_id,
+             json_extract_string(payload, '$.reviews[0].language') AS language,
+             CAST(json_extract_string(payload, '$.reviews[0].author.id') AS BIGINT) AS author_id,
+             CASE WHEN strpos(json_extract_string(payload, '$.reviews[0].author.picture_url'), '?') > 0
+                  THEN substr(json_extract_string(payload, '$.reviews[0].author.picture_url'), 1,
+                              strpos(json_extract_string(payload, '$.reviews[0].author.picture_url'), '?') - 1)
+                  ELSE json_extract_string(payload, '$.reviews[0].author.picture_url') END AS picture_url
+      FROM raw
+      UNION ALL
+      SELECT event_id,
+             CAST(json_extract_string(payload, '$.reviews[1].id') AS BIGINT),
+             json_extract_string(payload, '$.reviews[1].language'),
+             CAST(json_extract_string(payload, '$.reviews[1].author.id') AS BIGINT),
+             json_extract_string(payload, '$.reviews[1].author.picture_url')
+      FROM raw)
+    SELECT r0.event_id, review_id, language, author_id, picture_url,
+           CAST(ceil(reviews_count / 100.0) AS BIGINT) AS n_pages
+    FROM r0 JOIN pages ON r0.event_id = pages.event_id
+    """,
+    "review-payload extraction: explode reviews, author scrape with "
+    "picture-URL query strip, page fan-out math (ref tasks.py:32-94)",
+)
+def x12_review_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    payload = F.concat(
+        F.lit('{"reviews":[{"id":'),
+        (F.col("event_id") * 10).cast("string"),
+        F.lit(',"comments":"nice stay","language":"en","author":{"id":'),
+        (F.col("user_id") + 1000).cast("string"),
+        F.lit(',"picture_url":"https://img/'),
+        F.col("user_id").cast("string"),
+        F.lit('.jpg?s=64"}},{"id":'),
+        (F.col("event_id") * 10 + 1).cast("string"),
+        F.lit(',"comments":"too noisy","language":"de","author":{"id":'),
+        (F.col("user_id") + 2000).cast("string"),
+        F.lit(',"picture_url":"https://img/x.jpg"}}],"metadata":{"reviews_count":'),
+        (1 + F.col("event_id") % 400).cast("string"),
+        F.lit("}}"),
+    )
+    raw = ev.select("event_id", payload.alias("payload"))
+    p = raw.withColumn("__p", F.from_json("payload", schemas.REVIEW_PAYLOAD))
+    rows = p.select(
+        "event_id",
+        F.col("__p.metadata.reviews_count").alias("reviews_count"),
+        F.explode("__p.reviews").alias("rv"),
+    )
+    return rows.select(
+        "event_id",
+        F.col("rv.id").alias("review_id"),
+        F.col("rv.language").alias("language"),
+        F.col("rv.author.id").alias("author_id"),
+        jsonutils.strip_url_query(F.col("rv.author.picture_url")).alias("picture_url"),
+        F.ceil(F.col("reviews_count") / 100.0).cast("long").alias("n_pages"),
+    )
+
+
+@q(
+    "t9_priority_claim",
+    ("T9", "W1", "W4"),
+    """
+    SELECT event_id, priority FROM (
+      SELECT event_id, CAST(event_id % 10 AS INT) AS priority FROM events)
+    ORDER BY priority DESC, event_id ASC LIMIT 100
+    """,
+    "queue-priority work claim: priority ORDER BY in the claim query "
+    "(ref core/settings.py:92-96, celery.py:15-17)",
+)
+def t9_priority_claim(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id", (F.col("event_id") % 10).cast("int").alias("priority")
+    )
+    return ev.orderBy(F.col("priority").desc(), F.col("event_id").asc()).limit(100)
+
+
+@q(
     "t5_retry_backoff",
     ("T5", "C11"),
     """
