@@ -1,0 +1,102 @@
+"""AOI ingest (S9/S10, G4/G11/G12) + CLI surface tests."""
+
+from __future__ import annotations
+
+import json
+
+from ubdc_airbnb_spark import cli
+from ubdc_airbnb_spark.functions import geometry as geo
+from ubdc_airbnb_spark.sources import aoi as aoi_mod
+
+
+def test_prime_line_cut_fragment_counts():
+    """Parametrized expected-fragment counts, mirroring the reference's
+    cut-polygon tests (ref tests/units/test_units_test.py:232-260)."""
+    no_cross = geo.parse_wkt("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
+    assert len(geo.cut_polygon_at_prime_lines(no_cross)) == 1
+    cross_meridian = geo.parse_wkt("POLYGON ((-10 10, 10 10, 10 20, -10 20, -10 10))")
+    assert len(geo.cut_polygon_at_prime_lines(cross_meridian)) == 2
+    cross_both = geo.parse_wkt("POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))")
+    frags = geo.cut_polygon_at_prime_lines(cross_both)
+    assert len(frags) == 4
+    # fragments tile the original: total bbox area is preserved
+    for f in frags:
+        xmin, ymin, xmax, ymax = geo.bbox(f)
+        assert xmax <= 0 or xmin >= 0
+        assert ymax <= 0 or ymin >= 0
+
+
+def test_bounding_tile():
+    small = geo.parse_wkt("POLYGON ((10.0 50.0, 10.1 50.0, 10.1 50.1, 10.0 50.1, 10.0 50.0))")
+    qk = geo.bounding_tile(small)
+    assert len(qk) >= 5
+    west, south, east, north = geo.quadkey_bbox(qk)
+    assert west <= 10.0 and east >= 10.1 and south <= 50.0 and north >= 50.1
+    # geometry straddling the prime meridian degenerates toward the world tile
+    straddle = geo.parse_wkt("POLYGON ((-1 50, 1 50, 1 51, -1 51, -1 50))")
+    assert len(geo.bounding_tile(straddle)) <= 1
+
+
+def test_aoi_from_geojson_and_wkt(spark):
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "santorini-ish"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[25.3, 36.3], [25.5, 36.3], [25.5, 36.5], [25.3, 36.5], [25.3, 36.3]]],
+                },
+            }
+        ],
+    }
+    df = aoi_mod.aoi_from_geojson(spark, 1, json.dumps(gj), collect_calendars=True)
+    r = df.collect()[0]
+    assert r.name == "santorini-ish"
+    assert r.geom_wkt.startswith("MULTIPOLYGON")  # Polygon promoted
+    assert r.collect_calendars and not r.collect_reviews
+    assert r.bbox.xmin == 25.3 and r.bbox.ymax == 36.5
+
+    df2 = aoi_mod.aoi_from_wkt(spark, 2, "w", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert df2.collect()[0].geom_wkt.startswith("MULTIPOLYGON")
+
+
+def test_seed_grids(spark):
+    grids = aoi_mod.seed_grids(
+        spark, "POLYGON ((-0.2 51.4, 0.1 51.4, 0.1 51.6, -0.2 51.6, -0.2 51.4))", depth=10
+    )
+    rows = grids.collect()
+    assert rows
+    assert all(r.estimated_listings == -1 for r in rows)
+    assert all(len(r.bbox_ll_ur.split(",")) == 4 for r in rows)
+    # straddles the prime meridian -> fragments on both sides, no world tile
+    assert any(r.quadkey.startswith("0") or r.quadkey.startswith("1") for r in rows)
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    wh = str(tmp_path / "warehouse")
+    rc = cli.main(
+        [
+            "--warehouse", wh,
+            "add-aoi", "--id", "1", "--name", "londonish",
+            "--wkt", "POLYGON ((-0.2 51.4, 0.1 51.4, 0.1 51.6, -0.2 51.6, -0.2 51.4))",
+            "--depth", "9",
+            "--scan", "--calendars",
+        ]
+    )
+    assert rc == 0
+    rc = cli.main(["--warehouse", wh, "list-aoi", "--name-contains", "LONDON"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "londonish" in out
+    rc = cli.main(["--warehouse", wh, "discover", "--max-waves", "1"])
+    assert rc == 0
+    out_dir = str(tmp_path / "export")
+    rc = cli.main(
+        ["--warehouse", wh, "export-data", "--table", "listings", "--output", out_dir,
+         "--latest-per", "listing_id"]
+    )
+    assert rc == 0
+    exported = spark.read.json(out_dir)
+    assert exported.count() > 0

@@ -136,6 +136,110 @@ def multipolygons_intersect(a: MultiPolygon, b: MultiPolygon) -> bool:
     return point_in_multipolygon(ax, ay, b) or point_in_multipolygon(bx, by, a)
 
 
+def _clip_ring_halfplane(ring: Ring, axis: int, threshold: float, keep_ge: bool) -> Ring:
+    """Sutherland–Hodgman clip of a ring against one axis-aligned
+    half-plane (axis 0 = x/lon, 1 = y/lat)."""
+
+    def inside(p):
+        return (p[axis] >= threshold) if keep_ge else (p[axis] <= threshold)
+
+    def intersect(p1, p2):
+        t = (threshold - p1[axis]) / (p2[axis] - p1[axis])
+        return (
+            p1[0] + t * (p2[0] - p1[0]),
+            p1[1] + t * (p2[1] - p1[1]),
+        )
+
+    out: Ring = []
+    n = len(ring) - 1  # closed ring
+    for i in range(n):
+        cur, nxt = ring[i], ring[i + 1]
+        if inside(cur):
+            out.append(cur)
+            if not inside(nxt) and nxt[axis] != cur[axis]:
+                out.append(intersect(cur, nxt))
+        elif inside(nxt) and nxt[axis] != cur[axis]:
+            out.append(intersect(cur, nxt))
+    if out and out[0] != out[-1]:
+        out.append(out[0])
+    return out if len(out) >= 4 else []
+
+
+def clip_polygon_bbox(mp: MultiPolygon, xmin: float, ymin: float, xmax: float, ymax: float) -> MultiPolygon:
+    """Clip a multipolygon to a bbox (exterior rings only — holes are
+    rare in AOIs; the reference's ST_Split use is exterior-only too)."""
+    out: MultiPolygon = []
+    for poly in mp:
+        if not poly:
+            continue
+        ring = poly[0]
+        for axis, thr, keep_ge in (
+            (0, xmin, True),
+            (0, xmax, False),
+            (1, ymin, True),
+            (1, ymax, False),
+        ):
+            ring = _clip_ring_halfplane(ring, axis, thr, keep_ge)
+            if not ring:
+                break
+        if ring:
+            out.append([ring])
+    return out
+
+
+def crosses_prime_lines(mp: MultiPolygon) -> tuple[bool, bool]:
+    """G11: does the geometry straddle the prime meridian / equator?
+    (ref utils/spatial.py:50-64 ``get_world_cross``)."""
+    xmin, ymin, xmax, ymax = bbox(mp)
+    return (xmin < 0.0 < xmax), (ymin < 0.0 < ymax)
+
+
+def cut_polygon_at_prime_lines(mp: MultiPolygon) -> list[MultiPolygon]:
+    """G12: split a polygon at the prime meridian and equator into up to
+    4 quadrant fragments (ref utils/spatial.py:67-112 delegates to
+    PostGIS ST_Split; same output shape: one fragment per quadrant
+    touched). Needed because a bounding tile for a geometry straddling
+    lon=0 or lat=0 degenerates to the whole world (ref models.py:160-164)."""
+    cross_x, cross_y = crosses_prime_lines(mp)
+    if not cross_x and not cross_y:
+        return [mp]
+    xmin, ymin, xmax, ymax = bbox(mp)
+    x_edges = [xmin, 0.0, xmax] if cross_x else [xmin, xmax]
+    y_edges = [ymin, 0.0, ymax] if cross_y else [ymin, ymax]
+    fragments: list[MultiPolygon] = []
+    for xi in range(len(x_edges) - 1):
+        for yi in range(len(y_edges) - 1):
+            frag = clip_polygon_bbox(
+                mp, x_edges[xi], y_edges[yi], x_edges[xi + 1], y_edges[yi + 1]
+            )
+            if frag:
+                fragments.append(frag)
+    return fragments
+
+
+def bounding_tile(mp: MultiPolygon, max_depth: int = 28) -> str:
+    """G4: smallest single tile containing the geometry = longest common
+    quadkey prefix of the bbox corners (ref mercantile.bounding_tile use,
+    models.py:160-164, utils/grids.py:88-104). Empty string = world."""
+    xmin, ymin, xmax, ymax = bbox(mp)
+    qk_sw = tile_to_quadkey(*_lonlat_tile(xmin, ymin, max_depth), max_depth)
+    qk_ne = tile_to_quadkey(*_lonlat_tile(xmax, ymax, max_depth), max_depth)
+    common = []
+    for a, b in zip(qk_sw, qk_ne):
+        if a != b:
+            break
+        common.append(a)
+    return "".join(common)
+
+
+def _lonlat_tile(lon: float, lat: float, z: int) -> tuple[int, int]:
+    lat = min(max(lat, -85.051128779806589), 85.051128779806589)
+    n = 2.0**z
+    x = int(math.floor((lon + 180.0) / 360.0 * n))
+    y = int(math.floor((1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2.0 * n))
+    return min(max(x, 0), int(n) - 1), min(max(y, 0), int(n) - 1)
+
+
 # ---------------------------------------------------------------- tiles
 
 def tile_bounds(x: int, y: int, z: int) -> tuple[float, float, float, float]:
