@@ -1,0 +1,57 @@
+"""Physical-plan assertions: the scale claims (pushdown, broadcast,
+shuffle-freeness) verified mechanically from `.explain` output, so a
+regression that silently de-optimizes a plan fails CI."""
+
+from __future__ import annotations
+
+from ubdc_airbnb_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = _plan(q.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: only the 6 referenced columns, never the full 11
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(q.q5_region_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") >= 3  # supplier, nation, region
+
+
+def test_j1_prefix_cover_is_pure_filter(spark):
+    """The spatial semi-join kernel must compile to a scan+filter with no
+    shuffle and no join when the cover is driver-resident."""
+    plan = _plan(q.j1_prefix_cover_semi(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    from ubdc_airbnb_spark.operators.dedup import minhash_signatures
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(minhash_signatures(docs, "doc_id", "text", 16, 3, "word"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    plan = _plan(q.j4_semi_exists(spark, SF))
+    assert "LeftSemi" in plan
+    plan = _plan(q.j6_anti_join(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(q.w1_topk_stalest(spark, SF))
+    assert "TakeOrderedAndProject" in plan
