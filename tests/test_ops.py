@@ -1,0 +1,102 @@
+"""Composed beat-op jobs: calendar harvest and grid estimation, e2e with
+the deterministic fetcher — state-based assertions in the style of the
+reference's beat-op tests (ref tests/beat_ops/)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ubdc_airbnb_spark.functions import geometry as geo
+from ubdc_airbnb_spark.plans import ops
+from ubdc_airbnb_spark.sources import payloads
+from ubdc_airbnb_spark.sources.http_fetch import fetch_batch, mock_fetcher
+
+
+def test_fetch_batch_shapes_and_determinism(spark):
+    work = spark.createDataFrame(
+        [("calendar", "101", 0), ("user", "7", 0), ("nope", "1", 0)],
+        "kind string, key string, offset long",
+    )
+    got = {(r.kind, r.key): r for r in fetch_batch(work, mock_fetcher).collect()}
+    assert got[("calendar", "101")].status_code == 200
+    assert json.loads(got[("calendar", "101")].body)["calendar_months"]
+    assert got[("nope", "1")].status_code == 404
+    again = {(r.kind, r.key): r.body for r in fetch_batch(work, mock_fetcher).collect()}
+    assert again[("calendar", "101")] == got[("calendar", "101")].body
+
+
+def test_calendar_harvest_advances_freshness(spark):
+    """ref tests/beat_ops/test_op_update_calendar_periodical.py:62-71 —
+    rows created, freshness stamps advanced, response linkage present."""
+    listings = spark.createDataFrame(
+        [(101, "02000", None), (102, "02001", None), (103, "31000", None)],
+        "listing_id long, quadkey string, calendar_updated_at timestamp",
+    )
+    covers = spark.createDataFrame(
+        [("02", True)], "qk_prefix string, collect_calendars boolean"
+    )
+    res = ops.run_calendar_harvest(spark, listings, covers)
+    assert res.n_due == 2
+    assert res.bronze.count() == 2
+    # 12 months x 30 days per due listing
+    assert res.calendar_days.count() == 2 * 360
+    stamps = {r.listing_id: r.calendar_updated_at for r in res.listings.collect()}
+    assert stamps[101] is not None and stamps[102] is not None
+    assert stamps[103] is None  # outside the flagged cover: untouched
+    assert res.listing_responses.count() == 2
+    # re-run: everything fresh now -> nothing due (idempotent re-run, T4)
+    res2 = ops.run_calendar_harvest(spark, res.listings, covers)
+    assert res2.n_due == 0
+
+
+def test_grid_estimate_splits_dense_grids(spark):
+    """ref operations/grids.py:56-84 — grids with estimate >= less_than
+    split into 4 children; sparse grids get stamped estimates."""
+    grids = spark.createDataFrame(
+        [("0310", -1, None), ("0311", -1, None)],
+        "quadkey string, estimated_listings int, last_estimated_scan_at timestamp",
+    )
+
+    def fetcher(kind, key, offset):
+        count = 100 if key == "0310" else 5
+        return 200, payloads.search_payload(key, listings_count=count, number_of_listings=0), f"mock://{key}"
+
+    res = ops.run_grid_estimate(spark, grids, fetcher, less_than=50)
+    assert res.n_scanned == 2 and res.n_split == 1
+    got = {r.quadkey: r for r in res.grids.collect()}
+    assert "0310" not in got  # replaced by children
+    assert {f"0310{d}" for d in "0123"} <= set(got)
+    assert all(got[f"0310{d}"].estimated_listings == -1 for d in "0123")
+    assert got["0311"].estimated_listings == 5
+    assert got["0311"].last_estimated_scan_at is not None
+
+
+def test_grid_estimate_respects_max_level(spark):
+    deep = "0" * 22
+    grids = spark.createDataFrame(
+        [(deep, -1, None)],
+        "quadkey string, estimated_listings int, last_estimated_scan_at timestamp",
+    )
+
+    def fetcher(kind, key, offset):
+        return 200, payloads.search_payload(key, listings_count=1000, number_of_listings=0), "m"
+
+    res = ops.run_grid_estimate(spark, grids, fetcher, less_than=50, max_level=22)
+    assert res.n_split == 0
+    got = res.grids.collect()
+    assert len(got) == 1 and got[0].estimated_listings == 1000
+
+
+def test_geometry_extras():
+    sq = geo.parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert abs(geo.area(sq) - 4.0) < 1e-12
+    cx, cy = geo.centroid(sq)
+    assert abs(cx - 1.0) < 1e-12 and abs(cy - 1.0) < 1e-12
+    donut = geo.parse_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    )
+    assert abs(geo.area(donut) - 15.0) < 1e-12
+    buf = geo.buffer_bbox(sq, 1.0)
+    assert geo.bbox(buf) == (-1.0, -1.0, 3.0, 3.0)

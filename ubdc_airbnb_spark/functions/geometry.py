@@ -136,6 +136,65 @@ def multipolygons_intersect(a: MultiPolygon, b: MultiPolygon) -> bool:
     return point_in_multipolygon(ax, ay, b) or point_in_multipolygon(bx, by, a)
 
 
+def area(mp: MultiPolygon) -> float:
+    """G14: planar area via the shoelace formula (exterior minus holes;
+    ref geom_3857.area, models.py:331)."""
+
+    def ring_area(r: Ring) -> float:
+        s = 0.0
+        for i in range(len(r) - 1):
+            x1, y1 = r[i]
+            x2, y2 = r[i + 1]
+            s += x1 * y2 - x2 * y1
+        return s / 2.0
+
+    total = 0.0
+    for poly in mp:
+        if not poly:
+            continue
+        total += abs(ring_area(poly[0]))
+        for hole in poly[1:]:
+            total -= abs(ring_area(hole))
+    return total
+
+
+def centroid(mp: MultiPolygon) -> tuple[float, float]:
+    """G14: area-weighted centroid (exterior rings; ref .centroid use in
+    tests/beat_ops)."""
+    cx = cy = a_sum = 0.0
+    for poly in mp:
+        if not poly:
+            continue
+        r = poly[0]
+        a2 = 0.0
+        px = py = 0.0
+        for i in range(len(r) - 1):
+            x1, y1 = r[i]
+            x2, y2 = r[i + 1]
+            cross = x1 * y2 - x2 * y1
+            a2 += cross
+            px += (x1 + x2) * cross
+            py += (y1 + y2) * cross
+        if a2 != 0:
+            cx += px / (3.0 * a2) * abs(a2 / 2.0)
+            cy += py / (3.0 * a2) * abs(a2 / 2.0)
+            a_sum += abs(a2 / 2.0)
+    if a_sum == 0:
+        xs = [x for p in mp for r in p for x, _ in r]
+        ys = [y for p in mp for r in p for _, y in r]
+        return sum(xs) / len(xs), sum(ys) / len(ys)
+    return cx / a_sum, cy / a_sum
+
+
+def buffer_bbox(mp: MultiPolygon, distance: float) -> MultiPolygon:
+    """G13: bbox-expansion buffer — the reference buffers a grid tile by
+    100 m only to build a rectangular test area (ref
+    create-test-area.py:33), so an axis-aligned expansion reproduces that
+    use exactly. (A true Minkowski buffer is out of scope without GEOS.)"""
+    xmin, ymin, xmax, ymax = bbox(mp)
+    return bbox_to_polygon(xmin - distance, ymin - distance, xmax + distance, ymax + distance)
+
+
 def _clip_ring_halfplane(ring: Ring, axis: int, threshold: float, keep_ge: bool) -> Ring:
     """Sutherland–Hodgman clip of a ring against one axis-aligned
     half-plane (axis 0 = x/lon, 1 = y/lat)."""
