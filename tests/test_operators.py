@@ -261,3 +261,25 @@ def test_salted_join_equals_plain_join(spark):
         for r in joins.salted_join(big, small, "k", salt=8).collect()
     }
     assert salted == plain and len(plain) == 334 + 333
+
+
+def test_clean_quadkeys_reference_semantics(spark):
+    """G16 (ref utils/grids.py:22-58 + tests/units quadkey ops): covered
+    candidates drop; candidates with DB descendants are replaced by
+    children recursively; disjoint candidates pass through."""
+    existing = spark.createDataFrame(
+        [("031",), ("1200",), ("12010",)], "quadkey string"
+    )
+    candidates = spark.createDataFrame(
+        [
+            ("0311",),   # ancestor 031 in DB -> dropped
+            ("031",),    # already present -> dropped
+            ("2",),      # disjoint -> kept
+            ("120",),    # has descendants 1200,12010 -> split recursively
+        ],
+        "quadkey string",
+    )
+    got = sorted(r.quadkey for r in spatial.clean_quadkeys(existing, candidates).collect())
+    # 120 -> 1200*,1201,1202,1203; 1200 covered; 1201 has descendant 12010
+    #   -> 12010*,12011,12012,12013; 12010 covered
+    assert got == sorted(["2", "1202", "1203", "12011", "12012", "12013"])

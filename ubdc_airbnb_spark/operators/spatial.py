@@ -133,6 +133,59 @@ def grids_intersecting_aois(
     return g.join(c, cond, "inner").select("g.*").dropDuplicates([qk_col])
 
 
+def clean_quadkeys(
+    existing: DataFrame,
+    candidates: DataFrame,
+    qk_col: str = "quadkey",
+    max_depth: int = 22,
+) -> DataFrame:
+    """G16: normalize candidate quadkeys against the grid table (ref
+    utils/grids.py:22-58 ``clean_quadkeys``/``_clean_qk``):
+
+    - a candidate with an ANCESTOR already in the table is dropped
+      (covered);
+    - a candidate with DESCENDANTS in the table is replaced by its 4
+      children, recursively, until no child overlaps a descendant;
+    - a candidate already present is dropped.
+
+    The recursion is a driver loop of set-based steps (each iteration
+    one anti-join + one semi-join + one explode), bounded by
+    ``max_depth`` — the reference recurses per key, we refine the whole
+    frontier per wave."""
+    ex = existing.select(F.col(qk_col).alias("__ex")).distinct()
+    frontier = candidates.select(F.col(qk_col)).distinct()
+    out = None
+    for _ in range(max_depth + 1):
+        if frontier.isEmpty():
+            break
+        # drop: candidate equal to, or covered by an ancestor in, the table
+        covered = frontier.join(
+            broadcast(ex),
+            (F.col("__ex") == F.col(qk_col))
+            | (F.col(qk_col).startswith(F.col("__ex")) & (F.length(qk_col) > F.length("__ex"))),
+            "left_semi",
+        )
+        frontier = frontier.exceptAll(covered)
+        # split: candidate with descendants in the table
+        with_desc = frontier.join(
+            broadcast(ex),
+            F.col("__ex").startswith(F.col(qk_col)) & (F.length("__ex") > F.length(qk_col)),
+            "left_semi",
+        )
+        clean = frontier.join(with_desc, qk_col, "left_anti")
+        out = clean if out is None else out.unionByName(clean)
+        frontier = with_desc.filter(F.length(qk_col) < max_depth).select(
+            F.explode(
+                F.transform(
+                    F.array(F.lit("0"), F.lit("1"), F.lit("2"), F.lit("3")),
+                    lambda d: F.concat(F.col(qk_col), d),
+                )
+            ).alias(qk_col)
+        )
+    spark = candidates.sparkSession
+    return out if out is not None else spark.createDataFrame([], f"{qk_col} string")
+
+
 def union_cover(aois: list[tuple[int, str]], depth: int = 12) -> list[str]:
     """A3: ST_Union analog — the union of AOI tile covers, normalized so
     no member is an ancestor of another (ref custom Aggregate
