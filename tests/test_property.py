@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels and
+their Spark twins: quadkey codecs, fingerprints, n-gram edges."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from ubdc_airbnb_spark.functions import geometry as geo
+
+
+@given(
+    st.integers(min_value=1, max_value=22).flatmap(
+        lambda z: st.tuples(
+            st.integers(min_value=0, max_value=2**z - 1),
+            st.integers(min_value=0, max_value=2**z - 1),
+            st.just(z),
+        )
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_quadkey_roundtrip_property(xyz):
+    x, y, z = xyz
+    qk = geo.tile_to_quadkey(x, y, z)
+    assert len(qk) == z
+    assert set(qk) <= set("0123")
+    assert geo.quadkey_to_tile(qk) == (x, y, z)
+
+
+@given(
+    st.floats(min_value=-179.99, max_value=179.99),
+    st.floats(min_value=-84.9, max_value=84.9),
+    st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_point_tile_contains_point(lon, lat, z):
+    """The tile a point maps to must have a bbox containing the point."""
+    x, y = geo._lonlat_tile(lon, lat, z)
+    west, south, east, north = geo.tile_bounds(x, y, z)
+    assert west - 1e-9 <= lon <= east + 1e-9
+    assert south - 1e-6 <= lat <= north + 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-170, max_value=170),
+            st.floats(min_value=-80, max_value=80),
+        ),
+        min_size=3,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_bbox_contains_all_vertices(pts):
+    ring = pts + [pts[0]]
+    mp = [[ring]]
+    xmin, ymin, xmax, ymax = geo.bbox(mp)
+    for x, y in pts:
+        assert xmin <= x <= xmax and ymin <= y <= ymax
+    # every vertex of the polygon is inside (or on) its bbox polygon
+    bp = geo.bbox_to_polygon(xmin - 1e-9, ymin - 1e-9, xmax + 1e-9, ymax + 1e-9)
+    for x, y in pts:
+        assert geo.point_in_multipolygon(x, y, bp)
+
+
+@given(st.text(alphabet="ab c", min_size=0, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_wkt_parse_never_crashes_on_square_with_noise_name(s):
+    # parse_wkt on valid WKT with arbitrary surrounding whitespace
+    wkt = f"  POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))  "
+    mp = geo.parse_wkt(wkt)
+    assert geo.area(mp) == 1.0

@@ -189,6 +189,85 @@ def q5_region_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q6_forecast_revenue",
+    ("P8", "A1", "U2"),
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape — multi-predicate scan fully pushed into parquet",
+)
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "q10_returned_items",
+    ("J8", "A2", "W1", "W4"),
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10 shape — returned-item revenue per customer, top 20",
+)
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-07-01 00:00:00'"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Projections / filters / predicates (P*)
 # --------------------------------------------------------------------------
@@ -1447,6 +1526,25 @@ def c4_date_format(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ns_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_duplicates(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+@q(
+    "ns_dedup_apply",
+    ("NS-dedup", "J7", "A5"),
+    """
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN (SELECT md5(text) AS dg, MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)) k
+      ON md5(d.text) = k.dg AND d.doc_id = k.keep_id
+    """,
+    "apply exact dedup: the deduplicated corpus (canonical min-id doc per "
+    "distinct content)",
+)
+def ns_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    keep = dedup.exact_duplicates(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return joins.semi_join(docs, keep, "doc_id").select("doc_id", "lang")
 
 
 @q(
