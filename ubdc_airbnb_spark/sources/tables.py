@@ -78,6 +78,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, use_cache: bool = Tr
     if not ns_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp_micros() produces a session-tz TIMESTAMP from epoch micros;
+    # downstream date_trunc/unix_timestamp must agree with DuckDB's naive-
+    # UTC view of the same data, so pin the session to UTC (idempotent).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
