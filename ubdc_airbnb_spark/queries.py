@@ -1575,14 +1575,65 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4) -> str:
+    """DuckDB replay of the affine-rehash MinHash + LSH banding with the
+    SAME seeded permutation constants the Spark operator uses."""
+    import random as _random
+
+    from .functions.hashing import MERSENNE31
+
+    rnd = _random.Random(42)
+    params = [(rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31)) for _ in range(num_perm)]
+    p = MERSENNE31
+    mins = ",\n           ".join(
+        f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {p})) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows_per_band = num_perm // bands
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(s{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band))
+        + "))"
+        for b in range(bands)
+    )
+    return f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS g
+      FROM ws),
+    hv AS (
+      SELECT doc_id,
+             list_transform(g, x -> CAST(CONCAT('0x', SUBSTR(MD5(x), 1, 15)) AS BIGINT) % {p}) AS hv
+      FROM grams),
+    sigs AS (
+      SELECT doc_id,
+           {mins}
+      FROM hv),
+    banded AS (
+      SELECT doc_id, band_id, band_key
+      FROM (SELECT doc_id, unnest([{band_keys}]) AS band_key,
+                   unnest(generate_series(0, {bands - 1})) AS band_id
+            FROM sigs))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
 @q(
     "ns_dedup_minhash_lsh",
     ("NS-dedup",),
-    None,
+    _minhash_oracle_sql(16, 4),
     "MinHash(16 perms, word-3-gram shingles)+LSH(4 bands) candidate "
-    "pairs; verified in tests/test_operators.py against exact Jaccard "
-    "(rows-only here: the banded md5 pipeline is not faithfully "
-    "expressible in ANSI SQL)",
+    "pairs; the oracle replays the exact affine-rehash pipeline with the "
+    "same seeded constants in DuckDB SQL",
 )
 def ns_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
@@ -1655,9 +1706,32 @@ def ns_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "ns_embed_ivf_topk",
     ("NS-similarity",),
-    None,
-    "IVF approximate top-k (centroids = 16 seed vectors); recall vs brute "
-    "force asserted in tests/test_similarity.py (rows-only here)",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, cent.ce)
+                          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                          cent.centroid_id) AS rn
+        FROM v, cent) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, e AS qv, centroid_id FROM assigned WHERE vec_id < 10),
+    s AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qv, a.e)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.e, a.e))) AS cos
+      FROM q JOIN assigned a ON q.centroid_id = a.centroid_id AND q.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= 5
+    """,
+    "IVF approximate top-k (centroids = 16 seed vectors, nearest-centroid "
+    "bucketing, probe within bucket); oracle replays the assignment + "
+    "bucket-ranked search in SQL; recall vs brute force asserted in tests",
 )
 def ns_embed_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
