@@ -71,3 +71,42 @@ def test_foreach_batch_upsert(spark, tmp_path):
     got = spark.read.parquet(target)
     assert got.count() == spark.read.parquet(src).count()
     shutil.rmtree(target, ignore_errors=True)
+
+
+def test_stateful_pagination_tracker(spark, tmp_path):
+    """T8 as a custom stateful operator: per-session expected-offset
+    state; in-order pages advance the cursor, replays/garbage don't."""
+    import pandas as pd
+
+    from ubdc_airbnb_spark.streaming import stateful
+
+    src = str(tmp_path / "pages_src")
+    rows = pd.DataFrame(
+        {
+            "session_id": ["s1"] * 3 + ["s2"] * 2,
+            "items_offset": [0, 10, 30, 0, 10],
+            "page_size": [10, 10, 10, 10, 10],
+            "event_ts": pd.to_datetime(["2024-01-01 00:00:00"] * 5),
+        }
+    )
+    spark.createDataFrame(rows, stateful.PAGE_EVENT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(stateful.PAGE_EVENT_SCHEMA).parquet(src)
+    out = stateful.track_pagination(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("page_track")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.session_id, r.items_offset): r.in_order
+        for r in spark.sql("SELECT * FROM page_track").collect()
+    }
+    assert got[("s1", 0)] is True
+    assert got[("s1", 10)] is True
+    assert got[("s1", 30)] is False  # gap: expected 20
+    assert got[("s2", 0)] is True and got[("s2", 10)] is True

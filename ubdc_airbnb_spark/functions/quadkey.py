@@ -34,9 +34,22 @@ def _shl(v: Column, bits: Column) -> Column:
 
 
 def tile_to_quadkey(x: Column | str, y: Column | str, z: Column | str | int) -> Column:
-    """G1 encode: ``(tile_x, tile_y, zoom) -> quadkey`` string of length z."""
+    """G1 encode: ``(tile_x, tile_y, zoom) -> quadkey`` string of length z.
+
+    With a literal zoom the digit expressions are unrolled into one
+    ``concat`` (no array allocation, no lambda fold) — the hot path for
+    the depth-22 bucketing column over a full listing scan."""
     x, y = _c(x), _c(y)
-    z = F.lit(z) if isinstance(z, int) else _c(z)
+    if isinstance(z, int):
+        digits = [
+            (
+                F.shiftright(x, z - i).bitwiseAND(F.lit(1))
+                + F.shiftright(y, z - i).bitwiseAND(F.lit(1)) * 2
+            ).cast("string")
+            for i in range(1, z + 1)
+        ]
+        return F.concat(*digits)
+    z = _c(z)
     digits = F.transform(
         F.sequence(F.lit(1), z),
         lambda i: (
