@@ -56,9 +56,14 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = specs[name].spark
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
+        # best-of-2: the first run pays whole-stage-codegen compilation,
+        # the second measures steady-state execution (reported value)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
 
