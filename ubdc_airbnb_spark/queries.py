@@ -1547,34 +1547,6 @@ def ns_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
     return joins.semi_join(docs, keep, "doc_id").select("doc_id", "lang")
 
 
-@q(
-    "ns_dedup_ngram_jaccard",
-    ("NS-dedup",),
-    """
-    WITH grams AS (
-      SELECT doc_id AS id, unnest(list_distinct(list_transform(
-               generate_series(1, greatest(length(text) - 2, 0)),
-               i -> substr(text, CAST(i AS INT), 3)))) AS gram
-      FROM documents),
-    sizes AS (SELECT id, COUNT(*) AS n_grams FROM grams GROUP BY id),
-    inter AS (
-      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
-      GROUP BY a.id, b.id)
-    SELECT id_a, id_b, inter, (n_a + n_b - inter) AS union_n
-    FROM (SELECT inter.*, sa.n_grams AS n_a, sb.n_grams AS n_b
-          FROM inter JOIN sizes sa ON sa.id = inter.id_a
-                     JOIN sizes sb ON sb.id = inter.id_b)
-    WHERE inter * 2 >= (n_a + n_b - inter) * 1
-    """,
-    "exact char-3-gram Jaccard similarity join (verification stage of LSH)",
-)
-def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), "doc_id", "text", ngram=3, threshold=0.5
-    )
-
-
 def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4) -> str:
     """DuckDB replay of the affine-rehash MinHash + LSH banding with the
     SAME seeded permutation constants the Spark operator uses."""
@@ -1625,6 +1597,64 @@ def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4) -> str:
     FROM banded a JOIN banded b
       ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """
+
+
+
+def _jaccard_verify_oracle_sql() -> str:
+    """LSH candidates (same seeded pipeline) + exact word-3-gram Jaccard
+    verification, all in DuckDB SQL."""
+    lsh = _minhash_oracle_sql(16, 4).strip().rstrip()
+    return f"""
+    WITH lsh_pairs AS ({lsh}),
+    doc_grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS g
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS w
+            FROM documents))
+    SELECT id_a, id_b, inter, union_n FROM (
+      SELECT id_a, id_b,
+             len(list_intersect(ga.g, gb.g)) AS inter,
+             len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS union_n
+      FROM lsh_pairs JOIN doc_grams ga ON ga.doc_id = id_a
+                     JOIN doc_grams gb ON gb.doc_id = id_b)
+    WHERE inter * 10 >= union_n * 3
+    """
+
+
+@q(
+    "ns_dedup_ngram_jaccard",
+    ("NS-dedup",),
+    _jaccard_verify_oracle_sql(),
+    "exact word-3-gram Jaccard verification over the LSH candidate pairs "
+    "— the production composition: the quadratic all-pairs gram join "
+    "never runs; candidates come from banding, verification is a "
+    "broadcast-joinable array_intersect per pair (threshold 0.3)",
+)
+def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=16, ngram=3, shingle="word")
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=4)
+    grams = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(textstats.word_ngrams("text", 3)).alias("g"),
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    scored = (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("union_n", F.size("ga") + F.size("gb") - F.col("inter"))
+    )
+    # threshold 0.3 as exact integer cross-multiplication
+    return scored.filter(F.col("inter") * 10 >= F.col("union_n") * 3).select(
+        "id_a", "id_b", "inter", "union_n"
+    )
 
 
 @q(
