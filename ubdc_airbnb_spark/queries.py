@@ -1696,6 +1696,39 @@ def ns_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "ns_dedup_simhash_groups",
+    ("NS-dedup", "A2"),
+    """
+    WITH w AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                                        x -> length(x) > 0))) AS word
+        FROM documents)),
+    h AS (SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(word), 1, 15)) AS BIGINT) AS h FROM w),
+    bits AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY doc_id, b),
+    sk AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+    FROM sk GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+    "SimHash near-dup groups: identical 32-bit sketches bucket together "
+    "(hash-groupBy, never a pairwise scan)",
+)
+def ns_dedup_simhash_groups(spark: SparkSession, sf: str) -> DataFrame:
+    sketches = dedup.simhash(load_table(spark, sf, "documents"), "doc_id", "text", bits=32)
+    return (
+        sketches.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@q(
     "ns_embed_cosine_pairs",
     ("NS-similarity",),
     """
