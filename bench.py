@@ -24,12 +24,16 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_region_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "j9_bridge_join",
     "w2_latest_per_key",
     "w5_availability_streak",
     "j1_prefix_cover_semi",
+    "x1_search_extract",
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",
+    "ns_dedup_ngram_jaccard",
     "ns_dedup_simhash",
     "ns_embed_topk",
     "ns_token_stats",

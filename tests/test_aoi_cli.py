@@ -100,3 +100,12 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert rc == 0
     exported = spark.read.json(out_dir)
     assert exported.count() > 0
+
+
+def test_cli_add_quadkey(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh2")
+    rc = cli.main(["--warehouse", wh, "add-quadkey", "--quadkey", "0313131311"])
+    assert rc == 0
+    grids = spark.read.parquet(f"{wh}/grid")
+    rows = grids.collect()
+    assert len(rows) == 1 and rows[0].quadkey == "0313131311"

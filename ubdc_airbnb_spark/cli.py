@@ -86,6 +86,23 @@ def cmd_list_aoi(args) -> int:
     return 0
 
 
+def cmd_add_quadkey(args) -> int:
+    """ref add-quadkey.py: register a single grid tile by quadkey."""
+    from .functions import geometry as geo
+    from .operators.upsert import upsert_parquet
+    from .sources.aoi import seed_grids
+
+    spark = _spark()
+    west, south, east, north = geo.quadkey_bbox(args.quadkey)
+    wkt = geo.to_wkt(geo.bbox_to_polygon(west, south, east, north))
+    grids = seed_grids(spark, wkt, depth=len(args.quadkey)).filter(
+        F.col("quadkey") == args.quadkey
+    )
+    upsert_parquet(grids, _table(args.warehouse, "grid"), ["quadkey"])
+    print(f"grid {args.quadkey} added")
+    return 0
+
+
 def cmd_discover(args) -> int:
     """ref run-beat-job op_discover_new_listings_periodical: BFS over the
     flagged AOIs' grids with the mock source (swap in a real source for
@@ -154,6 +171,10 @@ def main(argv: list[str] | None = None) -> int:
     l.add_argument("--name-contains")
     l.add_argument("--csv", help="output directory for CSV")
     l.set_defaults(fn=cmd_list_aoi)
+
+    aq = sub.add_parser("add-quadkey", help="insert one grid tile by quadkey")
+    aq.add_argument("--quadkey", required=True)
+    aq.set_defaults(fn=cmd_add_quadkey)
 
     d = sub.add_parser("discover", help="run the BFS discovery sweep (mock source)")
     d.add_argument("--max-waves", type=int, default=10)
