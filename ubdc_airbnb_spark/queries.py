@@ -268,6 +268,93 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q4_order_priority",
+    ("J4", "A2", "P8"),
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape — correlated non-equi EXISTS (semi-join with extra "
+    "predicate) + grouped tally",
+)
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-04-01 00:00:00'"))
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q13_customer_distribution",
+    ("A7", "A2", "J8"),
+    """
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    GROUP BY n_orders
+    """,
+    "TPC-H Q13 shape — distribution of per-customer order counts "
+    "(double aggregation incl. zero-order customers)",
+)
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@q(
+    "q17_small_quantity",
+    ("J5", "A2", "J8"),
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS avg_partkey,
+                 CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a ON avg_partkey = p_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < 0.5 * avg_qty
+    """,
+    "TPC-H Q17 shape — correlated scalar-avg subquery (decorrelated to a "
+    "grouped-avg join). avg written as SUM/COUNT in both engines: "
+    "quantities are integer-valued doubles so the sum is exact and the "
+    "threshold comparison deterministic",
+)
+def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_q = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, F.col("avg_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Projections / filters / predicates (P*)
 # --------------------------------------------------------------------------
