@@ -821,7 +821,7 @@ def w3_ranked_sort(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 15)
         .select("o_orderkey", "o_totalprice", "rnk")
     )
@@ -1738,9 +1738,13 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("inter", inter)
         .withColumn("union_n", F.size("ga") + F.size("gb") - F.col("inter"))
     )
-    # threshold 0.3 as exact integer cross-multiplication
+    # threshold 0.3 as exact integer cross-multiplication; counts cast to
+    # long to match DuckDB's len() (BIGINT) dtype-for-dtype
     return scored.filter(F.col("inter") * 10 >= F.col("union_n") * 3).select(
-        "id_a", "id_b", "inter", "union_n"
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union_n").cast("long").alias("union_n"),
     )
 
 
