@@ -283,3 +283,20 @@ def test_clean_quadkeys_reference_semantics(spark):
     # 120 -> 1200*,1201,1202,1203; 1200 covered; 1201 has descendant 12010
     #   -> 12010*,12011,12012,12013; 12010 covered
     assert got == sorted(["2", "1202", "1203", "12011", "12012", "12013"])
+
+
+def test_kmeans_improves_inertia(spark):
+    """Lloyd iterations must not worsen the clustering objective, and
+    trained centroids must beat the raw seed vectors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = emb.orderBy("vec_id").limit(8).selectExpr(
+        "vec_id AS centroid_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid_vec",
+    )
+    inertia_seed = similarity.kmeans_inertia(emb, seeds)
+    trained = similarity.kmeans_centroids(emb, k=8, iters=3)
+    inertia_trained = similarity.kmeans_inertia(emb, trained)
+    assert trained.count() <= 8
+    assert inertia_trained <= inertia_seed + 1e-9
+    r = trained.collect()[0]
+    assert len(r.centroid_vec) == 64

@@ -118,6 +118,69 @@ def assign_ivf_buckets(
     return best.select(id_col, vec_col, centroid_id)
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the iterative-algorithm
+    pattern (driver loop of set-based steps, like the quadtree BFS):
+    assign to nearest centroid (broadcast argmax, no corpus shuffle) →
+    recompute centroids as element-wise means (posexplode → groupBy
+    (cluster, dim) → reassemble with array_sort). Seeds = first k vectors
+    by id (deterministic). Returns (centroid_id, centroid_vec).
+
+    Feeds IVF: running a few Lloyd iterations before assign_ivf_buckets
+    gives far better bucket balance than raw seed vectors."""
+    from pyspark.sql import Window
+
+    centroids = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid_vec"),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_ivf_buckets(
+            vectors, centroids, id_col, vec_col, "centroid_id", "centroid_vec"
+        )
+        dims = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = dims.groupBy("centroid_id", "pos").agg(
+            F.avg(F.col("val").cast("double")).alias("m")
+        )
+        centroids = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
+                    lambda s: s["m"],
+                ).alias("centroid_vec")
+            )
+        )
+    return centroids
+
+
+def kmeans_inertia(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of (1 - cosine-to-assigned-centroid) — the objective the Lloyd
+    loop should not increase (asserted in tests)."""
+    scored = vectors.join(broadcast(centroids)).withColumn(
+        "cos", cosine(F.col(vec_col), F.col("centroid_vec"))
+    )
+    best = first_row_per_key(scored, [id_col], [F.col("cos").desc(), F.col("centroid_id").asc()])
+    return best.agg(F.sum(F.lit(1.0) - F.col("cos"))).collect()[0][0]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

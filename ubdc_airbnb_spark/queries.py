@@ -1786,6 +1786,129 @@ def ns_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf, "documents"), "doc_id", "text", bits=32)
 
 
+_SIMHASH_SQL = """
+    WITH w AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                                        x -> length(x) > 0))) AS word
+        FROM documents)),
+    h AS (SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(word), 1, 15)) AS BIGINT) AS h FROM w),
+    bits AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY doc_id, b),
+    sk AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+"""
+
+
+@q(
+    "ns_dedup_simhash_pairs",
+    ("NS-dedup",),
+    _SIMHASH_SQL
+    + """
+    , banded AS (
+      SELECT doc_id, band_id, (simhash >> (band_id * 8)) & 255 AS band_val, simhash
+      FROM sk, (SELECT unnest(generate_series(0, 3)) AS band_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sk_a, b.simhash AS sk_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(sk_a, sk_b) AS BIGINT)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sk_a, sk_b) AS BIGINT)) <= 3
+    """,
+    "SimHash hamming-ball pairs: pigeonhole banding (4 bytes; any pair "
+    "within hamming<=3 shares a byte) -> bucket join -> popcount verify. "
+    "Bucket shuffle only, never an all-pairs scan",
+)
+def ns_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sketches = dedup.simhash(load_table(spark, sf, "documents"), "doc_id", "text", bits=32)
+    banded = sketches.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.call_function("shiftright", F.col("simhash"), (b * 8).cast("int"))
+                    .bitwiseAND(F.lit(255))
+                    .alias("band_val"),
+                ),
+            )
+        ).alias("bd"),
+    ).select("doc_id", "simhash", F.col("bd.band_id").alias("band_id"), F.col("bd.band_val").alias("band_val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sk_a"),
+            F.col("b.simhash").alias("sk_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@q(
+    "q14_promo_revenue",
+    ("A2", "P5", "J8"),
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS promo_pct,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    "TPC-H Q14 shape — conditional revenue ratio with broadcast part dim",
+)
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-03-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-04-01 00:00:00'"))
+    )
+    part = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 @q(
     "ns_dedup_simhash_groups",
     ("NS-dedup", "A2"),
