@@ -100,3 +100,54 @@ def test_geometry_extras():
     assert abs(geo.area(donut) - 15.0) < 1e-12
     buf = geo.buffer_bbox(sq, 1.0)
     assert geo.bbox(buf) == (-1.0, -1.0, 3.0, 3.0)
+
+
+def test_review_harvest_parallel_pages(spark):
+    """ref operations/reviews.py + tasks.py:32-94: page fan-out computed
+    from reviews_count and fetched in parallel; users+reviews persisted;
+    freshness stamps advanced."""
+    listings = spark.createDataFrame(
+        [(201, "02000", None), (202, "31000", None)],
+        "listing_id long, quadkey string, reviews_updated_at timestamp",
+    )
+    covers = spark.createDataFrame(
+        [("02", True)], "qk_prefix string, collect_reviews boolean"
+    )
+    res = ops.run_review_harvest(spark, listings, covers, page_size=100)
+    assert res.n_due == 1
+    # mock payload declares reviews_count=350 -> pages at offsets 0,100,200,300
+    assert res.n_pages == 4
+    assert res.reviews.count() > 0
+    assert res.users.count() > 0
+    stamps = {r.listing_id: r.reviews_updated_at for r in res.listings.collect()}
+    assert stamps[201] is not None and stamps[202] is None
+    # bridge to responses exists via review.response_id
+    assert res.reviews.filter(F.col("response_id").isNull()).count() == 0
+
+
+def test_booking_quotes_from_calendar(spark):
+    """S7: windows derived from silver days, one quote per feasible
+    listing, infeasible listings skipped."""
+    rows = []
+    from datetime import date, timedelta
+
+    d0 = date(2024, 1, 2)
+    # listing 301: checkin-able run -> feasible
+    for i in range(5):
+        rows.append((301, d0 + timedelta(days=i), True, True, 2, 1125, 100.0, 100.0, "GBP", "EUR"))
+    # listing 302: never available for checkin -> infeasible
+    for i in range(5):
+        rows.append((302, d0 + timedelta(days=i), True, False, 2, 1125, 100.0, 100.0, "GBP", "EUR"))
+    days = spark.createDataFrame(
+        rows,
+        "listing_id long, date date, available boolean, available_for_checkin boolean, "
+        "min_nights int, max_nights int, local_price double, native_price double, "
+        "local_currency string, native_currency string",
+    )
+    res = ops.run_booking_quotes(spark, days)
+    wins = {r.listing_id: (r.check_in, r.check_out) for r in res.windows.collect()}
+    assert set(wins) == {301}
+    ci, co = wins[301]
+    assert (co - ci).days >= 1
+    assert res.n_quoted == 1
+    assert res.bronze.filter(F.col("_type") == "BQT").count() == 1

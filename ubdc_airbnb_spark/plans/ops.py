@@ -83,6 +83,133 @@ def run_calendar_harvest(
 
 
 @dataclass
+class ReviewHarvestResult:
+    bronze: DataFrame
+    reviews: DataFrame
+    users: DataFrame
+    listings: DataFrame
+    n_due: int
+    n_pages: int
+
+
+def run_review_harvest(
+    spark: SparkSession,
+    listings: DataFrame,
+    aoi_covers: DataFrame,
+    inflight: DataFrame | None = None,
+    fetcher: Fetcher = mock_fetcher,
+    how_many: int = 50,
+    page_size: int = 100,
+    now_expr: str = "current_timestamp()",
+) -> ReviewHarvestResult:
+    """op_update_reviews_periodical + task_add_reviews_of_listing (ref
+    operations/reviews.py:79-139, tasks.py:32-94), with the parallel
+    improvement SURVEY §3.3 notes: page offsets are computed up front
+    from page 1's ``reviews_count`` and fetched as one batch instead of
+    sequential task chaining. Users are get_or_create'd with placeholder
+    defaults; review rows are persisted (the reference builds but never
+    saves them — we implement the intended behavior its tests assert)."""
+    due = harvest.select_due(
+        listings,
+        aoi_covers,
+        inflight,
+        flag_col="collect_reviews",
+        freshness_col="reviews_updated_at",
+        threshold_expr=f"{now_expr} - INTERVAL 504 HOUR",  # 21 days
+        how_many=how_many,
+    )
+    n_due = due.count()
+    first_pages = fetch_batch(
+        due.select(
+            F.lit("reviews").alias("kind"),
+            F.col("listing_id").cast("string").alias("key"),
+            F.lit(0).cast("long").alias("offset"),
+        ),
+        fetcher,
+    )
+
+    def _bronze(fetched: DataFrame) -> DataFrame:
+        raw = fetched.select(
+            md5_long(F.concat_ws("#", "kind", "key", "offset")).alias("response_id"),
+            F.col("key").cast("long").alias("listing_id"),
+            F.lit("RVW").alias("_type"),
+            "status_code",
+            "body",
+            "url",
+            "seconds_to_complete",
+            F.expr(now_expr).alias("created_at"),
+            F.lit(None).cast("string").alias("task_id"),
+        )
+        return make_response_rows(raw)
+
+    bronze0 = _bronze(first_pages)
+    counts = extract.reviews_count(bronze0.filter(F.col("was_successful")))
+    offsets = harvest.review_page_offsets(counts, page_size).filter(F.col("offset") > 0)
+    rest = fetch_batch(
+        offsets.select(
+            F.lit("reviews").alias("kind"),
+            F.col("listing_id").cast("string").alias("key"),
+            F.col("offset").cast("long").alias("offset"),
+        ),
+        fetcher,
+    )
+    bronze = bronze0.unionByName(_bronze(rest))
+    n_pages = bronze.count()
+    ok = bronze.filter(F.col("was_successful"))
+    reviews = extract.review_rows(ok).dropDuplicates(["review_id"])
+    users = extract.review_users(ok)
+    stamped = upsert(
+        listings,
+        listings.join(ok.select("listing_id").distinct(), "listing_id", "left_semi")
+        .withColumn("reviews_updated_at", F.expr(now_expr)),
+        ["listing_id"],
+    )
+    return ReviewHarvestResult(bronze, reviews, users, stamped, n_due, n_pages)
+
+
+@dataclass
+class BookingQuoteResult:
+    windows: DataFrame  # listing_id, check_in, check_out
+    bronze: DataFrame
+    n_quoted: int
+
+
+def run_booking_quotes(
+    spark: SparkSession,
+    calendar_days: DataFrame,
+    fetcher: Fetcher = mock_fetcher,
+    today_expr: str = "DATE '2024-01-01'",
+    now_expr: str = "current_timestamp()",
+) -> BookingQuoteResult:
+    """S7 booking-quote flow (ref airbnb_api.py:408-491 +
+    operations/bookings.py): derive the first feasible (check_in,
+    check_out) per listing from silver calendar days (W5 window algebra,
+    not an imperative scan), then fetch one quote per feasible listing.
+    Listings with no feasible window are skipped (the reference raises
+    NoBookingDatesError per listing; set-semantics drop them)."""
+    windows = harvest.derive_booking_window(calendar_days, today_expr=today_expr)
+    work = windows.select(
+        F.lit("listing").alias("kind"),
+        F.col("listing_id").cast("string").alias("key"),
+        F.lit(0).cast("long").alias("offset"),
+    )
+    fetched = fetch_batch(work, fetcher)
+    raw = fetched.select(
+        md5_long(F.concat_ws("#", "kind", "key", "offset")).alias("response_id"),
+        F.col("key").cast("long").alias("listing_id"),
+        F.lit("BQT").alias("_type"),
+        "status_code",
+        "body",
+        "url",
+        "seconds_to_complete",
+        F.expr(now_expr).alias("created_at"),
+        F.lit(None).cast("string").alias("task_id"),
+    )
+    bronze = make_response_rows(raw)
+    return BookingQuoteResult(windows, bronze, bronze.count())
+
+
+@dataclass
 class GridEstimateResult:
     grids: DataFrame
     bronze: DataFrame
