@@ -23,8 +23,14 @@ def json_key_long(col: Column | str, key: str) -> Column:
 
 
 def json_has_key(col: Column | str, key: str) -> Column:
-    """P9: jsonb ``has_key`` analog (ref utils/tasks.py:40)."""
-    return F.get_json_object(_c(col), f"$.{key}").isNotNull()
+    """P9: jsonb ``has_key`` analog (ref utils/tasks.py:40) — *structural*
+    presence of a top-level key, so a key holding an explicit JSON null
+    still counts as present (matching Postgres jsonb ``?``), unlike
+    ``get_json_object(...).isNotNull()`` which conflates absent and null.
+    Non-JSON / non-object input → false."""
+    return F.coalesce(
+        F.array_contains(F.json_object_keys(_c(col)), F.lit(key)), F.lit(False)
+    )
 
 
 def sanitize_payload(col: Column | str) -> Column:

@@ -54,11 +54,14 @@ def change_detect_upsert(
     source columns as ``F.col("s." + c)``.
     """
     keys = list(keys)
-    t = target.alias("t")
-    s = source.alias("s")
+    # explicit presence markers: insert/match classification must not key on
+    # data-column nullability (a matched row with a legitimately-NULL update
+    # column is NOT an insert)
+    t = target.withColumn("__t", F.lit(True)).alias("t")
+    s = source.withColumn("__s", F.lit(True)).alias("s")
     joined = t.join(s, keys, "full_outer")
 
-    is_insert = F.col(f"t.{update_cols[0]}").isNull() & F.col(f"s.{update_cols[0]}").isNotNull()
+    is_insert = F.col("t.__t").isNull() & F.col("s.__s").isNotNull()
     take_source = is_insert | F.coalesce(changed, F.lit(False))
 
     out_cols: list[Column] = [F.col(k).alias(k) for k in keys]
@@ -91,17 +94,32 @@ def upsert_parquet(
     path: str,
     keys: Sequence[str],
 ) -> None:
-    """Parquet-backed table upsert: read-modify-overwrite. A stand-in for
-    Delta ``MERGE INTO`` when no transactional format is available; at
-    cluster scale, partition the table and use dynamic partition overwrite
-    so only affected partitions rewrite."""
+    """Parquet-backed table upsert: read-merge-swap. A stand-in for Delta
+    ``MERGE INTO`` when no transactional format is available; at cluster
+    scale use a transactional table format (or dynamic partition overwrite
+    on a partitioned table).
+
+    The merged frame is fully written to a sibling temp directory *before*
+    the original is touched, then swapped in with directory renames — never
+    an overwrite of the files the merge plan is still reading (a cache
+    eviction or executor loss mid-overwrite would otherwise recompute from
+    half-deleted inputs). A crash between the two renames leaves the old
+    table at ``<path>.__old__``, recoverable by hand."""
+    import os
+    import shutil
+
     spark = spark_df.sparkSession
     try:
         existing = spark.read.parquet(path)
     except Exception:
         spark_df.write.mode("overwrite").parquet(path)
         return
-    merged = upsert(existing, spark_df, keys).cache()
-    merged.count()
-    merged.write.mode("overwrite").parquet(path)
-    merged.unpersist()
+    merged = upsert(existing, spark_df, keys)
+    base = path.rstrip("/")
+    tmp, old = base + ".__tmp__", base + ".__old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)  # durable before the swap
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)

@@ -16,7 +16,7 @@ from ..functions.hashing import md5_long
 from ..operators import extract
 from ..operators.upsert import upsert
 from ..sources.bronze import make_response_rows
-from ..sources.http_fetch import Fetcher, fetch_batch, mock_fetcher
+from ..sources.http_fetch import Fetcher, fetch_batch, materialize, mock_fetcher
 from . import harvest
 
 
@@ -69,7 +69,9 @@ def run_calendar_harvest(
         F.expr(now_expr).alias("created_at"),
         F.lit(None).cast("string").alias("task_id"),
     )
-    bronze = make_response_rows(raw)
+    # one-shot barrier: bronze fans out to days/stamps/bridge and the
+    # returned frame — without it each action would re-run the HTTP stage
+    bronze = materialize(make_response_rows(raw))
     ok = bronze.filter(F.col("was_successful"))
     days = extract.calendar_days(ok)
     stamped = upsert(
@@ -142,7 +144,7 @@ def run_review_harvest(
         )
         return make_response_rows(raw)
 
-    bronze0 = _bronze(first_pages)
+    bronze0 = materialize(_bronze(first_pages))  # page-1 fetch runs once
     counts = extract.reviews_count(bronze0.filter(F.col("was_successful")))
     offsets = harvest.review_page_offsets(counts, page_size).filter(F.col("offset") > 0)
     rest = fetch_batch(
@@ -153,7 +155,7 @@ def run_review_harvest(
         ),
         fetcher,
     )
-    bronze = bronze0.unionByName(_bronze(rest))
+    bronze = materialize(bronze0.unionByName(_bronze(rest)))
     n_pages = bronze.count()
     ok = bronze.filter(F.col("was_successful"))
     reviews = extract.review_rows(ok).dropDuplicates(["review_id"])
@@ -205,7 +207,7 @@ def run_booking_quotes(
         F.expr(now_expr).alias("created_at"),
         F.lit(None).cast("string").alias("task_id"),
     )
-    bronze = make_response_rows(raw)
+    bronze = materialize(make_response_rows(raw))
     return BookingQuoteResult(windows, bronze, bronze.count())
 
 
@@ -256,7 +258,7 @@ def run_grid_estimate(
         F.expr(now_expr).alias("created_at"),
         F.col("key").alias("task_id"),  # carry quadkey through
     )
-    bronze = make_response_rows(raw)
+    bronze = materialize(make_response_rows(raw))
     counts = (
         extract.search_pagination(bronze.filter(F.col("was_successful")))
         .join(bronze.select("response_id", F.col("task_id").alias("quadkey")), "response_id")

@@ -478,10 +478,11 @@ def p8_range(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
-      AND json_extract_string(props, '$.missing') IS NULL
+    WHERE COALESCE(list_contains(json_keys(props), 'k'), FALSE)
+      AND NOT COALESCE(list_contains(json_keys(props), 'missing'), FALSE)
     """,
-    "jsonb has_key + typed key extraction (ref utils/tasks.py:40-47)",
+    "jsonb has_key (structural, null-valued keys count) + typed key "
+    "extraction (ref utils/tasks.py:40-47)",
 )
 def p9_json_haskey(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")

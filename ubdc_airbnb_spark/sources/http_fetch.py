@@ -97,3 +97,20 @@ def fetch_batch(
             yield pd.DataFrame(out)
 
     return work.select("kind", "key", "offset").mapInPandas(run, FETCH_RESULT_SCHEMA)
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Execute a side-effecting stage exactly once and sever its lineage.
+
+    ``fetch_batch`` returns a lazy plan; without a barrier every downstream
+    action would re-run the HTTP stage (re-issuing requests, and yielding a
+    *different* bronze per action — timestamps/status drift). The reference
+    persists the response before anything else consumes it
+    (ref task_managers.py:24-30); the Spark analog is an eager
+    ``localCheckpoint``: the fetch runs once, its results are stored in the
+    block manager (memory + disk), and the returned frame's lineage starts
+    at the checkpoint — a lost executor can NOT silently re-fetch, which is
+    exactly the failure semantics side-effecting HTTP needs (fail loudly,
+    let the ledger's retry loop resubmit). Production jobs additionally
+    write bronze to durable storage immediately after this barrier."""
+    return df.localCheckpoint(eager=True)
