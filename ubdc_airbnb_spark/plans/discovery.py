@@ -1,29 +1,38 @@
-"""Recursive quadtree discovery as a driver-side BFS loop (SURVEY §2.10
-T7/T8, §3.1; ref app/tasks.py:230-310 ``task_register_listings_or_divide_
-at_quadkey``, split guard ref tasks.py:270-291, depth cap
-MAX_GRID_LEVEL=22 ref core/settings.py:14, transactional split ref
-utils/grids.py:107-118).
+"""Recursive quadtree discovery as a driver-side BFS over *distributed*
+fetch waves (SURVEY §2.10 T7/T8, §3.1; ref app/tasks.py:230-310
+``task_register_listings_or_divide_at_quadkey``, split guard ref
+tasks.py:270-291, depth cap MAX_GRID_LEVEL=22 ref core/settings.py:14,
+transactional split ref utils/grids.py:107-118).
 
 Spark has no recursion; the reference's per-task recursion becomes
-breadth-first *waves*: the whole frontier is fetched as one batch per
-iteration, so one wave = one bronze append + one listing MERGE + one
-frontier computation — all set-based. At cluster scale the fetch step
-runs inside ``mapInPandas`` over a repartitioned frontier (rate-limited
-HTTP per partition); with the mock source it is a driver loop with the
-same semantics.
+breadth-first *waves*: the whole frontier is fetched as ONE Spark stage
+per iteration (``sources/http_fetch.fetch_batch`` — rate-limited
+``mapInPandas``, the same distributed fetch the other composed ops use),
+so one wave = one fetch stage + one bronze materialization + one listing
+MERGE + one frontier computation. Only the frontier bookkeeping — a list
+of (quadkey, offset) work items, by construction tiny relative to the
+data fetched — lives on the driver.
+
+Test doubles: the reference's FIFO-queue mock client is inherently
+driver-stateful, so when a :class:`MockAirbnbApi` is passed instead of a
+``Fetcher`` callable, each wave pre-assigns its queued responses to the
+wave's (sorted) work items driver-side and ships the resulting pure
+lookup table through ``fetch_batch`` — FIFO semantics for tests, Spark
+tasks for execution.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
 from ..operators.extract import search_listings, search_pagination
 from ..operators.upsert import upsert
 from ..sources.bronze import make_response_rows
+from ..sources.http_fetch import Fetcher, fetch_batch, materialize
 from ..sources.mock_api import MockAirbnbApi
 
 MAX_GRID_LEVEL = 22  # ref core/settings.py:14
@@ -48,59 +57,106 @@ class DiscoveryResult:
     splits: list[str] = field(default_factory=list)
 
 
+def _wave_fetcher(
+    source: Fetcher | MockAirbnbApi, frontier: list[tuple[str, int]]
+) -> Fetcher:
+    """Resolve the fetcher for one wave.
+
+    A plain callable is used as-is (stateless, executor-safe). A FIFO
+    ``MockAirbnbApi`` is drained driver-side: its queued responses are
+    assigned to the frontier's work items in order (the order the parent
+    wave created them), producing a picklable dict-lookup fetcher; with an
+    empty queue in auto mode it falls back to the same deterministic
+    synthetic payloads ``MockAirbnbApi.get_homes`` would generate."""
+    if not isinstance(source, MockAirbnbApi):
+        return source
+
+    api = source
+    assigned: dict[tuple[str, int], tuple[int, str, str]] = {}
+    for qk, offset in frontier:
+        api.calls.append(("get_homes", qk, offset))
+        url = f"https://mock/explore_tabs?qk={qk}&items_offset={offset}"
+        if api.queue:
+            r = api.queue.popleft()
+            assigned[(qk, offset)] = (r.status_code, r.payload, url)
+        elif not api.auto:
+            raise RuntimeError("mock queue empty for search")
+
+    auto = api.auto
+
+    def fetcher(kind: str, key: str, offset: int) -> tuple[int, str, str]:
+        hit = assigned.get((key, int(offset)))
+        if hit is not None:
+            return hit
+        if auto:
+            from ..sources import payloads
+
+            return (
+                200,
+                payloads.search_payload(key, items_offset=int(offset)),
+                f"https://mock/explore_tabs?qk={key}&items_offset={offset}",
+            )
+        return 404, "", f"https://mock/explore_tabs?qk={key}"
+
+    return fetcher
+
+
 def discover(
     spark: SparkSession,
-    api: MockAirbnbApi,
+    source: Fetcher | MockAirbnbApi,
     seed_quadkeys: list[str],
     max_level: int = MAX_GRID_LEVEL,
     max_waves: int = 50,
+    rate_per_sec: float | None = None,
+    partitions: int | None = None,
 ) -> DiscoveryResult:
     """BFS over the grid frontier.
 
-    Per wave, for every (quadkey, items_offset) work item:
-    fetch → bronze rows → extract listings (X1) + pagination (X3) →
-    three-way branch per the reference (ref tasks.py:266-309):
+    Per wave, the whole frontier of (quadkey, items_offset) work items is
+    fetched as one ``fetch_batch`` stage (Spark tasks, rate-limited per
+    partition), then: bronze rows → extract listings (X1) + pagination
+    (X3) → three-way branch per the reference (ref tasks.py:266-309):
 
     - paginated and ``len(qk) < max_level`` → replace grid with its 4
       children (next wave fetches them at offset 0) — T7;
     - paginated at max depth → continue with the next page offset — T8;
     - not paginated → grid finalized; record ``estimated_listings``.
     """
-    frontier: list[tuple[str, int]] = [(qk, 0) for qk in seed_quadkeys]
+    frontier: list[tuple[str, int]] = sorted((qk, 0) for qk in seed_quadkeys)
     bronze_parts: list[DataFrame] = []
     all_listings: DataFrame | None = None
     grid_rows: dict[str, int] = {}  # quadkey -> estimated listings
     splits: list[str] = []
-    response_id = 0
     waves = fetches = 0
 
     while frontier and waves < max_waves:
         waves += 1
-        raw_rows = []
-        for qk, offset in frontier:
-            resp = api.get_homes(qk, items_offset=offset)
-            fetches += 1
-            response_id += 1
-            raw_rows.append(
-                (
-                    response_id,
-                    None,
-                    "SRH",
-                    resp.status_code,
-                    resp.payload,
-                    resp.url,
-                    resp.seconds_to_complete,
-                    datetime.now(timezone.utc).replace(tzinfo=None),
-                    None,
-                    qk,
-                    offset,
-                )
-            )
-        raw = spark.createDataFrame(
-            raw_rows,
-            "response_id long, listing_id long, _type string, status_code int, "
-            "body string, url string, seconds_to_complete int, created_at timestamp, "
-            "task_id string, quadkey string, items_offset int",
+        fetches += len(frontier)
+        fetcher = _wave_fetcher(source, frontier)
+
+        work = spark.createDataFrame(
+            [("search", qk, offset) for qk, offset in frontier],
+            "kind string, key string, offset long",
+        )
+        # one Spark stage fetches the whole wave; materialize = the fetch
+        # runs exactly once no matter how many consumers follow
+        fetched = materialize(
+            fetch_batch(work, fetcher, rate_per_sec=rate_per_sec, partitions=partitions)
+        )
+        raw = fetched.select(
+            md5_long(
+                F.concat_ws("#", F.lit(str(waves)), "kind", "key", "offset")
+            ).alias("response_id"),
+            F.lit(None).cast("long").alias("listing_id"),
+            F.lit("SRH").alias("_type"),
+            "status_code",
+            "body",
+            "url",
+            "seconds_to_complete",
+            F.current_timestamp().alias("created_at"),
+            F.lit(None).cast("string").alias("task_id"),
+            F.col("key").alias("quadkey"),
+            F.col("offset").cast("int").alias("items_offset"),
         )
         bronze = make_response_rows(raw.drop("quadkey", "items_offset")).join(
             raw.select("response_id", "quadkey", "items_offset"), "response_id"
@@ -120,19 +176,34 @@ def discover(
             else upsert(all_listings, wave_new, ["listing_id"])
         )
 
-        pagination = {
-            r.response_id: r
-            for r in search_pagination(ok).collect()
-        }
-        qk_of = {r.response_id: (r.quadkey, r.items_offset) for r in raw.select("response_id", "quadkey", "items_offset").collect()}
+        # frontier bookkeeping: one collect of frontier-sized metadata
+        # (pagination flags + per-grid counts), never listing-scale data
+        meta_rows = (
+            search_pagination(ok)
+            .select(
+                "response_id",
+                "has_next_page",
+                F.col("items_offset").alias("next_offset"),
+            )
+            .join(
+                ok.select(
+                    "response_id", "quadkey", F.col("items_offset").alias("req_offset")
+                ),
+                "response_id",
+            )
+            .collect()
+        )
+        pagination = {(r.quadkey, r.req_offset): r for r in meta_rows}
         counts = {
             r.grid_qk: r.n
-            for r in wave_listings.groupBy("grid_qk").agg(F.countDistinct("listing_id").alias("n")).collect()
+            for r in wave_listings.groupBy("grid_qk")
+            .agg(F.countDistinct("listing_id").alias("n"))
+            .collect()
         }
 
         next_frontier: list[tuple[str, int]] = []
-        for rid, (qk, offset) in qk_of.items():
-            meta = pagination.get(rid)
+        for qk, offset in frontier:
+            meta = pagination.get((qk, offset))
             has_next = bool(meta and meta.has_next_page)
             if has_next and len(qk) < max_level:
                 # T7: split — replace parent with 4 children (G17)
@@ -142,12 +213,14 @@ def discover(
                     next_frontier.append((qk + d, 0))
             elif has_next:
                 # T8: depth cap — follow pagination instead
-                next_offset = int(meta.items_offset) if meta.items_offset is not None else offset + 10
+                next_offset = (
+                    int(meta.next_offset) if meta.next_offset is not None else offset + 10
+                )
                 grid_rows[qk] = grid_rows.get(qk, 0) + counts.get(qk, 0)
                 next_frontier.append((qk, next_offset))
             else:
                 grid_rows[qk] = grid_rows.get(qk, 0) + counts.get(qk, 0)
-        frontier = next_frontier
+        frontier = sorted(next_frontier)
 
     if not bronze_parts:
         empty = spark.createDataFrame([], "quadkey string, estimated_listings long")
