@@ -300,3 +300,32 @@ def test_kmeans_improves_inertia(spark):
     assert inertia_trained <= inertia_seed + 1e-9
     r = trained.collect()[0]
     assert len(r.centroid_vec) == 64
+
+
+def test_ivf_threshold_pairs_recall_vs_exact(spark):
+    """Bucketed near-dup pairs are a subset of the exact all-pairs result
+    with high recall at 2 probes; every reported pair is exact-verified
+    (zero false positives by construction)."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators import similarity
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.threshold_pairs(emb, threshold=0.4).collect()
+    }
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid_vec"),
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.ivf_threshold_pairs(
+            emb, cents, threshold=0.4, probes=2
+        ).collect()
+    }
+    assert got <= exact  # no false positives: every pair exact-verified
+    if exact:
+        assert len(got) / len(exact) >= 0.5  # 2-probe recall floor

@@ -118,6 +118,87 @@ def assign_ivf_buckets(
     return best.select(id_col, vec_col, centroid_id)
 
 
+def centroid_probes(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Multi-probe IVF assignment as a ZERO-shuffle narrow select.
+
+    The centroid set is driver-small by construction (√n rule: even at
+    10^10 vectors that's ~10^5 centroids), so it is collected and inlined
+    as a literal ``array<struct<cid,cvec>>`` expression; each vector then
+    scores all centroids with a higher-order ``transform``, sorts by
+    (-cosine, cid) and keeps the top ``probes`` — no join, no Exchange,
+    the corpus is never shuffled (the same pattern that made MinHash
+    signatures a pure narrow select). Output: one row per (vector, probed
+    centroid): (id_col, vec_col, centroid_id).
+
+    Ordering matches the SQL oracle's
+    ``row_number() OVER (ORDER BY cos DESC, centroid_id)``.
+    """
+    rows = centroids.select(centroid_id, centroid_vec).collect()
+    cents_sql = ", ".join(
+        "named_struct('cid', {}L, 'cvec', array({}))".format(
+            int(r[0]), ", ".join(f"CAST({v!r} AS DOUBLE)" for v in r[1])
+        )
+        for r in sorted(rows, key=lambda r: int(r[0]))
+    )
+    cents = F.expr(f"array({cents_sql})")
+    vec = F.col(vec_col)
+    scores = F.transform(
+        cents,
+        lambda c: F.struct(
+            (-(dot(vec, c["cvec"]) / (norm(vec) * norm(c["cvec"])))).alias("negcos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    probed = F.slice(F.array_sort(scores), 1, probes)
+    return vectors.select(
+        id_col, vec_col, F.explode(probed).alias("__pr")
+    ).select(id_col, vec_col, F.col("__pr.cid").alias(centroid_id))
+
+
+def ivf_threshold_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    probes: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: IVF-bucketed candidate
+    generation → exact cosine verify (the embedding analog of what
+    ``ns_dedup_ngram_jaccard`` does for text: never all-pairs).
+
+    Candidates are pairs sharing at least one probed centroid bucket —
+    a hash equi-join on ``centroid_id`` costing Σ|bucket|², never n².
+    Multi-probe (default 2) recovers most boundary pairs single-probe IVF
+    would miss; recall < 1 remains by construction and is the documented
+    contract (``threshold_pairs`` stays available as the exact
+    small-data baseline)."""
+    assigned = centroid_probes(vectors, centroids, probes, id_col, vec_col)
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    cand = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # pairs sharing >1 probe bucket
+    )
+    return (
+        cand.filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 8,

