@@ -151,3 +151,114 @@ def test_booking_quotes_from_calendar(spark):
     assert (co - ci).days >= 1
     assert res.n_quoted == 1
     assert res.bronze.filter(F.col("_type") == "BQT").count() == 1
+
+
+def _users_df(spark, rows):
+    from ubdc_airbnb_spark.plans.ops import placeholder_users
+
+    ids = spark.createDataFrame([(r,) for r in rows], "user_id long")
+    return placeholder_users(ids)
+
+
+def test_listing_details_harvest(spark):
+    """ref tests/beat_ops listing-details invariants + tasks.py:156-199:
+    freshness stamps advance, hosts extracted, host users get_or_create'd
+    as placeholders with is_superhost refreshed."""
+    listings = spark.createDataFrame(
+        [(888, "02000", None), (889, "02001", None), (900, "31000", None)],
+        "listing_id long, quadkey string, listing_updated_at timestamp",
+    )
+    covers = spark.createDataFrame(
+        [("02", True)], "qk_prefix string, collect_listing_details boolean"
+    )
+    users = _users_df(spark, [])
+    res = ops.run_listing_details(spark, listings, covers, users)
+    assert res.n_due == 2
+    assert res.bronze.count() == 2
+    # every detail payload carries a primary + one additional host (X2)
+    assert res.hosts.count() == 4
+    assert res.hosts.filter(F.col("is_primary")).count() == 2
+    # host users exist as placeholders (J10 get_or_create)
+    got = {r.user_id: r for r in res.users.collect()}
+    assert len(got) == 4
+    from ubdc_airbnb_spark.plans.ops import USER_PLACEHOLDER
+
+    assert all(r.first_name == USER_PLACEHOLDER for r in got.values())
+    # primary hosts are superhosts in the synthetic payloads
+    assert any(r.is_superhost for r in got.values())
+    stamps = {r.listing_id: r.listing_updated_at for r in res.listings.collect()}
+    assert stamps[888] is not None and stamps[889] is not None
+    assert stamps[900] is None  # outside flagged cover
+    # idempotent re-run: everything fresh -> nothing due (T4)
+    res2 = ops.run_listing_details(spark, res.listings, covers, res.users)
+    assert res2.n_due == 0
+
+
+def test_listing_details_superhost_flag_updates_existing_user(spark):
+    """The reference saves is_superhost unconditionally on existing users
+    (tasks.py:193-198) — flag must flip without touching other fields."""
+    listings = spark.createDataFrame(
+        [(888, "02000", None)],
+        "listing_id long, quadkey string, listing_updated_at timestamp",
+    )
+    covers = spark.createDataFrame(
+        [("02", True)], "qk_prefix string, collect_listing_details boolean"
+    )
+    from ubdc_airbnb_spark.operators import extract as _ex
+    from ubdc_airbnb_spark.sources.http_fetch import fetch_batch as _fb
+
+    # find the synthetic primary host id for listing 888
+    body = payloads.listing_detail_payload(888)
+    host_id = json.loads(body)["pdp_listing_detail"]["primary_host"]["id"]
+    users = _users_df(spark, [host_id]).withColumn(
+        "first_name", F.lit("Resolved Real Name")
+    )
+    res = ops.run_listing_details(spark, listings, covers, users)
+    u = {r.user_id: r for r in res.users.collect()}[host_id]
+    assert u.first_name == "Resolved Real Name"  # untouched
+    assert u.is_superhost  # flag refreshed
+
+
+def test_user_update_state_machine(spark):
+    """ref tasks.py:314-335 + models.py:536-545: placeholder -> real on a
+    valid payload; placeholder -> disabled on a failed fetch; a real user
+    is never demoted by a failed fetch."""
+    from ubdc_airbnb_spark.plans.ops import USER_DISABLED, USER_PLACEHOLDER
+
+    users = _users_df(spark, [1, 2, 3]).withColumn(
+        "first_name",
+        F.when(F.col("user_id") == 3, F.lit("Existing Real")).otherwise(
+            F.col("first_name")
+        ),
+    )
+
+    def fetcher(kind, key, offset):
+        if key == "2" or key == "3":
+            return 500, "", f"mock://user/{key}"
+        return 200, payloads.user_payload(int(key)), f"mock://user/{key}"
+
+    res = ops.run_user_update(spark, users, fetcher)
+    assert res.n_due == 3 and res.bronze.count() == 3
+    got = {r.user_id: r for r in res.users.collect()}
+    assert got[1].first_name not in (USER_PLACEHOLDER, USER_DISABLED)  # real now
+    assert got[1].airbnb_listing_count is not None
+    assert "?" not in (got[1].picture_url or "")  # X5 URL strip
+    assert got[2].first_name == USER_DISABLED  # placeholder + failed fetch
+    assert got[3].first_name == "Existing Real"  # never demoted
+    assert all(r.user_updated_at is not None for r in got.values())
+
+
+def test_user_update_retriable_fetch_leaves_placeholder(spark):
+    """429/503 abort before the state machine runs (the reference raises
+    UBDCRetriableError before touching the user) — the placeholder must
+    survive for the retry loop."""
+    from ubdc_airbnb_spark.plans.ops import USER_PLACEHOLDER
+
+    users = _users_df(spark, [5])
+
+    res = ops.run_user_update(
+        spark, users, lambda k, key, o: (429, "", f"mock://user/{key}")
+    )
+    u = res.users.collect()[0]
+    assert u.first_name == USER_PLACEHOLDER
+    assert u.user_updated_at is None

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
 from ..operators import extract
-from ..operators.upsert import upsert
+from ..operators.upsert import insert_if_absent, upsert
 from ..sources.bronze import make_response_rows
 from ..sources.http_fetch import Fetcher, fetch_batch, materialize, mock_fetcher
 from . import harvest
@@ -293,3 +293,246 @@ def run_grid_estimate(
         n_scanned=picked.count(),
         n_split=to_split.count(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Users: placeholder -> disabled -> real state machine (S4/S5, X2/X5, J10)
+# ---------------------------------------------------------------------------
+
+#: first_name sentinels (ref model_defaults.py:3-4)
+USER_PLACEHOLDER = "airbnbuser"
+USER_DISABLED = "airbnbuser-disabled"
+
+
+def placeholder_users(user_ids: DataFrame) -> DataFrame:
+    """get_or_create placeholder defaults (ref managers.py:241-264): a user
+    first seen as a host / review author exists only as a sentinel row
+    until a profile refresh resolves it."""
+    return user_ids.select("user_id").distinct().select(
+        "user_id",
+        F.lit(USER_PLACEHOLDER).alias("first_name"),
+        F.lit("").alias("about"),
+        F.lit("").alias("location"),
+        F.lit(0).alias("airbnb_listing_count"),
+        F.array().cast("array<string>").alias("verifications"),
+        F.lit("").alias("picture_url"),
+        F.lit(False).alias("is_superhost"),
+        F.lit(None).cast("timestamp").alias("profile_created_at"),
+        F.lit(None).cast("timestamp").alias("user_updated_at"),
+    )
+
+
+def user_state_merge(
+    users: DataFrame,
+    attempted: DataFrame,
+    profiles: DataFrame,
+    now_expr: str = "current_timestamp()",
+) -> DataFrame:
+    """The profile-refresh state machine (ref tasks.py:314-335 +
+    models.py:522-545): per refreshed user,
+
+    - valid profile payload -> REAL: profile fields overwrite the row;
+    - fetch attempted, no valid payload, row was a PLACEHOLDER ->
+      DISABLED (the reference pre-marks placeholders disabled and lets a
+      valid response overwrite it back);
+    - fetch attempted on a real/disabled row without a valid payload ->
+      row unchanged (a real user is never demoted);
+    - not attempted -> unchanged.
+
+    ``attempted``: (user_id) rows whose fetch completed non-retriably.
+    ``profiles``: user_id + the profile columns to overwrite (a subset of
+    ``users``' columns). One shuffle per side on user_id; the attempted /
+    profile sides are batch-sized, broadcast when small.
+    """
+    upd_cols = [c for c in profiles.columns if c != "user_id"]
+    a = attempted.select("user_id").distinct().withColumn("__f", F.lit(True))
+    p = profiles.select(
+        "user_id",
+        F.lit(True).alias("__p"),
+        *[F.col(c).alias(f"__p_{c}") for c in upd_cols],
+    )
+    j = users.join(a, "user_id", "left").join(p, "user_id", "left")
+    is_real = F.col("__p").isNotNull()
+    to_disable = (
+        F.col("__f").isNotNull()
+        & ~is_real
+        & (F.col("first_name") == F.lit(USER_PLACEHOLDER))
+    )
+    out: list = []
+    for c in users.columns:
+        if c == "first_name":
+            e = F.when(to_disable, F.lit(USER_DISABLED))
+            e = (
+                e.when(is_real, F.col("__p_first_name")).otherwise(F.col(c))
+                if "first_name" in upd_cols
+                else e.otherwise(F.col(c))
+            )
+            out.append(e.alias(c))
+        elif c in upd_cols:
+            out.append(F.when(is_real, F.col(f"__p_{c}")).otherwise(F.col(c)).alias(c))
+        elif c == "user_updated_at":
+            out.append(
+                F.when(F.col("__f").isNotNull(), F.expr(now_expr))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    return j.select(*out)
+
+
+@dataclass
+class ListingDetailsResult:
+    bronze: DataFrame
+    hosts: DataFrame      # listing_id, host_id, is_superhost, is_primary
+    users: DataFrame      # users table after placeholder inserts + superhost flags
+    listings: DataFrame   # with advanced listing_updated_at stamps
+    n_due: int
+
+
+def run_listing_details(
+    spark: SparkSession,
+    listings: DataFrame,
+    aoi_covers: DataFrame,
+    users: DataFrame,
+    inflight: DataFrame | None = None,
+    fetcher: Fetcher = mock_fetcher,
+    how_many: int = 500_000,
+    age_hours: int = 15 * 24,  # 2x/month cadence (ref core/celery.py:41-44)
+    now_expr: str = "current_timestamp()",
+    rate_per_sec: float | None = None,
+) -> ListingDetailsResult:
+    """op_update_listing_details_periodical (ref
+    operations/listing_details.py:24-80 + worker task tasks.py:156-199),
+    as one batch job:
+
+    1. due-selection on the ``collect_listing_details`` AOI flag (J2 +
+       P7 staleness + J6 + W1/W6);
+    2. ``mapInPandas`` fetch of listing-detail payloads (S4);
+    3. bronze append (S11, _type LST);
+    4. silver host extraction — primary + additional hosts (X2);
+    5. host users get_or_create'd as placeholders (J10, ref
+       tasks.py:193-198) with ``is_superhost`` refreshed on BOTH new and
+       existing rows (the reference saves the flag unconditionally);
+    6. ``listing_updated_at`` stamped for every non-retriable fetch (the
+       reference stamps right after the response persists —
+       tasks.py:176-178 — before parsing; 403s count, 429/503 abort).
+    """
+    due = harvest.select_due(
+        listings,
+        aoi_covers,
+        inflight,
+        flag_col="collect_listing_details",
+        freshness_col="listing_updated_at",
+        threshold_expr=f"{now_expr} - INTERVAL {age_hours} HOUR",
+        how_many=how_many,
+    )
+    n_due = due.count()
+    work = due.select(
+        F.lit("listing").alias("kind"),
+        F.col("listing_id").cast("string").alias("key"),
+        F.lit(0).cast("long").alias("offset"),
+    )
+    fetched = fetch_batch(work, fetcher, rate_per_sec=rate_per_sec)
+    raw = fetched.select(
+        md5_long(F.concat_ws("#", "kind", "key", "offset")).alias("response_id"),
+        F.col("key").cast("long").alias("listing_id"),
+        F.lit("LST").alias("_type"),
+        "status_code",
+        "body",
+        "url",
+        "seconds_to_complete",
+        F.expr(now_expr).alias("created_at"),
+        F.lit(None).cast("string").alias("task_id"),
+    )
+    bronze = materialize(make_response_rows(raw))
+    ok = bronze.filter(F.col("was_successful"))
+    hosts = extract.listing_detail_hosts(ok)
+    # one flag per host (a host may appear under several listings; any
+    # payload marking it superhost wins deterministically)
+    host_flags = hosts.groupBy(F.col("host_id").alias("user_id")).agg(
+        F.max(F.coalesce("is_superhost", F.lit(False))).alias("is_superhost")
+    )
+    with_new = insert_if_absent(users, placeholder_users(host_flags), ["user_id"])
+    users_out = (
+        with_new.alias("u")
+        .join(host_flags.alias("h"), "user_id", "left")
+        .select(
+            *[
+                F.coalesce(F.col("h.is_superhost"), F.col("u.is_superhost")).alias(c)
+                if c == "is_superhost"
+                else F.col(f"u.{c}")
+                for c in users.columns
+            ]
+        )
+    )
+    stamped = upsert(
+        listings,
+        listings.join(
+            bronze.filter(~F.col("is_retriable")).select("listing_id").distinct(),
+            "listing_id",
+            "left_semi",
+        ).withColumn("listing_updated_at", F.expr(now_expr)),
+        ["listing_id"],
+    )
+    return ListingDetailsResult(bronze, hosts, users_out, stamped, n_due)
+
+
+@dataclass
+class UserUpdateResult:
+    bronze: DataFrame
+    users: DataFrame
+    n_due: int
+
+
+def run_user_update(
+    spark: SparkSession,
+    users: DataFrame,
+    fetcher: Fetcher = mock_fetcher,
+    how_many: int = 500_000,
+    age_hours: int = 15 * 24,  # 2x/month cadence (ref core/celery.py:41-44)
+    now_expr: str = "current_timestamp()",
+    rate_per_sec: float | None = None,
+) -> UserUpdateResult:
+    """op_get_users_details periodical — the reference left its initiator
+    unfinished (operations/users.py:10-18, TODO); this implements the
+    intended composition over its worker task (tasks.py:314-335):
+
+    1. due-selection: stalest profiles first, placeholders (never
+       refreshed) leading — W1 nulls-first top-k;
+    2. ``mapInPandas`` fetch of user payloads (S5);
+    3. bronze append (_type USR);
+    4. the placeholder -> disabled -> real state machine via
+       :func:`user_state_merge` (X5 field mapping + picture-URL strip
+       inside ``extract.user_profile``).
+    """
+    due = (
+        users.orderBy(F.col("user_updated_at").asc_nulls_first(), F.col("user_id"))
+        .limit(how_many)
+        .select("user_id")
+    )
+    n_due = due.count()
+    work = due.select(
+        F.lit("user").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.lit(0).cast("long").alias("offset"),
+    )
+    fetched = fetch_batch(work, fetcher, rate_per_sec=rate_per_sec)
+    raw = fetched.select(
+        md5_long(F.concat_ws("#", "kind", "key", "offset")).alias("response_id"),
+        F.col("key").cast("long").alias("listing_id"),  # generic asset id slot
+        F.lit("USR").alias("_type"),
+        "status_code",
+        "body",
+        "url",
+        "seconds_to_complete",
+        F.expr(now_expr).alias("created_at"),
+        F.lit(None).cast("string").alias("task_id"),
+    )
+    bronze = materialize(make_response_rows(raw))
+    attempted = bronze.filter(~F.col("is_retriable")).select(
+        F.col("listing_id").alias("user_id")
+    )
+    profiles = extract.user_profile(bronze.filter(F.col("was_successful")))
+    users_out = user_state_merge(users, attempted, profiles, now_expr=now_expr)
+    return UserUpdateResult(bronze, users_out, n_due)

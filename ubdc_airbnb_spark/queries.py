@@ -662,6 +662,63 @@ def j11_move_audit_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "j12_user_state_machine",
+    ("J10", "S5", "X5"),
+    """
+    WITH u AS (SELECT c_custkey AS user_id,
+                      CASE WHEN c_custkey % 5 = 0 THEN 'airbnbuser' ELSE c_name END AS first_name
+               FROM customer),
+    f AS (SELECT o_custkey AS user_id,
+                 MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS valid
+          FROM orders GROUP BY o_custkey),
+    m AS (SELECT u.user_id,
+                 CASE WHEN f.valid = 1 THEN 'real-' || CAST(u.user_id AS VARCHAR)
+                      WHEN f.user_id IS NOT NULL AND u.first_name = 'airbnbuser'
+                           THEN 'airbnbuser-disabled'
+                      ELSE u.first_name END AS first_name
+          FROM u LEFT JOIN f ON u.user_id = f.user_id)
+    SELECT user_id, first_name,
+           CASE WHEN first_name = 'airbnbuser' THEN 'placeholder'
+                WHEN first_name = 'airbnbuser-disabled' THEN 'disabled'
+                ELSE 'real' END AS state
+    FROM m
+    """,
+    "placeholder→disabled→real user state machine on profile refresh "
+    "(ref tasks.py:314-335, models.py:536-545, model_defaults.py:3-4): "
+    "users=customer rows (every 5th a placeholder), refresh "
+    "attempts=orders per customer, valid payload=any 'F' order",
+)
+def j12_user_state_machine(spark: SparkSession, sf: str) -> DataFrame:
+    from .plans.ops import USER_DISABLED, USER_PLACEHOLDER, user_state_merge
+
+    cust = load_table(spark, sf, "customer")
+    users = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(USER_PLACEHOLDER))
+        .otherwise(F.col("c_name"))
+        .alias("first_name"),
+    )
+    fetched = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("valid"))
+    )
+    profiles = fetched.filter(F.col("valid") == 1).select(
+        "user_id",
+        F.concat(F.lit("real-"), F.col("user_id").cast("string")).alias("first_name"),
+    )
+    merged = user_state_merge(users, fetched.select("user_id"), profiles)
+    return merged.select(
+        "user_id",
+        "first_name",
+        F.when(F.col("first_name") == USER_PLACEHOLDER, F.lit("placeholder"))
+        .when(F.col("first_name") == USER_DISABLED, F.lit("disabled"))
+        .otherwise(F.lit("real"))
+        .alias("state"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregations (A*)
 # --------------------------------------------------------------------------
