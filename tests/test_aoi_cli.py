@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from ubdc_airbnb_spark import cli
 from ubdc_airbnb_spark.functions import geometry as geo
 from ubdc_airbnb_spark.sources import aoi as aoi_mod
@@ -109,3 +111,113 @@ def test_cli_add_quadkey(spark, tmp_path, capsys):
     grids = spark.read.parquet(f"{wh}/grid")
     rows = grids.collect()
     assert len(rows) == 1 and rows[0].quadkey == "0313131311"
+
+
+def _seed_warehouse(tmp_path, name="wh_beat"):
+    wh = str(tmp_path / name)
+    assert cli.main(
+        ["--warehouse", wh, "add-aoi", "--id", "1", "--name", "beatland",
+         "--wkt", "POLYGON ((-0.2 51.4, 0.1 51.4, 0.1 51.6, -0.2 51.6, -0.2 51.4))",
+         "--depth", "9", "--scan", "--calendars", "--details", "--reviews", "--bookings"]
+    ) == 0
+    return wh
+
+
+def test_cli_run_beat_job_pipeline(spark, tmp_path, capsys):
+    """run-beat-job parity (ref run-beat-job.py:40-76): each beat op is
+    invocable by its reference name and persists warehouse tables."""
+    wh = _seed_warehouse(tmp_path)
+    for job in (
+        "op_discover_new_listings_periodical",
+        "op_update_calendar_periodical",
+        "op_update_listing_details_periodical",
+        "op_get_users_details_periodical",
+        "op_update_reviews_periodical",
+        "op_get_booking_detail_periodical",
+    ):
+        assert cli.main(["--warehouse", wh, "run-beat-job", job]) == 0, job
+        assert job in capsys.readouterr().out
+    listings = spark.read.parquet(f"{wh}/listings")
+    assert listings.count() > 0
+    assert listings.filter(F.col("calendar_updated_at").isNotNull()).count() > 0
+    assert spark.read.parquet(f"{wh}/calendar_days").count() > 0
+    users = spark.read.parquet(f"{wh}/users")
+    assert users.count() > 0
+    # user-update resolved or disabled every placeholder it attempted
+    assert users.filter(F.col("user_updated_at").isNotNull()).count() > 0
+    resp = spark.read.parquet(f"{wh}/responses")
+    assert {r._type for r in resp.select("_type").distinct().collect()} >= {
+        "SRH", "CAL", "LST", "USR", "RVW", "BQT"
+    }
+
+
+def test_cli_run_beat_job_args(spark, tmp_path, capsys):
+    """--arg k=v reaches the op (ref: kwargs forwarded to the signature)."""
+    wh = _seed_warehouse(tmp_path, "wh_beat_args")
+    assert cli.main(
+        ["--warehouse", wh, "run-beat-job", "op_discover_new_listings_periodical"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["--warehouse", wh, "run-beat-job", "op_update_calendar_periodical",
+         "--arg", "how_many=1"]
+    ) == 0
+    assert "due=1" in capsys.readouterr().out
+
+
+def test_cli_find_listings(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh_find")
+    # unregistered grid -> error + hint (ref find-listings.py:24-28)
+    assert cli.main(["--warehouse", wh, "find-listings", "031313131"]) == 1
+    assert "does not exist" in capsys.readouterr().err
+    assert cli.main(["--warehouse", wh, "add-quadkey", "--quadkey", "031313131"]) == 0
+    assert cli.main(["--warehouse", wh, "find-listings", "031313131"]) == 0
+    assert "listings=" in capsys.readouterr().out
+    assert spark.read.parquet(f"{wh}/listings").count() > 0
+
+
+def test_cli_edit_aoi(spark, tmp_path, capsys):
+    wh = _seed_warehouse(tmp_path, "wh_edit")
+    assert cli.main(["--warehouse", wh, "edit-aoi", "99"]) == 1  # missing pk
+    assert cli.main(
+        ["--warehouse", wh, "edit-aoi", "1", "--no-calendars", "--listing-details"]
+    ) == 0
+    row = spark.read.parquet(f"{wh}/aoi").collect()[0]
+    assert row.collect_calendars is False
+    assert row.collect_listing_details is True
+    assert row.collect_reviews is True  # untouched
+    assert cli.main(["--warehouse", wh, "edit-aoi", "1", "--delete"]) == 0
+    assert spark.read.parquet(f"{wh}/aoi").count() == 0
+
+
+def test_cli_create_test_area(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh_test_area")
+    assert cli.main(["--warehouse", wh, "create-test-area", "031313131"]) == 0
+    aoi = spark.read.parquet(f"{wh}/aoi").collect()[0]
+    assert aoi.name.startswith("Test-Area-")
+    assert aoi.collect_calendars and aoi.collect_bookings and aoi.scan_for_new_listings
+    # buffered ~100 m beyond the tile bbox (ref create-test-area.py:33)
+    from ubdc_airbnb_spark.functions import geometry as geo
+
+    west, south, east, north = geo.quadkey_bbox("031313131")
+    assert aoi.bbox.xmin < west and aoi.bbox.xmax > east
+    assert aoi.bbox.ymin < south and aoi.bbox.ymax > north
+    assert spark.read.parquet(f"{wh}/grid").count() >= 1
+
+
+def test_random_ids(spark):
+    """C9 (ref utils/__init__.py:4-10): seeded determinism + column variants."""
+    import random
+
+    from ubdc_airbnb_spark.functions import ids
+
+    a = ids.get_random_string(12, random.Random(7))
+    b = ids.get_random_string(12, random.Random(7))
+    assert a == b and len(a) == 12 and a.isalnum()
+    assert ids.new_uuid() != ids.new_uuid()
+    df = spark.range(50).select(
+        ids.uuid_col().alias("u"), ids.random_string_col(8, seed=3).alias("r")
+    )
+    rows = df.collect()
+    assert len({r.u for r in rows}) == 50
+    assert all(len(r.r) == 8 for r in rows)

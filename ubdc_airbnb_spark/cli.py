@@ -116,7 +116,7 @@ def cmd_discover(args) -> int:
     seeds = [r.quadkey for r in grids.select("quadkey").collect()]
     res = discover(spark, MockAirbnbApi(), seeds, max_waves=args.max_waves)
     upsert_parquet(
-        res.listings.withColumn("created_at", F.current_timestamp()),
+        _conform_listings(res.listings.withColumn("created_at", F.current_timestamp())),
         _table(args.warehouse, "listings"),
         ["listing_id"],
     )
@@ -129,6 +129,314 @@ def cmd_discover(args) -> int:
         f"waves={res.waves} fetches={res.fetches} splits={len(res.splits)} "
         f"listings={res.listings.count()}"
     )
+    return 0
+
+
+def _conform_listings(df):
+    """Widen discovery output to the canonical LISTING schema (missing
+    freshness stamps / notes become typed nulls) so every beat op can run
+    against the same warehouse table."""
+    from . import schemas
+
+    for f in schemas.LISTING.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
+
+
+def _read_or_none(spark, warehouse: str, name: str):
+    try:
+        return spark.read.parquet(_table(warehouse, name))
+    except Exception:
+        return None
+
+
+def _users_or_empty(spark, warehouse: str):
+    from .plans.ops import placeholder_users
+
+    users = _read_or_none(spark, warehouse, "users")
+    if users is None:
+        users = placeholder_users(spark.createDataFrame([], "user_id long"))
+    return users
+
+
+def _persist_bronze(bronze, warehouse: str) -> None:
+    from .sources.bronze import partitioned_bronze_writer
+
+    partitioned_bronze_writer(bronze, _table(warehouse, "responses"))
+
+
+def _beat_discover(spark, args, kw) -> str:
+    from .operators.upsert import upsert_parquet
+    from .plans.discovery import discover
+    from .sources.mock_api import MockAirbnbApi
+
+    grids = spark.read.parquet(_table(args.warehouse, "grid"))
+    aoi = _read_or_none(spark, args.warehouse, "aoi")
+    if aoi is not None:
+        # op_discover_new_listings_periodical scans only AOIs flagged for
+        # scanning (ref operations/discovery.py:12-29); grid×AOI is the
+        # bidirectional ancestor/descendant test (J3), not a point prefix
+        from .operators.spatial import grids_intersecting_aois
+
+        flagged = aoi.filter(F.col("scan_for_new_listings")).select("aoi_id", "geom_wkt").collect()
+        grids = grids_intersecting_aois(grids, [(r.aoi_id, r.geom_wkt) for r in flagged])
+    seeds = [r.quadkey for r in grids.select("quadkey").collect()]
+    res = discover(
+        spark, MockAirbnbApi(), seeds, max_waves=int(kw.get("max_waves", 10))
+    )
+    upsert_parquet(
+        _conform_listings(res.listings.withColumn("created_at", F.current_timestamp())),
+        _table(args.warehouse, "listings"),
+        ["listing_id"],
+    )
+    _persist_bronze(res.bronze.drop("quadkey", "items_offset"), args.warehouse)
+    return (
+        f"waves={res.waves} fetches={res.fetches} splits={len(res.splits)} "
+        f"listings={res.listings.count()}"
+    )
+
+
+def _beat_estimate(spark, args, kw) -> str:
+    from .operators.upsert import replace_parquet
+    from .plans.ops import run_grid_estimate
+
+    grids = spark.read.parquet(_table(args.warehouse, "grid"))
+    res = run_grid_estimate(
+        spark,
+        grids.select("quadkey", "estimated_listings", "last_estimated_scan_at"),
+        less_than=int(kw.get("less_than", 50)),
+        how_many=int(kw.get("how_many", 500)),
+    )
+    # grid replacement, not upsert: split parents are removed (G17)
+    replace_parquet(res.grids, _table(args.warehouse, "grid"))
+    _persist_bronze(res.bronze, args.warehouse)
+    return f"scanned={res.n_scanned} split={res.n_split}"
+
+
+def _beat_calendar(spark, args, kw) -> str:
+    from .operators.upsert import upsert_parquet
+    from .plans.ops import run_calendar_harvest
+    from .sources.aoi import covers_with_flags
+
+    listings = spark.read.parquet(_table(args.warehouse, "listings"))
+    covers = covers_with_flags(spark.read.parquet(_table(args.warehouse, "aoi")))
+    res = run_calendar_harvest(
+        spark, listings, covers, how_many=int(kw.get("how_many", 500_000))
+    )
+    upsert_parquet(res.listings, _table(args.warehouse, "listings"), ["listing_id"])
+    upsert_parquet(
+        res.calendar_days,
+        _table(args.warehouse, "calendar_days"),
+        ["listing_id", "date"],
+    )
+    _persist_bronze(res.bronze, args.warehouse)
+    return f"due={res.n_due} days={res.calendar_days.count()}"
+
+
+def _beat_reviews(spark, args, kw) -> str:
+    from .operators.upsert import insert_if_absent, upsert_parquet
+    from .plans.ops import run_review_harvest
+    from .sources.aoi import covers_with_flags
+
+    listings = spark.read.parquet(_table(args.warehouse, "listings"))
+    covers = covers_with_flags(spark.read.parquet(_table(args.warehouse, "aoi")))
+    res = run_review_harvest(
+        spark, listings, covers, how_many=int(kw.get("how_many", 1500))
+    )
+    upsert_parquet(res.listings, _table(args.warehouse, "listings"), ["listing_id"])
+    upsert_parquet(res.reviews, _table(args.warehouse, "reviews"), ["review_id"])
+    # review authors arrive as partial profiles; widen to placeholder
+    # defaults + the fields the payload carries (ref get_or_create
+    # defaults, managers.py:241-264)
+    from .plans.ops import placeholder_users
+
+    partial = res.users.dropDuplicates(["user_id"])
+    wide = (
+        placeholder_users(partial.select("user_id"))
+        .drop(*[c for c in partial.columns if c != "user_id"])
+        .join(partial, "user_id")
+    )
+    users = insert_if_absent(_users_or_empty(spark, args.warehouse), wide, ["user_id"])
+    from .operators.upsert import replace_parquet
+
+    replace_parquet(users, _table(args.warehouse, "users"))
+    _persist_bronze(res.bronze, args.warehouse)
+    return f"due={res.n_due} pages={res.n_pages} reviews={res.reviews.count()}"
+
+
+def _beat_listing_details(spark, args, kw) -> str:
+    from .operators.upsert import replace_parquet, upsert_parquet
+    from .plans.ops import run_listing_details
+    from .sources.aoi import covers_with_flags
+
+    listings = spark.read.parquet(_table(args.warehouse, "listings"))
+    covers = covers_with_flags(spark.read.parquet(_table(args.warehouse, "aoi")))
+    users = _users_or_empty(spark, args.warehouse)
+    res = run_listing_details(
+        spark, listings, covers, users, how_many=int(kw.get("how_many", 500_000))
+    )
+    upsert_parquet(res.listings, _table(args.warehouse, "listings"), ["listing_id"])
+    replace_parquet(res.users, _table(args.warehouse, "users"))
+    _persist_bronze(res.bronze, args.warehouse)
+    return f"due={res.n_due} hosts={res.hosts.count()}"
+
+
+def _beat_users(spark, args, kw) -> str:
+    from .operators.upsert import replace_parquet
+    from .plans.ops import run_user_update
+
+    users = spark.read.parquet(_table(args.warehouse, "users"))
+    res = run_user_update(spark, users, how_many=int(kw.get("how_many", 500_000)))
+    replace_parquet(res.users, _table(args.warehouse, "users"))
+    _persist_bronze(res.bronze, args.warehouse)
+    return f"due={res.n_due}"
+
+
+def _beat_bookings(spark, args, kw) -> str:
+    from .plans.ops import run_booking_quotes
+
+    days = spark.read.parquet(_table(args.warehouse, "calendar_days"))
+    # default anchor matches the mock source's calendar epoch; a real
+    # deployment passes --arg today=current_date()
+    res = run_booking_quotes(
+        spark, days, today_expr=kw.get("today", "DATE '2024-01-01'")
+    )
+    _persist_bronze(res.bronze, args.warehouse)
+    return f"quoted={res.n_quoted}"
+
+
+#: ref core/celery.py beat schedule + operations/*.py op names → composed ops
+BEAT_JOBS = {
+    "op_discover_new_listings_periodical": _beat_discover,
+    "op_estimate_listings_or_divide_periodical": _beat_estimate,
+    "op_update_calendar_periodical": _beat_calendar,
+    "op_update_reviews_periodical": _beat_reviews,
+    "op_update_listing_details_periodical": _beat_listing_details,
+    "op_get_users_details_periodical": _beat_users,
+    "op_get_booking_detail_periodical": _beat_bookings,
+}
+
+
+def cmd_run_beat_job(args) -> int:
+    """ref run-beat-job.py:40-76: dispatch a beat op by name with
+    ``--arg k=v`` parameters (the reference forwards kwargs to the Celery
+    signature; here they reach the composed op directly)."""
+    kw: dict[str, str] = {}
+    for a in args.arg or []:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            kw[k] = v
+    spark = _spark()
+    out = BEAT_JOBS[args.job](spark, args, kw)
+    print(f"{args.job}: {out}")
+    return 0
+
+
+def cmd_find_listings(args) -> int:
+    """ref find-listings.py:17-32: scan ONE named grid for listings now.
+    Errors (like the reference) if the grid is not registered."""
+    from .operators.upsert import upsert_parquet
+    from .plans.discovery import discover
+    from .sources.mock_api import MockAirbnbApi
+
+    spark = _spark()
+    grids = _read_or_none(spark, args.warehouse, "grid")
+    if grids is None or grids.filter(F.col("quadkey") == args.quadkey).limit(1).count() == 0:
+        print(
+            f"Grid with quadkey {args.quadkey} does not exist.\n"
+            "You can add it with the add-quadkey command.",
+            file=sys.stderr,
+        )
+        return 1
+    res = discover(spark, MockAirbnbApi(), [args.quadkey], max_waves=args.max_waves)
+    upsert_parquet(
+        _conform_listings(res.listings.withColumn("created_at", F.current_timestamp())),
+        _table(args.warehouse, "listings"),
+        ["listing_id"],
+    )
+    _persist_bronze(res.bronze.drop("quadkey", "items_offset"), args.warehouse)
+    print(f"grid {args.quadkey}: fetches={res.fetches} listings={res.listings.count()}")
+    return 0
+
+
+def cmd_edit_aoi(args) -> int:
+    """ref edit-aoi.py: mutate an AOI's collection flags, or delete it.
+    Row-level UPDATE/DELETE as a keyed MERGE on the aoi table."""
+    from .operators.upsert import replace_parquet, upsert_parquet
+
+    spark = _spark()
+    aoi = _read_or_none(spark, args.warehouse, "aoi")
+    if aoi is None or aoi.filter(F.col("aoi_id") == args.pk).limit(1).count() == 0:
+        print(f"AOI with primary key {args.pk} does not exist.", file=sys.stderr)
+        return 1
+    if args.delete:
+        replace_parquet(
+            aoi.filter(F.col("aoi_id") != args.pk), _table(args.warehouse, "aoi")
+        )
+        print(f"Successfully deleted AOI {args.pk}")
+        return 0
+    updates = {}
+    for flag, col in (
+        ("calendars", "collect_calendars"),
+        ("listing_details", "collect_listing_details"),
+        ("reviews", "collect_reviews"),
+        ("bookings", "collect_bookings"),
+        ("scan", "scan_for_new_listings"),
+    ):
+        if getattr(args, flag):
+            updates[col] = True
+        elif getattr(args, f"no_{flag}"):
+            updates[col] = False
+    row = aoi.filter(F.col("aoi_id") == args.pk)
+    for col, val in updates.items():
+        row = row.withColumn(col, F.lit(val))
+        print(f"Setting {col} to {val} for AOI {args.pk}")
+    upsert_parquet(row, _table(args.warehouse, "aoi"), ["aoi_id"])
+    print(f"Successfully updated AOI {args.pk}")
+    return 0
+
+
+def cmd_create_test_area(args) -> int:
+    """ref create-test-area.py:24-47: register the grid for a quadkey,
+    buffer its geometry by ~100 m (the reference buffers geom_3857; we
+    buffer the lon/lat bbox by the degree-equivalent at the tile's
+    latitude — same ~100 m ring), and create a Test-Area-<rand> AOI with
+    every collection flag on."""
+    import math
+
+    from .functions import geometry as geo
+    from .functions.ids import get_random_string
+    from .operators.upsert import upsert_parquet
+    from .sources import aoi as aoi_mod
+
+    spark = _spark()
+    west, south, east, north = geo.quadkey_bbox(args.quadkey)
+    lat_mid = (south + north) / 2.0
+    dlat = 100.0 / 111_320.0
+    dlon = dlat / max(math.cos(math.radians(lat_mid)), 1e-6)
+    wkt = geo.to_wkt(
+        geo.bbox_to_polygon(west - dlon, south - dlat, east + dlon, north + dlat)
+    )
+    existing = _read_or_none(spark, args.warehouse, "aoi")
+    next_id = (
+        (existing.agg(F.max("aoi_id")).collect()[0][0] or 0) + 1 if existing is not None else 1
+    )
+    df = aoi_mod.aoi_from_wkt(
+        spark,
+        next_id,
+        f"Test-Area-{get_random_string(5)}",
+        wkt,
+        scan_for_new_listings=True,
+        collect_calendars=True,
+        collect_listing_details=True,
+        collect_reviews=True,
+        collect_bookings=True,
+    )
+    upsert_parquet(df, _table(args.warehouse, "aoi"), ["aoi_id"])
+    grids = aoi_mod.seed_grids(spark, wkt, depth=len(args.quadkey))
+    upsert_parquet(grids, _table(args.warehouse, "grid"), ["quadkey"])
+    print(f"aoi {next_id} (test area) added; {grids.count()} grids")
     return 0
 
 
@@ -179,6 +487,29 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("discover", help="run the BFS discovery sweep (mock source)")
     d.add_argument("--max-waves", type=int, default=10)
     d.set_defaults(fn=cmd_discover)
+
+    rb = sub.add_parser("run-beat-job", help="run a composed beat op by name")
+    rb.add_argument("job", choices=sorted(BEAT_JOBS))
+    rb.add_argument("--arg", action="append", default=[], help="k=v forwarded to the op")
+    rb.set_defaults(fn=cmd_run_beat_job)
+
+    fl = sub.add_parser("find-listings", help="scan one registered grid for listings now")
+    fl.add_argument("quadkey")
+    fl.add_argument("--max-waves", type=int, default=5)
+    fl.set_defaults(fn=cmd_find_listings)
+
+    ea = sub.add_parser("edit-aoi", help="edit collection flags of an AOI, or delete it")
+    ea.add_argument("pk", type=int)
+    ea.add_argument("--delete", action="store_true")
+    for flag in ("calendars", "listing-details", "reviews", "bookings", "scan"):
+        grp = ea.add_mutually_exclusive_group(required=False)
+        grp.add_argument(f"--{flag}", action="store_true")
+        grp.add_argument(f"--no-{flag}", action="store_true")
+    ea.set_defaults(fn=cmd_edit_aoi)
+
+    ct = sub.add_parser("create-test-area", help="buffered test AOI from a quadkey, all flags on")
+    ct.add_argument("quadkey")
+    ct.set_defaults(fn=cmd_create_test_area)
 
     e = sub.add_parser("export-data", help="JSONL export with --only-latest/--since")
     e.add_argument("--table", default="responses")

@@ -115,11 +115,31 @@ def upsert_parquet(
         spark_df.write.mode("overwrite").parquet(path)
         return
     merged = upsert(existing, spark_df, keys)
+    _swap_write(merged, path)
+
+
+def replace_parquet(spark_df: DataFrame, path: str) -> None:
+    """Full-table atomic replace with the same temp-write + rename-swap
+    discipline as :func:`upsert_parquet` — for tables whose new state is
+    computed wholesale (grid subdivision removes parents; AOI delete
+    removes rows), where a keyed MERGE can't express row removal."""
+    import os
+
+    if not os.path.exists(path.rstrip("/")):
+        spark_df.write.mode("overwrite").parquet(path)
+        return
+    _swap_write(spark_df, path)
+
+
+def _swap_write(df: DataFrame, path: str) -> None:
+    import os
+    import shutil
+
     base = path.rstrip("/")
     tmp, old = base + ".__tmp__", base + ".__old__"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(tmp)  # durable before the swap
+    df.write.mode("overwrite").parquet(tmp)  # durable before the swap
     os.rename(base, old)
     os.rename(tmp, base)
     shutil.rmtree(old, ignore_errors=True)

@@ -125,3 +125,26 @@ def seed_grids(spark: SparkSession, wkt: str, depth: int = 12) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schemas.GRID)
+
+
+FLAG_COLS = tuple(DEFAULT_FLAGS)
+
+
+def covers_with_flags(aoi_df: DataFrame, depth: int = 12) -> DataFrame:
+    """(aoi_id, qk_prefix, is_boundary, <collection flags>) cover rows for
+    every AOI row — the production input to
+    ``operators.joins.flagged_cover_semi_join`` (ref managers.py:200-224
+    derives the same thing live with ST_Union over flagged AOI geoms).
+
+    Driver-side by design: the AOI table is thousands of rows and the
+    output is the broadcast side of every downstream spatial semi-join."""
+    from ..operators.spatial import aoi_cover_df
+
+    spark = aoi_df.sparkSession
+    rows = aoi_df.select("aoi_id", "geom_wkt", *FLAG_COLS).collect()
+    covers = aoi_cover_df(spark, [(r.aoi_id, r.geom_wkt) for r in rows], depth)
+    flags = spark.createDataFrame(
+        [(r.aoi_id, *[bool(r[c]) for c in FLAG_COLS]) for r in rows],
+        "aoi_id long, " + ", ".join(f"{c} boolean" for c in FLAG_COLS),
+    )
+    return covers.join(flags, "aoi_id")
