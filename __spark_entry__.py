@@ -24,8 +24,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_mod.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+#: heavyweight gate queries (sketching / pair-joins / clustering) run
+#: LAST so a driver-side time budget always records the cheap majority
+_SLOW = frozenset(
+    {
+        "ns_dedup_minhash_lsh",
+        "ns_dedup_ngram_jaccard",
+        "ns_dedup_simhash",
+        "ns_dedup_simhash_pairs",
+        "ns_dedup_simhash_groups",
+        "ns_embed_cosine_pairs",
+        "ns_embed_topk",
+        "ns_embed_ivf_topk",
+        "ns_dedup_apply",
+        "ns_dedup_exact",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {spec.name: spec.spark for spec in q_mod.registry()}
+    specs = sorted(
+        enumerate(q_mod.registry()), key=lambda t: (t[1].name in _SLOW, t[0])
+    )
+    return {spec.name: spec.spark for _, spec in specs}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -4,8 +4,9 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Each query is executed once after a tiny warmup query that pays JVM/codegen
-startup; timing covers logical plan → execution → count() (results are
-small aggregates, so count() materializes the full computation).
+startup; timing covers logical plan → execution → a checksum aggregate
+(sum of xxhash64 over every output column), so Catalyst cannot prune any
+output expression — every projected column is actually computed.
 """
 
 from __future__ import annotations
@@ -41,10 +42,24 @@ HEADLINE = [
 ]
 
 
+def _input_bytes(sf_dir: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("bench")
+    # size shuffle partitions to the data, not the core count: the
+    # production rule (bytes / ~128 MB target partitions, floored at a
+    # useful parallelism) — at toy SF this avoids paying scheduler
+    # overhead for dozens of near-empty shuffle partitions, and at 100 TB
+    # the same formula yields tens of thousands of partitions
+    parts = max(8, min(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)) * 2,
+                       _input_bytes(sf_dir) // (128 << 20)))
+    spark = get_spark("bench", shuffle_partitions=parts)
 
     # warmup: JVM + whole-stage-codegen compilation path, then prime the
     # table cache (warm-cache benchmark: the driver's single-row-group
@@ -54,6 +69,14 @@ def main() -> None:
     from ubdc_airbnb_spark.sources.tables import warm_cache
 
     warm_cache(spark, sf_dir)
+
+    from pyspark.sql import functions as F
+
+    def checksum(df) -> None:
+        # forces every output column to be computed (no projection pruning)
+        df.agg(
+            F.bit_xor(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])))
+        ).collect()
 
     specs = {s.name: s for s in q_mod.registry()}
     timings: dict[str, float] = {}
@@ -65,7 +88,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            checksum(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         dt = round(best, 3)
         timings[name] = dt

@@ -147,27 +147,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
     Computed as explode(words) → explode(bits) → groupBy(id, bit) votes →
     groupBy(id) assemble — shuffles only on (id, bit)."""
-    ws = df.select(F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("word"))
-    hashed = ws.select(F.col(id_col), md5_long(F.col("word")).alias("h"))
-    # One aggregate column per bit (not an exploded (id, bit) shuffle):
-    # the groupBy shuffles only distinct-word rows and the 32 vote sums
-    # combine map-side. Same semantics as the per-bit formulation.
-    votes = [
-        F.sum(
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.array_distinct(words(text_col)), lambda w: md5_long(w))
+        ).alias("h"),
+    )
+    # One aggregate term per bit (not an exploded (id, bit) shuffle): the
+    # groupBy shuffles only distinct-word rows and the 32 vote sums
+    # combine map-side. The sketch is assembled INSIDE the agg (post-agg
+    # arithmetic over the sums), so the whole sketch is a single Dataset:
+    # one analysis pass, no wide 32-column intermediate.
+    sketch = None
+    for b in range(bits):
+        vote = F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
                 F.lit(-1)
             )
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    sums = hashed.groupBy(id_col).agg(*votes)
-    sketch = None
-    for b in range(bits):
-        piece = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
         )
+        piece = F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sketch = piece if sketch is None else (sketch + piece)
-    return sums.select(F.col(id_col), sketch.alias("simhash"))
+    return hashed.groupBy(id_col).agg(sketch.alias("simhash"))
 
 
 def hamming_distance(a: str = "simhash_a", b: str = "simhash_b", bits: int = 32) -> F.Column:
