@@ -36,6 +36,7 @@ _SLOW = frozenset(
         "ns_embed_cosine_pairs",
         "ns_embed_topk",
         "ns_embed_ivf_topk",
+        "ns_embed_ivf_multiprobe",
         "ns_dedup_apply",
         "ns_dedup_exact",
     }

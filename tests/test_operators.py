@@ -202,6 +202,16 @@ def test_ivf_recall_vs_brute_force(spark):
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.2, f"IVF recall {recall} implausibly low"
     assert len(approx_set) == len(exact_set)
+    # multi-probe is the recall lever: probing 2 buckets must never lose
+    # pairs vs 1 bucket, and typically gains boundary neighbors
+    multi = similarity.ivf_topk(emb, queries, centroids, k=5, probes=2).collect()
+    multi_set = {(r.query_id, r.neighbor_id) for r in multi}
+    recall2 = len(exact_set & multi_set) / len(exact_set)
+    assert recall2 >= recall, (recall2, recall)
+    # all-centroid probing degenerates to exact brute force
+    n_cent = centroids.count()
+    full = similarity.ivf_topk(emb, queries, centroids, k=5, probes=n_cent).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == exact_set
 
 
 # ------------------------------------------------------------------ spatial

@@ -269,13 +269,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: both sides bucketed by nearest centroid, join on
     bucket id (hash join, not cross join), per-query top-k within the
-    probed bucket. Recall < 1 by construction; verified in tests against
-    brute force."""
+    probed bucket(s). Recall < 1 by construction; verified in tests
+    against brute force.
+
+    ``probes > 1`` is the recall lever: the query side probes its top-p
+    centroids (corpus stays single-assigned, so probe cost scales with
+    the query set only — p·|q| bucket lookups, corpus untouched)."""
     bucketed = assign_ivf_buckets(vectors, centroids, id_col, vec_col)
-    q_bucketed = assign_ivf_buckets(queries, centroids, id_col, vec_col).select(
+    q_assigned = (
+        assign_ivf_buckets(queries, centroids, id_col, vec_col)
+        if probes == 1
+        else centroid_probes(queries, centroids, probes, id_col, vec_col)
+    )
+    q_bucketed = q_assigned.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("centroid_id"),

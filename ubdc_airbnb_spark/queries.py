@@ -2103,6 +2103,58 @@ def ns_embed_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), centroids, k=5)
 
 
+@q(
+    "ns_embed_ivf_multiprobe",
+    ("NS-similarity",),
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, cent.ce)
+                          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                          cent.centroid_id) AS rn
+        FROM v, cent) WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, e AS qv, centroid_id FROM (
+        SELECT v.vec_id, v.e, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, cent.ce)
+                          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                          cent.centroid_id) AS rn
+        FROM v, cent WHERE v.vec_id < 10) WHERE rn <= 2),
+    s AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qv, a.e)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.e, a.e))) AS cos
+      FROM q JOIN assigned a ON q.centroid_id = a.centroid_id AND q.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= 5
+    """,
+    "multi-probe IVF top-k (query side probes its 2 nearest centroid "
+    "buckets; corpus stays single-assigned) — the recall lever over "
+    "single-probe IVF; oracle replays probe selection + bucket-ranked "
+    "search in SQL",
+)
+def ns_embed_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+        )
+    )
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), centroids, k=5, probes=2
+    )
+
+
 _MARKER_SQL = {
     "en": "['the','and','of','to','a']",
     "de": "['der','die','und','das','ist']",
