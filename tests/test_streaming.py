@@ -110,3 +110,63 @@ def test_stateful_pagination_tracker(spark, tmp_path):
     assert got[("s1", 10)] is True
     assert got[("s1", 30)] is False  # gap: expected 20
     assert got[("s2", 0)] is True and got[("s2", 10)] is True
+
+
+def test_session_counts_match_batch(spark, tmp_path):
+    """Streaming session_window output == the batch gaps-and-islands
+    result (the st_session_window gate's Spark side)."""
+    src = _events_dir(spark, tmp_path)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = jobs.session_counts(stream, gap="30 minutes", watermark="1 hour")
+    jobs.run_available_now(agg, "sess_counts")
+    got = {
+        (r.session_start_us, r.user_id): (r.session_end_us, r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "user_id", "n", "sum_value",
+        )
+    )
+    expected = {
+        (r.session_start_us, r.user_id): (r.session_end_us, r.n, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == expected
+    # sessions really merge: fewer sessions than events for some user
+    assert sum(v[1] for v in got.values()) > len(got)
+
+
+def test_sliding_counts_match_batch(spark, tmp_path):
+    """Streaming hopping windows == batch; every event lands in exactly
+    window/slide = 2 windows."""
+    src = _events_dir(spark, tmp_path)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = jobs.sliding_counts(stream, window="10 minutes", slide="5 minutes", watermark="1 hour")
+    jobs.run_available_now(agg, "slide_counts")
+    got = spark.sql("SELECT * FROM slide_counts")
+    n_events = spark.read.parquet(src).count()
+    assert got.agg(F.sum("n")).collect()[0][0] == 2 * n_events
+    batch = {
+        (r.window_start_s, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(src)
+        .groupBy(F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type", "n", "sum_value",
+        )
+        .collect()
+    }
+    assert {(r.window_start_s, r.event_type): (r.n, r.sum_value) for r in got.collect()} == batch

@@ -1161,6 +1161,84 @@ def st_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "st_session_window",
+    ("T1",),
+    """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_us,
+           user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    "session windows (30-min gap) per user — batch twin of the "
+    "Structured Streaming session_window job (streaming/jobs.py "
+    "session_counts); oracle is the classic gaps-and-islands rewrite: "
+    "lag-break flags -> running-sum session ids -> per-session agg",
+)
+def st_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "st_sliding_window",
+    ("T1",),
+    """
+    SELECT ws AS window_start_s, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT event_type, value,
+                 CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS s0
+          FROM events),
+         UNNEST([s0 - 300, s0]) AS t(ws)
+    GROUP BY 1, 2
+    """,
+    "sliding 10-min windows hopping every 5 min — batch twin of "
+    "streaming/jobs.py sliding_counts; every event double-counts into "
+    "its two covering windows (explode on the Spark side, UNNEST in the "
+    "oracle)",
+)
+def st_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Tile math / spatial kernels (G*, J1) on synthetic coordinates
 # --------------------------------------------------------------------------
