@@ -355,6 +355,271 @@ def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_REV_SQL = "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+
+
+def _rev_sum() -> F.Column:
+    return (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("double")
+    )
+
+
+@q(
+    "q7_nation_volume",
+    ("J8", "A2", "U2"),
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape — bilateral trade volume: 5-way join, symmetric "
+    "nation-pair disjunction, per-year revenue (both nation joins "
+    "broadcast; the OR filter prunes before the shuffle)",
+)
+def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.expr("TIMESTAMP '1995-01-01'"), F.expr("TIMESTAMP '1996-12-31'")
+        )
+    )
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_rev_sum().alias("revenue"))
+    )
+
+
+@q(
+    "q12_late_shipments",
+    ("J8", "A2", "C3"),
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY l_linestatus
+    """,
+    "TPC-H Q12 shape — late-shipment split by priority class (the "
+    "shipmode pivot re-expressed over available columns: late = shipped "
+    ">= 60 days after order date); conditional-count pivot",
+)
+def q12_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.expr("TIMESTAMP '1996-01-01'"), F.expr("TIMESTAMP '1996-12-31'")
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q18_large_orders",
+    ("J5", "A2", "J8", "W3"),
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, qty_sum
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+      ON o_orderkey = big.l_orderkey
+    """,
+    "TPC-H Q18 shape — large-volume orders: HAVING-sum subquery as a "
+    "grouped-agg join (quantity summed in DECIMAL so the threshold is "
+    "exact); the big-order set is tiny, so it broadcasts",
+)
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("qty_sum"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "qty_sum",
+        )
+    )
+
+
+@q(
+    "q19_disjunctive_revenue",
+    ("J8", "U2", "A1"),
+    f"""
+    SELECT CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 40)
+    """,
+    "TPC-H Q19 shape — disjunction of conjunctive band predicates "
+    "across both join sides; Catalyst extracts the common join key and "
+    "pushes the per-side residuals below the broadcast join",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(5, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(10, 40))
+    )
+    return joined.filter(cond).agg(
+        _rev_sum().alias("revenue"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@q(
+    "q21_lone_returner",
+    ("J4", "J6", "A2"),
+    """
+    WITH r AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM r
+    JOIN supplier ON s_suppkey = r.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = r.l_orderkey AND l2.l_suppkey <> r.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = r.l_orderkey AND l3.l_suppkey <> r.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    "TPC-H Q21 shape — double-correlated EXISTS / NOT EXISTS (the "
+    "waiting-supplier query re-expressed over available columns: the "
+    "ONLY supplier with a returned line in a multi-supplier order); "
+    "compiles to one semi- and one anti-join on the order key",
+)
+def q21_lone_returner(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"),
+        F.col("l_returnflag").alias("o_flag"),
+    )
+    exists_other = r.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    no_other_returner = exists_other.join(
+        other.filter(F.col("o_flag") == "R"),
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    return (
+        no_other_returner.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@q(
+    "q22_idle_balances",
+    ("J6", "J5", "A2"),
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    "TPC-H Q22 shape — rich customers with no urgent orders: scalar-avg "
+    "subquery (exact via DECIMAL sum / count) + anti-join on a filtered "
+    "orders side, grouped by nation (phone-prefix pivot re-expressed "
+    "over available columns; plain no-orders is empty at every SF)",
+)
+def q22_idle_balances(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Projections / filters / predicates (P*)
 # --------------------------------------------------------------------------
