@@ -1,0 +1,106 @@
+"""Distributed sketch operators (north-star: cardinality / frequency at
+100 TB without exact state).
+
+The built-in ``approx_count_distinct`` is a black-box HLL++ whose exact
+register values differ between engines, so it cannot be oracle-checked.
+This module implements a *portable* HyperLogLog entirely as DataFrame
+algebra — md5-derived 60-bit hashes, bit-sliced bucket/rho, integer
+register table — so DuckDB replays the identical sketch bit-for-bit
+(``ns_hll_distinct`` gate). The shape is the production shape: one
+map-side-combinable groupBy over ``m`` buckets, a second tiny aggregate
+over ≤ m rows; sketch state is O(m), never O(distinct).
+
+Merging sketches (union of datasets) = elementwise MAX of register
+tables — the same groupBy run over the unioned register rows, which is
+how per-partition / per-day sketches roll up on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+#: rho values live in [1, 49]: the hash is 60 bits, ``b`` bits pick the
+#: bucket and the remaining 48 feed the leading-zero count.
+_HASH_BITS = 60
+
+
+def hll_registers(
+    df: DataFrame, col: str | Column, b: int = 12
+) -> DataFrame:
+    """HLL register table: (bucket, m_j = max rho) over distinct hashes.
+
+    bucket = low ``b`` bits of the 60-bit hash; rho = 1 + leading zeros
+    of the remaining ``60-b`` bits (computed with ``bin()`` string length
+    — identical in Spark and DuckDB, no floating log2). One shuffle on
+    the bucket id (m = 2^b keys, uniform)."""
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    h = md5_long(col)
+    rest = F.shiftright(h, b)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"), rho.cast("int").alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union of sketches = elementwise max of register tables (the
+    cluster rollup path: per-partition/per-day sketches combine without
+    touching raw data)."""
+    it = iter(register_tables)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(registers: DataFrame, b: int = 12) -> DataFrame:
+    """Cardinality estimate from a register table, all-integer harmonic
+    sum so the oracle replays it exactly:
+
+    S = Σ_j 2^(49 - m_j) (absent buckets contribute 2^49) — a BIGINT;
+    the harmonic mean denominator is S / 2^49 exactly, so
+    E_raw = α_m · m² · 2^49 / S with a single float multiply/divide.
+    Small-range (linear counting) correction when E ≤ 2.5 m and empty
+    buckets remain: E = m · ln(m / V). Returns one row:
+    (m, v_zero_buckets, s_harmonic, est_raw, est) — estimates rounded to
+    4 decimals (ln/division are the only libm touchpoints)."""
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        # shift amount is a Column: F.shiftleft rejects it, call_function works
+        F.sum(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.lit(rest_bits + 1) - F.col("m_j")).cast("int")
+            )
+        ).alias("s_present"),
+    )
+    v = F.lit(m) - F.col("n_present")
+    s = F.col("s_present") + v * F.shiftleft(F.lit(1).cast("long"), rest_bits + 1)
+    est_raw = F.lit(alpha * m * m * float(1 << (rest_bits + 1))) / s.cast("double")
+    est = F.when(
+        (est_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    ).otherwise(est_raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        v.cast("long").alias("v_zero_buckets"),
+        s.cast("long").alias("s_harmonic"),
+        F.round(est_raw, 4).alias("est_raw"),
+        F.round(est, 4).alias("est"),
+    )
+
+
+def hll_distinct_count(df: DataFrame, col: str | Column, b: int = 12) -> DataFrame:
+    """One-shot portable-HLL distinct count (register + estimate)."""
+    return hll_estimate(hll_registers(df, col, b), b)

@@ -2498,6 +2498,54 @@ def ns_embed_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _hll_sql(value_expr: str, table: str, b: int = 12) -> str:
+    """DuckDB twin of operators/sketches.py portable HLL (same md5 hash,
+    same bit slicing, same integer harmonic sum, same float literals)."""
+    m = 1 << b
+    rest_bits = 60 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << (rest_bits + 1)))
+    r1 = rest_bits + 1
+    return f"""
+    WITH h AS (SELECT CAST(CONCAT('0x', SUBSTR(MD5({value_expr}), 1, 15)) AS BIGINT) AS h
+               FROM {table}),
+    r AS (SELECT h & {m - 1} AS bucket,
+                 CASE WHEN (h >> {b}) = 0 THEN {r1}
+                      ELSE {r1} - length(bin(h >> {b})) END AS rho
+          FROM h),
+    regs AS (SELECT bucket, MAX(rho) AS m_j FROM r GROUP BY bucket),
+    a AS (SELECT COUNT(*) AS n_present,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({r1} - m_j)) AS BIGINT) AS s_present
+          FROM regs),
+    e AS (SELECT CAST({m} - n_present AS BIGINT) AS v,
+                 CAST(s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {r1}) AS BIGINT) AS s
+          FROM a),
+    est0 AS (SELECT v, s, {num} / CAST(s AS DOUBLE) AS est_raw FROM e)
+    SELECT CAST({m} AS BIGINT) AS m, v AS v_zero_buckets, s AS s_harmonic,
+           ROUND(est_raw, 4) AS est_raw,
+           ROUND(CASE WHEN est_raw <= {2.5 * m!r} AND v > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+                      ELSE est_raw END, 4) AS est
+    FROM est0
+    """
+
+
+@q(
+    "ns_hll_distinct",
+    ("NS-sketch", "A1"),
+    _hll_sql("CAST(user_id AS VARCHAR)", "events"),
+    "portable HyperLogLog distinct-count sketch (b=12, md5-hashed, "
+    "bin()-based rho, all-integer harmonic sum) — O(m) state instead of "
+    "O(distinct); oracle replays the sketch bit-for-bit; accuracy vs "
+    "exact COUNT(DISTINCT) asserted in tests",
+)
+def ns_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = load_table(spark, sf, "events")
+    return sketches.hll_distinct_count(ev, F.col("user_id").cast("string"), b=12)
+
+
 _MARKER_SQL = {
     "en": "['the','and','of','to','a']",
     "de": "['der','die','und','das','ist']",
