@@ -339,3 +339,83 @@ def test_ivf_threshold_pairs_recall_vs_exact(spark):
     assert got <= exact  # no false positives: every pair exact-verified
     if exact:
         assert len(got) / len(exact) >= 0.5  # 2-probe recall floor
+
+
+# ------------------------------------------------------------------ as-of
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive match, tie-break by largest, tolerance
+    nullifies stale matches, unmatched lefts keep NULLs."""
+    from ubdc_airbnb_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),
+         (1, "2024-01-01 12:00:00", "b"),
+         (2, "2024-01-01 09:00:00", "c")],
+        "k long, ts string, tag string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 100),
+         (1, "2024-01-01 10:00:00", 200),   # equal ts -> inclusive match
+         (1, "2024-01-01 11:45:00", 300),
+         (2, "2024-01-01 02:00:00", 400)],  # > 1h before left -> tolerance kills
+        "k long, rts string, rid long",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "rid")
+
+    out = {
+        (r.k, r.tag): (r.rid, r.rts)
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            tolerance="INTERVAL 1 HOUR", tiebreak="rid",
+        ).collect()
+    }
+    assert out[(1, "a")][0] == 200      # inclusive: rts == ts wins over 09:30
+    assert out[(1, "b")][0] == 300      # latest within the hour
+    assert out[(2, "c")] == (None, None)  # match exists but outside tolerance
+
+    # without tolerance the stale match survives
+    out2 = {
+        (r.k, r.tag): r.rid
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts", tiebreak="rid"
+        ).collect()
+    }
+    assert out2[(2, "c")] == 400
+
+
+def test_asof_join_tie_break_largest(spark):
+    from ubdc_airbnb_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long").select(
+        "k", F.timestamp_seconds("t").alias("t")
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 10, 9), (1, 10, 8)], "k long, rt long, rid long"
+    ).select("k", F.timestamp_seconds("rt").alias("rt"), "rid")
+    got = asof_join(left, right, key="k", left_ts="t", right_ts="rt", tiebreak="rid").collect()
+    assert got[0].rid == 9
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    """The scale claim: as-of compiles to window carry-forward — no Join
+    operator, so no per-key range cross-product can ever materialize."""
+    from ubdc_airbnb_spark import queries as q
+
+    plan = q.j13_asof_attribution(spark, "/root/testdata/sf0.001")._sc._jvm.PythonSQLUtils.explainString(
+        q.j13_asof_attribution(spark, "/root/testdata/sf0.001")._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_asof_join_rejects_column_collision(spark):
+    from ubdc_airbnb_spark.operators.joins import asof_join
+
+    df = spark.createDataFrame([(1, 2)], "k long, ts long").select(
+        "k", F.timestamp_seconds("ts").alias("ts")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rename right columns"):
+        asof_join(df, df, key="k")

@@ -134,3 +134,88 @@ def flagged_cover_semi_join(
     dropDuplicates on the broadcast side."""
     cover = aoi_covers.filter(F.col(flag_col)).select(prefix_col).distinct()
     return prefix_semi_join(points, cover, qk_col, prefix_col, keep)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row gets the LATEST right row of
+    the same key with ``right_ts <= left_ts`` (inclusive), optionally
+    only if it lies within ``tolerance`` (an INTERVAL expression, e.g.
+    ``"INTERVAL 1 HOUR"``); unmatched right columns are NULL.
+
+    Spark has no ASOF JOIN; the naive range join explodes into a
+    per-key cross product. This is the scalable formulation: tag both
+    sides, union, one window sorted by (ts, side[, tiebreak]) per key,
+    and ``last(right_col, ignorenulls)`` carries the most recent right
+    row forward onto each left row. Cost: ONE shuffle of each side on
+    ``key`` and a per-key sort — no join node at all, so there is
+    nothing to explode (plan-asserted in tests). Right-side ties on
+    (key, ts) are resolved by ``tiebreak`` (largest wins); pre-dedup the
+    right side for full determinism without one.
+
+    Output: all left columns + every right column except ``key``
+    (right's ts column included) — right columns keep their names, so
+    rename collisions on the caller's side first.
+    """
+    rcols = [c for c in right.columns if c != key]
+    lcols = left.columns
+    overlap = set(rcols) & set(lcols)
+    if overlap:
+        raise ValueError(f"rename right columns colliding with left: {sorted(overlap)}")
+    tb = (
+        F.col(tiebreak).cast("long")
+        if tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
+        *[F.col(c) for c in lcols if c != key],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        tb.alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        *[F.col(c) for c in rcols],
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        F.col(key),
+        "__ts",
+        "__side",
+        *[F.col(c) for c in lcols if c != key],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        # right's ts must be among the carried right columns
+        if right_ts not in rcols:
+            raise ValueError("tolerance requires right's ts column in its output columns")
+        in_tol = F.col(right_ts).isNotNull() & (
+            F.col(right_ts) >= F.col("__ts") - F.expr(tolerance)
+        )
+        out = out.select(
+            F.col(key),
+            "__ts",
+            *[F.col(c) for c in lcols if c != key],
+            *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in rcols],
+        )
+    return out.select(*lcols, *rcols)

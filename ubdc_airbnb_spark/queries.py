@@ -1427,6 +1427,54 @@ def st_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "j13_asof_attribution",
+    ("J8", "W2", "C3"),
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS view_ts, MAX(event_id) AS view_id
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           CASE WHEN v.view_ts >= p.ts - INTERVAL 1 HOUR THEN v.view_id END AS view_id,
+           CASE WHEN v.view_ts >= p.ts - INTERVAL 1 HOUR
+                THEN CAST(epoch_us(v.view_ts) AS BIGINT) END AS view_ts_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+    "backward as-of join (purchase -> latest view of the same user "
+    "within 1h): Spark lacks ASOF JOIN, so operators/joins.asof_join "
+    "re-expresses it as union + per-key window carry-forward — one "
+    "shuffle per side, NO join node, nothing to range-explode; oracle "
+    "is DuckDB's native ASOF LEFT JOIN + tolerance nullification",
+)
+def j13_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        tolerance="INTERVAL 1 HOUR",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+
+
+@q(
     "st_session_window",
     ("T1",),
     """
