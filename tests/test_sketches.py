@@ -57,3 +57,62 @@ def test_hll_state_is_bounded(spark):
     at 100 TB)."""
     df = spark.range(200_000).select(F.col("id").cast("string").alias("v"))
     assert sketches.hll_registers(df, "v", b=8).count() <= 256
+
+
+# ------------------------------------------------------------ count-min
+
+
+def test_cm_overestimates_never_under(spark):
+    """CM guarantee: est >= exact for every key."""
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    key = F.col("user_id").cast("string")
+    sk = sketches.cm_sketch(ev, key, d=4, w=1024)
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = sketches.cm_estimate(sk, keys, F.col("user_id").cast("string"), d=4, w=1024)
+    bad = est.filter(F.col("est") < F.col("exact")).count()
+    assert bad == 0
+    # with 150 keys in 1024 slots, most estimates are exact
+    exact_frac = est.filter(F.col("est") == F.col("exact")).count() / est.count()
+    assert exact_frac > 0.8
+
+
+def test_cm_state_bounded_and_mergeable(spark):
+    a = spark.range(5_000).select((F.col("id") % 37).cast("string").alias("v"))
+    b = spark.range(5_000, 9_000).select((F.col("id") % 37).cast("string").alias("v"))
+    sa, sb = sketches.cm_sketch(a, "v"), sketches.cm_sketch(b, "v")
+    assert sa.count() <= 4 * 1024
+    # merging = summing counters == sketching the union
+    merged = (
+        sa.unionByName(sb).groupBy("row", "slot").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = sketches.cm_sketch(a.unionByName(b), "v")
+    assert sorted(merged.collect()) == sorted(direct.collect())
+
+
+# ------------------------------------------------------------ sampling
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    from ubdc_airbnb_spark.operators import sampling
+
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+    s1 = {r.k for r in sampling.hash_sample(df, "k", 0.1).collect()}
+    s2 = {r.k for r in sampling.hash_sample(df.repartition(7), "k", 0.1).collect()}
+    assert s1 == s2  # stable under repartitioning
+    assert abs(len(s1) - 2_000) < 300
+    # nested fractions: a 5% sample is a subset of the 10% sample
+    s3 = {r.k for r in sampling.hash_sample(df, "k", 0.05).collect()}
+    assert s3 <= s1
+
+
+def test_split_covers_and_respects_weights(spark):
+    from ubdc_airbnb_spark.operators import sampling
+
+    df = spark.range(50_000).select(F.col("id").cast("string").alias("k"))
+    out = sampling.split(df, "k", (("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # no NULL remainder
+    assert abs(counts["train"] - 40_000) < 1_000
+    assert abs(counts["val"] - 5_000) < 400

@@ -1,0 +1,66 @@
+"""Deterministic sampling / dataset splitting (north-star): the ops a
+training-data pipeline runs constantly — consistent subsampling and
+train/val/test assignment — done by content hash, not RNG.
+
+Why hash, not ``rand()``: the assignment must be (a) reproducible across
+runs and engines, (b) stable under repartitioning/retries, (c) consistent
+for the same key everywhere (a document keeps its split forever, even
+when the corpus is re-ingested). ``md5_long`` over the key gives all
+three and replays exactly in the DuckDB oracle.
+
+Everything is a narrow select + filter: no shuffle, no state, pushes
+down past column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+#: hash-space modulus: ppm granularity for fractions
+_M = 1_000_000
+
+
+def hash_bucket(col: str | Column, salt: str = "sample") -> Column:
+    """Uniform bucket in [0, 1e6) from the key's salted md5."""
+    return md5_long(col, salt=salt) % _M
+
+
+def hash_sample(
+    df: DataFrame, col: str | Column, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — the same keys
+    survive on every run, engine, and partitioning."""
+    return df.filter(hash_bucket(col, salt) < int(fraction * _M))
+
+
+def split_label(
+    col: str | Column,
+    weights: Sequence[tuple[str, float]] = (("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    salt: str = "split",
+) -> Column:
+    """Train/val/test label by cumulative hash-bucket boundaries.
+    Weights need not sum to 1 — the remainder is labeled NULL (held
+    out)."""
+    bucket = hash_bucket(col, salt)
+    expr = None
+    edge = 0
+    for name, w in weights:
+        edge += int(w * _M)
+        cond = bucket < edge
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(F.lit(None))
+
+
+def split(
+    df: DataFrame,
+    col: str | Column,
+    weights: Sequence[tuple[str, float]] = (("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    salt: str = "split",
+    label_col: str = "split",
+) -> DataFrame:
+    return df.withColumn(label_col, split_label(col, weights, salt))

@@ -104,3 +104,53 @@ def hll_estimate(registers: DataFrame, b: int = 12) -> DataFrame:
 def hll_distinct_count(df: DataFrame, col: str | Column, b: int = 12) -> DataFrame:
     """One-shot portable-HLL distinct count (register + estimate)."""
     return hll_estimate(hll_registers(df, col, b), b)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: frequency estimates in O(d·w) state
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch(
+    df: DataFrame, col: str | Column, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-Min sketch as a counter table (row, slot, cnt): ``d``
+    salted md5 hash rows × ``w`` slots. Built with one explode(d) +
+    map-side-combinable groupBy on (row, slot) — state is O(d·w)
+    regardless of input size, and two sketches merge by summing
+    counters. Deterministic (salted md5, no RNG), so DuckDB replays it
+    exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    slots = F.array(
+        *[(md5_long(c, salt=f"cm{i}") % w).cast("int") for i in range(d)]
+    )
+    return (
+        df.select(F.posexplode(slots).alias("row", "slot"))
+        .groupBy("row", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str | Column,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimate for each key: min over the d counters it
+    hashes to. The sketch is tiny (≤ d·w rows) and broadcasts; the
+    classic guarantee holds: est ≥ true count, est ≤ true + εN w.h.p.
+    Output: every ``keys`` column + ``est``."""
+    from pyspark.sql.functions import broadcast
+
+    c = F.col(col) if isinstance(col, str) else col
+    slots = F.array(
+        *[(md5_long(c, salt=f"cm{i}") % w).cast("int") for i in range(d)]
+    )
+    probed = keys.select("*", F.posexplode(slots).alias("row", "slot"))
+    return (
+        probed.join(broadcast(sketch), ["row", "slot"], "left")
+        .groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -2594,6 +2594,68 @@ def ns_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.hll_distinct_count(ev, F.col("user_id").cast("string"), b=12)
 
 
+@q(
+    "ns_consistent_split",
+    ("NS-sampling",),
+    """
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 980000 THEN 'train'
+                WHEN bucket < 990000 THEN 'val'
+                WHEN bucket < 1000000 THEN 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15)) AS BIGINT)
+                   % 1000000 AS bucket
+          FROM documents)
+    """,
+    "deterministic train/val/test assignment by salted content hash "
+    "(98/1/1) — reproducible across runs, engines, and repartitioning; "
+    "a document keeps its split forever (operators/sampling.py)",
+)
+def ns_consistent_split(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    key = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        sampling.hash_bucket(key, salt="split").alias("bucket"),
+        sampling.split_label(key).alias("split"),
+    )
+
+
+@q(
+    "ns_cmsketch_freq",
+    ("NS-sketch", "A2"),
+    """
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS s, user_id FROM events),
+    hs AS (SELECT user_id, i,
+                  CAST(CONCAT('0x', SUBSTR(MD5(s || '#cm' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1024 AS slot
+           FROM ev, generate_series(0, 3) AS t(i)),
+    sk AS (SELECT i AS row, slot, CAST(COUNT(*) AS BIGINT) AS cnt FROM hs GROUP BY i, slot),
+    keys AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact FROM ev GROUP BY user_id),
+    kh AS (SELECT DISTINCT user_id, i, slot FROM hs),
+    est AS (SELECT kh.user_id, MIN(COALESCE(sk.cnt, 0)) AS est
+            FROM kh LEFT JOIN sk ON kh.i = sk.row AND kh.slot = sk.slot
+            GROUP BY kh.user_id)
+    SELECT k.user_id, k.exact, CAST(e.est AS BIGINT) AS est
+    FROM keys k JOIN est e ON k.user_id = e.user_id
+    """,
+    "Count-Min frequency sketch (d=4 salted md5 rows x 1024 slots, "
+    "O(d*w) state) — per-key estimated vs exact counts; est >= exact "
+    "always (one-sided error, asserted in tests); oracle replays the "
+    "identical counter table",
+)
+def ns_cmsketch_freq(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = load_table(spark, sf, "events")
+    key = F.col("user_id").cast("string")
+    sk = sketches.cm_sketch(ev, key, d=4, w=1024)
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    return sketches.cm_estimate(sk, keys, F.col("user_id").cast("string"), d=4, w=1024)
+
+
 _MARKER_SQL = {
     "en": "['the','and','of','to','a']",
     "de": "['der','die','und','das','ist']",
