@@ -419,3 +419,27 @@ def test_asof_join_rejects_column_collision(spark):
 
     with _pytest.raises(ValueError, match="rename right columns"):
         asof_join(df, df, key="k")
+
+
+# ------------------------------------------------------------------ tf-idf
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from ubdc_airbnb_spark.operators import tfidf
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry date")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.tfidf)
+        for r in tfidf.top_terms(df, "doc_id", "text", k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 -> 2*(ln(4/2)+1); banana tf=1 df=2 -> ln(4/3)+1
+    assert got[(1, 1)][0] == "apple"
+    assert got[(1, 1)][3] == round(2 * (math.log(4 / 2) + 1), 6)
+    assert got[(1, 2)][0] == "banana"
+    assert got[(3, 1)][0] == "cherry"
+    assert got[(3, 1)][1] == 3 and got[(3, 1)][2] == 2

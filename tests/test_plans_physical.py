@@ -4,6 +4,8 @@ regression that silently de-optimizes a plan fails CI."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ubdc_airbnb_spark import queries as q
 
 SF = "/root/testdata/sf0.001"
@@ -119,3 +121,45 @@ def test_centroid_probe_assignment_is_narrow(spark):
     plan = _plan(centroid_probes(emb, cents, probes=2))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_q7_broadcasts_nations(spark):
+    plan = _plan(q.q7_nation_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the shipdate band reaches the lineitem scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q19_pushes_per_side_residuals(spark):
+    """Catalyst must extract the common equi-key from the OR-of-ANDs and
+    push the single-side residual bands below the join."""
+    plan = _plan(q.q19_disjunctive_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    # the l_quantity disjunction is pushed to the lineitem parquet scan
+    assert any("l_quantity" in l for l in scans), scans
+
+
+def test_q21_compiles_to_semi_and_anti(spark):
+    plan = _plan(q.q21_lone_returner(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_hll_registers_single_shuffle(spark):
+    from ubdc_airbnb_spark.operators.sketches import hll_registers
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(hll_registers(ev, F.col("user_id").cast("string")))
+    # formatted explain repeats node names in the detail section; count
+    # the numbered node headers only
+    n_exchanges = len(
+        [l for l in plan.splitlines() if l.startswith("(") and "Exchange" in l]
+    )
+    assert n_exchanges <= 1
+    assert "Join" not in plan
+
+
+def test_consistent_split_is_narrow(spark):
+    plan = _plan(q.ns_consistent_split(spark, SF))
+    assert "Exchange" not in plan and "Join" not in plan

@@ -2656,6 +2656,35 @@ def ns_cmsketch_freq(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.cm_estimate(sk, keys, F.col("user_id").cast("string"), d=4, w=1024)
 
 
+@q(
+    "ns_tfidf_top_terms",
+    ("NS-text", "A2", "W1"),
+    r"""
+    WITH t AS (SELECT doc_id, lower(w) AS term
+               FROM documents,
+                    UNNEST(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS u(w)),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 round(CAST(tf.tf AS DOUBLE) * (ln((n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfq USING (term), n)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM s)
+    WHERE rank <= 3
+    """,
+    "per-document top-3 terms by smooth tf-idf (sklearn formula, "
+    "rounded to 6 dp before ranking so the order is engine-exact); one "
+    "shuffle on (doc, term), vocabulary-side broadcast",
+)
+def ns_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import tfidf
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf.top_terms(docs, "doc_id", "text", k=3)
+
+
 _MARKER_SQL = {
     "en": "['the','and','of','to','a']",
     "de": "['der','die','und','das','ist']",
