@@ -33,6 +33,8 @@ _SLOW = frozenset(
         "ns_dedup_simhash",
         "ns_dedup_simhash_pairs",
         "ns_dedup_simhash_groups",
+        "ns_dedup_components",
+        "ns_tfidf_top_terms",
         "ns_embed_cosine_pairs",
         "ns_embed_topk",
         "ns_embed_ivf_topk",

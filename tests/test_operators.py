@@ -443,3 +443,35 @@ def test_tfidf_hand_computed(spark):
     assert got[(1, 2)][0] == "banana"
     assert got[(3, 1)][0] == "cherry"
     assert got[(3, 1)][1] == 3 and got[(3, 1)][2] == 2
+
+
+# ------------------------------------------------------------------ graph
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from ubdc_airbnb_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # components: {1,2,3,4} (chain), {5,6}, {7} singleton
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from ubdc_airbnb_spark.operators.graph import connected_components
+
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, nodes, max_iter=2)
+    # enough rounds -> whole chain resolves to 0
+    got = {r.id: r.component for r in connected_components(chain, nodes, max_iter=10).collect()}
+    assert set(got.values()) == {0}

@@ -2317,6 +2317,43 @@ def ns_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "ns_dedup_components",
+    ("NS-dedup",),
+    _SIMHASH_SQL.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    + """
+    , banded AS (
+      SELECT doc_id, band_id, (simhash >> (band_id * 8)) & 255 AS band_val, simhash
+      FROM sk, (SELECT unnest(generate_series(0, 3)) AS band_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM sk
+      UNION
+      SELECT s.b AS id, reach.r FROM reach JOIN sym s ON reach.id = s.a
+    )
+    SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    """,
+    "near-dup cluster resolution: SimHash hamming<=3 pairs -> connected "
+    "components via min-label propagation (operators/graph.py, driver "
+    "loop of shuffle-on-key rounds); oracle replays the fixpoint with a "
+    "recursive CTE; singletons keep their own id",
+)
+def ns_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ns_dedup_simhash_pairs(spark, sf).select("id_a", "id_b")
+    return connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "component")
+
+
+@q(
     "q14_promo_revenue",
     ("A2", "P5", "J8"),
     """
