@@ -475,3 +475,45 @@ def test_connected_components_raises_without_convergence(spark):
     # enough rounds -> whole chain resolves to 0
     got = {r.id: r.component for r in connected_components(chain, nodes, max_iter=10).collect()}
     assert set(got.values()) == {0}
+
+
+def test_interval_join_semantics_and_edges(spark):
+    """Inclusive [lo, hi], bin-boundary crossing, no dupes."""
+    from ubdc_airbnb_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame([(1, 1000), (2, 5000)], "k long, t long").select(
+        "k", F.timestamp_seconds("t").alias("t")
+    )
+    right = spark.createDataFrame(
+        # k=1: at lo bound (inclusive), inside, at hi bound (inclusive),
+        # just outside; bins of 600s mean 1000->1599 spans two bins
+        [(1, 1000, 10), (1, 1500, 11), (1, 1600, 12), (1, 1601, 13), (2, 4000, 20)],
+        "k long, rt long, rid long",
+    ).select("k", F.timestamp_seconds("rt").alias("rt"), "rid")
+    got = sorted(
+        r.rid
+        for r in interval_join(
+            left, right, key="k", left_ts="t", right_ts="rt",
+            upper="INTERVAL 600 SECOND", bucket_seconds=600,
+        ).collect()
+    )
+    assert got == [10, 11, 12]
+    # negative lower bound: window behind the left ts
+    got2 = sorted(
+        r.rid
+        for r in interval_join(
+            left, right, key="k", left_ts="t", right_ts="rt",
+            lower="INTERVAL -1000 SECOND", upper="INTERVAL 0 SECOND",
+            bucket_seconds=600,
+        ).collect()
+    )
+    assert got2 == [10, 20]
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    from ubdc_airbnb_spark import queries as q
+
+    df = q.j14_interval_join(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -219,3 +219,59 @@ def asof_join(
             *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in rcols],
         )
     return out.select(*lcols, *rcols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    lower: str = "INTERVAL 0 SECOND",
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Range (interval) join: pairs where
+    ``left_ts + lower <= right_ts <= left_ts + upper`` for the same
+    ``key`` — inclusive on both ends.
+
+    A naive inequality join is a per-key cross product. This is the
+    banded formulation: both sides bucket to ``bucket_seconds`` bins of
+    the timeline; each left row explodes to the (bounded, ~window/bin+1)
+    bins its window covers; the join is then a plain EQUI-join on
+    (key, bin) with the exact range check as a residual filter. One
+    shuffle per side on (key, bin), no Cartesian/nested-loop node
+    (plan-asserted). Pick ``bucket_seconds`` ≈ the window span so each
+    left row probes ~2 bins.
+
+    Output: all left columns + all right columns except ``key`` (rename
+    collisions on the caller's side first).
+    """
+    rcols = [c for c in right.columns if c != key]
+    overlap = set(rcols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"rename right columns colliding with left: {sorted(overlap)}")
+    bucket_us = bucket_seconds * 1_000_000
+    lo = F.col(left_ts) + F.expr(lower)
+    hi = F.col(left_ts) + F.expr(upper)
+    l_binned = left.select(
+        "*",
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(lo) / F.lit(bucket_us)).cast("long"),
+                F.floor(F.unix_micros(hi) / F.lit(bucket_us)).cast("long"),
+            )
+        ).alias("__bin"),
+    )
+    r_binned = right.select(
+        "*",
+        F.floor(F.unix_micros(F.col(right_ts)) / F.lit(bucket_us)).cast("long").alias("__bin"),
+    )
+    # each right row lives in exactly one bin, so every qualifying pair
+    # joins exactly once — no dedup pass needed
+    joined = l_binned.join(r_binned, [key, "__bin"]).filter(
+        F.col(right_ts).between(F.col("__lo"), F.col("__hi"))
+    )
+    return joined.select(*left.columns, *rcols)

@@ -1475,6 +1475,58 @@ def j13_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "j14_interval_join",
+    ("J8", "C3", "P8"),
+    """
+    SELECT e.event_id AS err_id, e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS err_ts_us,
+           o.event_id AS other_id, o.event_type AS other_type,
+           CAST(epoch_us(o.ts) AS BIGINT) AS other_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN events o
+      ON o.user_id = e.user_id
+     AND o.ts BETWEEN e.ts AND e.ts + INTERVAL 10 MINUTE
+     AND o.event_id <> e.event_id
+    """,
+    "interval (range) join: every event within 10 min after an error by "
+    "the same user. A naive inequality join is a per-key cross product; "
+    "operators/joins.interval_join bands the timeline into 10-min bins "
+    "so it runs as an EQUI-join on (user, bin) + residual range filter "
+    "(plan-asserted: no nested-loop/cartesian node)",
+)
+def j14_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.joins import interval_join
+
+    ev = load_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    others = ev.select(
+        "user_id",
+        F.col("event_id").alias("other_id"),
+        F.col("event_type").alias("other_type"),
+        F.col("ts").alias("other_ts"),
+    )
+    out = interval_join(
+        errors,
+        others,
+        key="user_id",
+        left_ts="ts",
+        right_ts="other_ts",
+        upper="INTERVAL 10 MINUTE",
+        bucket_seconds=600,
+    ).filter(F.col("other_id") != F.col("err_id"))
+    return out.select(
+        "err_id",
+        "user_id",
+        F.unix_micros("ts").alias("err_ts_us"),
+        "other_id",
+        "other_type",
+        F.unix_micros("other_ts").alias("other_ts_us"),
+    )
+
+
+@q(
     "st_session_window",
     ("T1",),
     """
