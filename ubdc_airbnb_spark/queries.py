@@ -1427,6 +1427,49 @@ def st_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "w7_grouped_median",
+    ("W2", "A2", "W3"),
+    """
+    SELECT o_orderpriority,
+           CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS median_price,
+           CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "exact grouped percentiles with DISCRETE semantics (the element at "
+    "1-based sorted rank ceil(n*q) — an actual data value, no "
+    "interpolation, so engines agree bit-for-bit): window row_number "
+    "selection on the Spark side, quantile_disc in the oracle",
+)
+def w7_grouped_median(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    # discrete quantile: element at 1-based rank ceil(n*q) (DuckDB
+    # quantile_disc convention)
+    def pick(q_frac: float) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * q_frac).cast("long"),
+                F.col("o_totalprice"),
+            )
+        )
+
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.5).cast("double").alias("median_price"),
+        pick(0.9).cast("double").alias("p90_price"),
+        F.max("n").cast("long").alias("n"),
+    )
+
+
+@q(
     "j13_asof_attribution",
     ("J8", "W2", "C3"),
     """
