@@ -116,3 +116,21 @@ def test_split_covers_and_respects_weights(spark):
     assert set(counts) == {"train", "val", "test"}  # no NULL remainder
     assert abs(counts["train"] - 40_000) < 1_000
     assert abs(counts["val"] - 5_000) < 400
+
+
+# ------------------------------------------------------------ profiling
+
+
+def test_profile_table_counts_and_nulls(spark):
+    from ubdc_airbnb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, v string"
+    )
+    got = {r["column"]: r for r in profile_table(df, ["id", "v"]).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_nulls == 0
+    assert got["v"].n_nulls == 1
+    assert got["v"].min_value == "a" and got["v"].max_value == "b"
+    # 2 distinct non-null values; HLL at this size is exact-ish
+    assert abs(got["v"].n_distinct_est - 2) < 0.5
+    assert abs(got["id"].n_distinct_est - 4) < 1.0

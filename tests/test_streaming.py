@@ -170,3 +170,44 @@ def test_sliding_counts_match_batch(spark, tmp_path):
         .collect()
     }
     assert {(r.window_start_s, r.event_type): (r.n, r.sum_value) for r in got.collect()} == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream join with watermarks + time-range condition ==
+    the batch banded interval join on the same data."""
+    from ubdc_airbnb_spark.operators.joins import interval_join
+
+    src = _events_dir(spark, tmp_path)
+    static = spark.read.parquet(src)
+    schema = static.schema
+    errors_s = spark.readStream.schema(schema).parquet(src).filter(
+        F.col("event_type") == "error"
+    )
+    all_s = spark.readStream.schema(schema).parquet(src)
+    joined = jobs.stream_interval_join(errors_s, all_s, window="10 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.l_id, r.r_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    batch = interval_join(
+        static.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+        ),
+        static.select(
+            "user_id", F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")
+        ),
+        key="user_id",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        upper="INTERVAL 10 MINUTE",
+    ).filter(F.col("r_id") != F.col("l_id"))
+    expected = {(r.l_id, r.r_id) for r in batch.collect()}
+    assert got == expected and len(got) > 0

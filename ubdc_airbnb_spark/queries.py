@@ -2817,6 +2817,37 @@ def ns_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf.top_terms(docs, "doc_id", "text", k=3)
 
 
+def _profile_col_sql(c: str, table: str) -> str:
+    hll = _hll_sql(f"CAST({c} AS VARCHAR)", f"(SELECT * FROM {table} WHERE {c} IS NOT NULL)")
+    return f"""
+    SELECT '{c}' AS "column",
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table} WHERE {c} IS NULL) AS n_nulls,
+           (SELECT est FROM ({hll}) hq) AS n_distinct_est,
+           (SELECT CAST(MIN({c}) AS VARCHAR) FROM {table}) AS min_value,
+           (SELECT CAST(MAX({c}) AS VARCHAR) FROM {table}) AS max_value
+    """
+
+
+@q(
+    "ns_profile_orders",
+    ("NS-profile", "A1", "NS-sketch"),
+    " UNION ALL ".join(
+        _profile_col_sql(c, "orders")
+        for c in ("o_orderpriority", "o_custkey", "o_orderstatus")
+    ),
+    "table profiling: per-column rows/nulls/min/max + portable-HLL "
+    "distinct estimate — O(4096) sketch state instead of an exact "
+    "COUNT(DISTINCT) shuffle; long-format output, one row per column "
+    "(string/int columns: cast rendering is engine-stable)",
+)
+def ns_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profile import profile_table
+
+    orders = load_table(spark, sf, "orders")
+    return profile_table(orders, ["o_orderpriority", "o_custkey", "o_orderstatus"])
+
+
 _MARKER_SQL = {
     "en": "['the','and','of','to','a']",
     "de": "['der','die','und','das','ist']",

@@ -121,6 +121,39 @@ def sliding_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events within ``window``
+    AFTER a left-side event of the same key. Both sides carry
+    watermarks, and the time-range join condition bounds the state the
+    engine must keep (rows age out once the watermark passes their
+    window) — the streaming twin of ``operators/joins.interval_join``.
+    """
+    l = left.select(
+        F.col(key),
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("__rk"),
+        F.col("event_id").alias("r_id"),
+        F.col("event_type").alias("r_type"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col(key) == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window}"))
+        & (F.col("r_id") != F.col("l_id")),
+    ).select(key, "l_id", "l_ts", "r_id", "r_type", "r_ts")
+
+
 def dedup_stream(
     stream: DataFrame,
     key: str,
