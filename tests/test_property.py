@@ -72,3 +72,88 @@ def test_wkt_parse_never_crashes_on_square_with_noise_name(s):
     wkt = f"  POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))  "
     mp = geo.parse_wkt(wkt)
     assert geo.area(mp) == 1.0
+
+
+# --------------------------------------------------------------------------
+# Spark operator properties vs naive Python reference implementations
+# (few examples each: every example runs real Spark jobs)
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=2),   # key
+    st.integers(min_value=0, max_value=120), # seconds
+)
+_SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    st.lists(_row, min_size=1, max_size=8),
+    st.lists(_row, min_size=1, max_size=10),
+)
+@_SPARK_SETTINGS
+def test_asof_join_matches_naive(spark, lrows, rrows):
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.joins import asof_join
+
+    tol = 20
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k long, t long, lid long"
+    ).select("k", F.timestamp_seconds("t").alias("t"), "lid")
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rrows)], "k long, rt long, rid long"
+    ).select("k", F.timestamp_seconds("rt").alias("rt"), "rid")
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt",
+            tolerance=f"INTERVAL {tol} SECOND", tiebreak="rid",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [
+            (rt, j)
+            for j, (rk, rt) in enumerate(rrows)
+            if rk == k and rt <= t and rt >= t - tol
+        ]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, t, cands)
+
+
+@given(
+    st.lists(_row, min_size=1, max_size=8),
+    st.lists(_row, min_size=1, max_size=10),
+)
+@_SPARK_SETTINGS
+def test_interval_join_matches_naive(spark, lrows, rrows):
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.joins import interval_join
+
+    up = 30
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k long, t long, lid long"
+    ).select("k", F.timestamp_seconds("t").alias("t"), "lid")
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rrows)], "k long, rt long, rid long"
+    ).select("k", F.timestamp_seconds("rt").alias("rt"), "rid")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, key="k", left_ts="t", right_ts="rt",
+            upper=f"INTERVAL {up} SECOND", bucket_seconds=17,  # deliberately≠window
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for i, (k, t) in enumerate(lrows)
+        for j, (rk, rt) in enumerate(rrows)
+        if rk == k and t <= rt <= t + up
+    }
+    assert got == expect
