@@ -1,3 +1,27 @@
-from . import dedup, joins, similarity, spatial, upsert, windows
+from . import (
+    dedup,
+    graph,
+    joins,
+    profile,
+    sampling,
+    similarity,
+    sketches,
+    spatial,
+    tfidf,
+    upsert,
+    windows,
+)
 
-__all__ = ["dedup", "joins", "similarity", "spatial", "upsert", "windows"]
+__all__ = [
+    "dedup",
+    "graph",
+    "joins",
+    "profile",
+    "sampling",
+    "similarity",
+    "sketches",
+    "spatial",
+    "tfidf",
+    "upsert",
+    "windows",
+]
