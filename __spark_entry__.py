@@ -41,6 +41,7 @@ _SLOW = frozenset(
         "ns_embed_ivf_multiprobe",
         "ns_dedup_apply",
         "ns_dedup_exact",
+        "ns_embed_rp_lsh",
     }
 )
 

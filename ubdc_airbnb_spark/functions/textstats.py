@@ -127,3 +127,26 @@ def fingerprint(col: Column | str) -> Column:
     """Rabin-Karp rolling-hash document fingerprint (exact-dup key that is
     cheaper to compare than full text)."""
     return rolling_fingerprint(col)
+
+
+#: PII scrubbing patterns — deliberately restricted to syntax that means
+#: the same thing in Java regex (Spark) and RE2 (DuckDB) so the oracle
+#: replays the redaction character-for-character.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\+[0-9][0-9 -]{6,}[0-9]"
+
+
+def pii_email_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit(EMAIL_REGEX), F.lit(0)))
+
+
+def pii_phone_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit(PHONE_REGEX), F.lit(0)))
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace emails then phone numbers with typed placeholder tags.
+    Order matters (emails first: a phone regex must never eat into an
+    address) and is identical in the oracle."""
+    c = F.regexp_replace(_c(col), EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_REGEX, "<PHONE>")

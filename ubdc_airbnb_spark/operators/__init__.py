@@ -1,4 +1,5 @@
 from . import (
+    chunking,
     dedup,
     graph,
     joins,
@@ -13,6 +14,7 @@ from . import (
 )
 
 __all__ = [
+    "chunking",
     "dedup",
     "graph",
     "joins",

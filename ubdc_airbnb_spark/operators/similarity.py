@@ -199,6 +199,97 @@ def ivf_threshold_pairs(
     )
 
 
+def rp_planes(num_planes: int, dim: int, salt: str = "rp") -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane components, seeded by md5 of
+    (salt, plane, dim) — Python-side constants, so the Spark plan and the
+    SQL oracle inline the *same* literals. Rademacher (±1) hyperplanes
+    preserve the SimHash cosine-collision guarantee and keep every dot
+    product exactly representable (no float literals to round-trip)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{salt}:{p}:{d}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def rp_signature(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    salt: str = "rp",
+    dim: int = 64,
+) -> DataFrame:
+    """SimHash-for-vectors: a ``num_planes``-bit signature string where
+    bit p = sign(v · plane_p). Pure narrow select (hyperplanes are inlined
+    literals — no join, no shuffle, the corpus is never moved), the same
+    shape that makes MinHash signatures scale-free."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(c) for c in plane])
+            for plane in rp_planes(num_planes, dim, salt)
+        ]
+    )
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = F.transform(
+        planes, lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return vectors.select(
+        id_col, vec_col, F.array_join(bits, "").alias("rp_sig")
+    )
+
+
+def rp_lsh_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    salt: str = "rp",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH banding: the
+    data-independent alternative to IVF (no centroid training step).
+
+    Signature → split into ``bands`` contiguous bit-bands → explode →
+    self-equi-join on (band_id, band_key) → distinct candidate pairs →
+    exact cosine verify. Join cost is Σ|bucket|² over 2^(bits/band)-way
+    buckets per band — never n². Same contract as ``ivf_threshold_pairs``:
+    recall < 1 by construction, precision 1 after the verify."""
+    width = num_planes // bands
+    sigs = rp_signature(vectors, id_col, vec_col, num_planes, salt, dim)
+    banded = sigs.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.substring(F.col("rp_sig"), b * width + 1, width),
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = banded.select(
+        "band_id", "band_key", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = banded.select(
+        "band_id", "band_key", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 8,

@@ -2964,3 +2964,300 @@ def mm_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.md5("text").alias("content_digest"),
         F.lit("text/plain").alias("media_type"),
     )
+
+
+@q(
+    "a8_rollup",
+    ("A2", "A1"),
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "multi-level ROLLUP totals (flag, status, grand) in one pass — "
+    "Spark Expand + single shuffle instead of three scans; grouping_id "
+    "disambiguates levels exactly as the SQL GROUPING bitmask",
+)
+def a8_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        _dec_sum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@q(
+    "a9_pivot",
+    ("A2",),
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p_urgent,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p_high,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p_medium,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p_notspec,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "pivot (long -> wide) with an explicit value list: compiles to one "
+    "grouped aggregate of conditional counts (no second shuffle, no "
+    "distinct-values pre-pass since the spine is declared)",
+)
+def a9_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    names = {
+        "1-URGENT": "p_urgent",
+        "2-HIGH": "p_high",
+        "3-MEDIUM": "p_medium",
+        "4-NOT SPECIFIED": "p_notspec",
+        "5-LOW": "p_low",
+    }
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{src}`"), F.lit(0)).cast("long").alias(dst)
+            for src, dst in names.items()
+        ],
+    )
+
+
+@q(
+    "u5_set_ops",
+    ("U1", "U2"),
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "INTERSECT / EXCEPT set algebra (customers active both years, minus "
+    "urgent buyers) — both compile to hash semi/anti aggregates on the "
+    "key, one shuffle each, no row explosion",
+)
+def u5_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return y96.intersect(y97).subtract(urgent)
+
+
+@q(
+    "ns_chunk_sliding",
+    ("NS-text", "U4"),
+    r"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
+               FROM documents),
+    st AS (SELECT doc_id, ws, len(ws) AS n,
+                  CAST(unnest(generate_series(1, greatest(len(ws), 1), 30)) AS BIGINT) AS start_word
+           FROM w)
+    SELECT doc_id,
+           (start_word - 1) // 30 AS chunk_idx,
+           start_word,
+           CAST(len(list_slice(ws, start_word, start_word + 39)) AS BIGINT) AS n_words,
+           array_to_string(list_slice(ws, start_word, start_word + 39), ' ') AS chunk_text
+    FROM st WHERE start_word = 1 OR start_word - 30 + 40 - 1 < n
+    """,
+    "overlapping word-window chunking (size 40, stride 30) — generated "
+    "start sequence + explode + array slice, all narrow (no shuffle, no "
+    "UDF); suffix-only tail windows dropped; the ingestion step between "
+    "cleaning and tokenization in an LLM data pipeline",
+)
+def ns_chunk_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import chunking
+
+    docs = load_table(spark, sf, "documents")
+    return chunking.sliding_chunks(docs, "doc_id", "text", size=40, stride=30)
+
+
+@q(
+    "ns_pii_redact",
+    ("NS-text", "X9"),
+    r"""
+    WITH d AS (SELECT doc_id,
+                      text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or +1-555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(dirty, '\+[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM d
+    """,
+    "PII scrubbing: regex email/phone detection + typed-placeholder "
+    "redaction (patterns restricted to the Java-regex/RE2 common subset "
+    "so the oracle replays byte-for-byte); the synthetic corpus has no "
+    "PII, so the query injects deterministic addresses first — the "
+    "redactor sees real positives and the check proves they are removed",
+)
+def ns_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    return d.select(
+        "doc_id",
+        textstats.pii_email_count("dirty").cast("long").alias("n_emails"),
+        textstats.pii_phone_count("dirty").cast("long").alias("n_phones"),
+        textstats.pii_redact("dirty").alias("redacted"),
+    )
+
+
+@q(
+    "ns_corpus_mix",
+    ("NS-sampling", "J8", "A2"),
+    """
+    WITH w AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                      CAST(CASE i % 4 WHEN 0 THEN 1000000 WHEN 1 THEN 500000
+                           WHEN 2 THEN 250000 ELSE 100000 END AS BIGINT) AS rate_ppm
+               FROM generate_series(0, 19) t(i)),
+    d AS (SELECT source,
+                 CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15)) AS BIGINT)
+                   % 1000000 AS bucket
+          FROM documents)
+    SELECT d.source, w.rate_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d JOIN w ON d.source = w.source
+    GROUP BY d.source, w.rate_ppm
+    """,
+    "weighted corpus mixing: per-source sampling rates (ppm) from a "
+    "broadcast dimension table, rows kept by salted content hash — the "
+    "same doc survives every run/engine/partitioning; one broadcast "
+    "join + one aggregate, corpus never shuffled twice",
+)
+def ns_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    rates = [1_000_000, 500_000, 250_000, 100_000]
+    wdf = spark.createDataFrame(
+        [(f"src{i}", rates[i % 4]) for i in range(20)], "source string, rate_ppm long"
+    )
+    bucket = sampling.hash_bucket(F.col("doc_id").cast("string"), salt="mix")
+    return (
+        docs.join(F.broadcast(wdf), "source")
+        .groupBy("source", "rate_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(bucket < F.col("rate_ppm"), 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
+_QUALITY_SQL = """
+           (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+            + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                            / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0))
+            + least((CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a'], lower(w)))) AS DOUBLE)
+                     / CAST(greatest(len(words), 1) AS DOUBLE)) * 10.0, 1.0)
+            + CASE WHEN (CAST(list_sum(list_prepend(0, list_transform(words, w -> length(w)))) AS DOUBLE)
+                         / CAST(greatest(len(words), 1) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+                   THEN 1.0 ELSE 0.5 END) / 4.0
+"""
+
+
+@q(
+    "ns_token_budget",
+    ("NS-sampling", "NS-text", "W1"),
+    f"""
+    WITH s AS (SELECT doc_id, len(words) AS n_tokens, round({_QUALITY_SQL}, 6) AS quality
+               FROM (SELECT doc_id, text,
+                            list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS words
+                     FROM documents)),
+    c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+                 CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM s)
+    SELECT doc_id, n_tokens, quality, cum_tokens FROM c WHERE cum_tokens <= 10000
+    """,
+    "token-budget curation: fill a fixed training-token budget with the "
+    "highest-quality documents (quality rounded to 6 dp before ranking "
+    "for engine-exact order). Gate uses an ordered prefix sum; the 100 TB "
+    "path is the quality-histogram threshold (SCALE.md) — find the "
+    "cutoff quality bucket from a tiny histogram, then a narrow filter",
+)
+def ns_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    s = docs.select(
+        "doc_id",
+        textstats.whitespace_token_count("text").cast("long").alias("n_tokens"),
+        F.round(textstats.quality_score("text"), 6).alias("quality"),
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        s.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 10000)
+    )
+
+
+def _rp_fold_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _rp_sig_sql() -> str:
+    """Signature bits with the SAME sequential fold order as Spark's
+    aggregate(), so sign decisions at the hyperplane boundary agree
+    bit-for-bit."""
+    bits = []
+    for plane in similarity.rp_planes(16, 64):
+        lst = "[" + ", ".join("1.0" if c > 0 else "-1.0" for c in plane) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, 64), i -> e[i] * ({lst})[i])), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+@q(
+    "ns_embed_rp_lsh",
+    ("NS-similarity",),
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s AS (SELECT vec_id, {_rp_sig_sql()} AS sig FROM v),
+    bnd AS (SELECT vec_id, i AS band_id, substr(sig, CAST(i * 4 + 1 AS INTEGER), 4) AS band_key
+            FROM s, generate_series(0, 3) t(i)),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bnd a JOIN bnd b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b FROM cand
+    JOIN v va ON va.vec_id = cand.id_a
+    JOIN v vb ON vb.vec_id = cand.id_b
+    WHERE {_rp_fold_dot_sql('va.e', 'vb.e')}
+          / (sqrt({_rp_fold_dot_sql('va.e', 'va.e')}) * sqrt({_rp_fold_dot_sql('vb.e', 'vb.e')})) >= 0.4
+    """,
+    "embedding near-dup pairs via random-hyperplane LSH (16 Rademacher "
+    "planes, 4 bands x 4 bits): the data-independent alternative to IVF "
+    "bucketing — no centroid training; signature is a zero-shuffle "
+    "narrow select, candidates come from a band-key equi-join "
+    "(sum-of-bucket-squares, never all-pairs), then exact cosine verify",
+)
+def ns_embed_rp_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.rp_lsh_pairs(emb, num_planes=16, bands=4, threshold=0.4)
