@@ -52,14 +52,20 @@ def _input_bytes(sf_dir: str) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    # size shuffle partitions to the data, not the core count: the
-    # production rule (bytes / ~128 MB target partitions, floored at a
-    # useful parallelism) — at toy SF this avoids paying scheduler
-    # overhead for dozens of near-empty shuffle partitions, and at 100 TB
-    # the same formula yields tens of thousands of partitions
-    parts = max(8, min(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)) * 2,
-                       _input_bytes(sf_dir) // (128 << 20)))
-    spark = get_spark("bench", shuffle_partitions=parts)
+    # shuffle partitions: bytes / ~128 MB target, floored at one per core
+    # — the production rule. At toy SF the floor (cores) wins; at 100 TB
+    # the bytes term yields tens of thousands of partitions.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    parts = max(cpus, _input_bytes(sf_dir) // (128 << 20))
+    # AQE partition coalescing targets ~64 MB reducers — right at cluster
+    # scale, counterproductive on a <1 GB toy input where it collapses
+    # post-shuffle stages below the machine's core count (measured ~25%
+    # on the headline set). Skew-join handling stays on.
+    spark = get_spark(
+        "bench",
+        shuffle_partitions=parts,
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    )
 
     # warmup: JVM + whole-stage-codegen compilation path, then prime the
     # table cache (warm-cache benchmark: the driver's single-row-group
@@ -83,10 +89,11 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = specs[name].spark
-        # best-of-2: the first run pays whole-stage-codegen compilation,
-        # the second measures steady-state execution (reported value)
+        # best-of-3: the first run pays whole-stage-codegen compilation;
+        # the best of the rest measures steady-state execution (3 tries
+        # damp the ambient-load noise of a shared host)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             checksum(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -163,3 +163,39 @@ def test_hll_registers_single_shuffle(spark):
 def test_consistent_split_is_narrow(spark):
     plan = _plan(q.ns_consistent_split(spark, SF))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_simhash_sketch_no_shuffle(spark):
+    """The per-row SimHash formulation (vote sum = 2*popcount_b - n over
+    the distinct-word hash array) must stay a pure narrow select — no
+    explode/groupBy shuffle, no join."""
+    from ubdc_airbnb_spark.operators.dedup import simhash
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(simhash(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_rp_lsh_candidates_shuffle_on_band_keys_only(spark):
+    """RP-LSH pair generation: the only Exchanges are the band-key
+    equi-join shuffles (hash on band_id/band_key) — no nested-loop or
+    cartesian join over the corpus."""
+    from ubdc_airbnb_spark.operators.similarity import rp_lsh_pairs
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(rp_lsh_pairs(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_narrow(spark):
+    from ubdc_airbnb_spark.operators.chunking import sliding_chunks
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(sliding_chunks(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan

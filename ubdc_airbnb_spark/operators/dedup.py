@@ -145,29 +145,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """SimHash sketch: each distinct word votes ±1 on every bit of its
     60-bit hash; sketch bit b is 1 iff the vote sum is positive.
 
-    Computed as explode(words) → explode(bits) → groupBy(id, bit) votes →
-    groupBy(id) assemble — shuffles only on (id, bit)."""
-    hashed = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(F.array_distinct(words(text_col)), lambda w: md5_long(w))
-        ).alias("h"),
-    )
-    # One aggregate term per bit (not an exploded (id, bit) shuffle): the
-    # groupBy shuffles only distinct-word rows and the 32 vote sums
-    # combine map-side. The sketch is assembled INSIDE the agg (post-agg
-    # arithmetic over the sums), so the whole sketch is a single Dataset:
-    # one analysis pass, no wide 32-column intermediate.
+    Computed entirely per-row (ZERO shuffle): the distinct-word hash
+    array stays inside its row, and the ±1 vote sum for bit b is
+    ``2 * popcount_b - n_words`` where ``popcount_b`` counts array
+    elements with bit b set — a higher-order ``filter``/``size`` per
+    bit. This makes the sketch a pure narrow select like the MinHash
+    signatures: no explode, no groupBy, the corpus is never moved.
+    Rows with no words produce no sketch (same semantics as the
+    explode+aggregate formulation this replaces)."""
+    hs = F.col("__hs")
+    n = F.size(hs)
     sketch = None
     for b in range(bits):
-        vote = F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
+        # popcount of bit b across the array as an arithmetic fold —
+        # cheaper than filter+size (no per-bit array allocation)
+        cnt = F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
         )
-        piece = F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        # vote sum = (+1)*cnt + (-1)*(n-cnt) = 2*cnt - n
+        piece = (
+            F.when(cnt * 2 - n > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         sketch = piece if sketch is None else (sketch + piece)
-    return hashed.groupBy(id_col).agg(sketch.alias("simhash"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.transform(F.array_distinct(words(text_col)), lambda w: md5_long(w)).alias("__hs"),
+        )
+        .filter(F.size(hs) > 0)
+        .select(id_col, sketch.alias("simhash"))
+    )
 
 
 def hamming_distance(a: str = "simhash_a", b: str = "simhash_b", bits: int = 32) -> F.Column:
