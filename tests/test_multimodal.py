@@ -39,3 +39,25 @@ def test_decode_real_is_stubbed(spark):
     media = binary_ops.attach_binary(docs, "doc_id", "text")
     with pytest.raises(NotImplementedError):
         binary_ops.decode_real(media)
+
+
+def test_frame_sample_slices_and_digests(spark):
+    import hashlib
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    media = binary_ops.attach_binary(docs, "doc_id", "text")
+    rows = binary_ops.frame_sample(media, frame_bytes=64, every=2).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    seen: dict[int, list] = {}
+    for r in rows:
+        seen.setdefault(r.media_id, []).append(r)
+    for mid, text in texts.items():
+        b = text.encode()
+        n_frames = -(-len(b) // 64)
+        expected_idx = list(range(0, n_frames, 2))
+        got = sorted(seen[mid], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == expected_idx
+        for r in got:
+            fr = b[r.frame_idx * 64 : (r.frame_idx + 1) * 64]
+            assert r.n_frame_bytes == len(fr)
+            assert r.frame_digest == hashlib.md5(fr).hexdigest()

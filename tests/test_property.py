@@ -157,3 +157,37 @@ def test_interval_join_matches_naive(spark, lrows, rrows):
         if rk == k and t <= rt <= t + up
     }
     assert got == expect
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=20),
+    st.tuples(
+        st.integers(min_value=1, max_value=50), st.integers(min_value=1, max_value=50)
+    ).filter(lambda t: t[1] <= t[0]),
+)
+@_SPARK_SETTINGS
+def test_sliding_chunks_match_naive(spark, word_counts, size_stride):
+    """Chunking vs a naive Python reference on random document lengths /
+    window geometries: same starts, same chunk contents, full coverage."""
+    from ubdc_airbnb_spark.operators.chunking import sliding_chunks
+
+    size, stride = size_stride
+    texts = [" ".join(f"d{i}w{j}" for j in range(n)) for i, n in enumerate(word_counts)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, list] = {}
+    for r in sliding_chunks(df, "doc_id", "text", size=size, stride=stride).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(word_counts):
+        words = texts[i].split()
+        exp = []
+        s = 1
+        while s <= max(n, 1):
+            if s == 1 or (s - stride) + size - 1 < n:
+                exp.append((s, words[s - 1 : s - 1 + size]))
+            s += stride
+        rows = sorted(got.get(i, []), key=lambda r: r.start_word)
+        assert [(r.start_word, r.chunk_text.split() if r.chunk_text else []) for r in rows] == exp, (
+            i, n, size, stride,
+        )

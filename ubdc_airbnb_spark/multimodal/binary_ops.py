@@ -90,6 +90,53 @@ def _extract_features(content: bytes, dims: int = 8) -> tuple[list[float], int, 
     return [a / 1_000_003 for a in acc], n % 640 + 1, n % 480 + 1
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_frame_bytes", T.LongType(), True),
+        T.StructField("frame_digest", T.StringType(), True),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 64, every: int = 2, batch_size: int = 256
+) -> DataFrame:
+    """Video-style frame sampling over an opaque binary payload: treat the
+    content as fixed-size frames, keep every ``every``-th, emit one row per
+    sampled frame with its digest — the mapInPandas shape a real
+    ffmpeg-backed sampler would use (decode replaced by deterministic byte
+    slicing, disclosed like ``decode_fake``). Binary stays inside the
+    stage: downstream sees only (id, idx, size, digest)."""
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, digests = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                n_frames = -(-len(b) // frame_bytes)
+                for i in range(0, n_frames, every):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    digests.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "n_frame_bytes": pd.array(sizes, dtype="int64"),
+                    "frame_digest": pd.array(digests, dtype=object),
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.select("media_id", "content").mapInPandas(_frames, FRAME_SCHEMA)
+
+
 def decode_fake(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """mapInPandas decode stage with production batch plumbing: Arrow
     batches in, feature rows out; binary column dropped on output so

@@ -3261,3 +3261,92 @@ def _rp_sig_sql() -> str:
 def ns_embed_rp_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.rp_lsh_pairs(emb, num_planes=16, bands=4, threshold=0.4)
+
+
+@q(
+    "w8_moving_avg",
+    ("W3", "A2", "C1"),
+    """
+    WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+                   FROM orders GROUP BY 1)
+    SELECT day, CAST(dt AS DOUBLE) AS day_total,
+           CAST(SUM(dt) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS avg7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "7-day moving average over daily order revenue: a ROWS window frame "
+    "on an ordered aggregate. The moving sum stays DECIMAL (exact, "
+    "order-free) and converts to double only at the division, so both "
+    "engines produce identical bits",
+)
+def w8_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("dt"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("dt").cast("double").alias("day_total"),
+        (
+            F.sum("dt").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("avg7"),
+    )
+
+
+@q(
+    "u6_unpivot",
+    ("U4", "A2"),
+    """
+    WITH wq AS (SELECT l_returnflag,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m_qty,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS m_price,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS m_disc
+                FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'm_qty' AS measure, m_qty AS value FROM wq
+    UNION ALL SELECT l_returnflag, 'm_price', m_price FROM wq
+    UNION ALL SELECT l_returnflag, 'm_disc', m_disc FROM wq
+    """,
+    "unpivot / melt (wide -> long): DataFrame.unpivot compiles to a "
+    "single Expand over the aggregated spine — no join, no re-scan per "
+    "measure (the UNION ALL oracle is the relational spelling)",
+)
+def u6_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dec_sum(F.col("l_quantity")).alias("m_qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("m_price"),
+        _dec_sum(F.col("l_discount")).alias("m_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["m_qty", "m_price", "m_disc"], "measure", "value"
+    )
+
+
+@q(
+    "mm_frame_sample",
+    ("NS-multimodal",),
+    """
+    WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+    f AS (SELECT media_id, text,
+                 CAST(unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1, 2)) AS BIGINT) AS frame_idx
+          FROM d)
+    SELECT media_id, frame_idx,
+           CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS BIGINT) AS n_frame_bytes,
+           md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_digest
+    FROM f
+    """,
+    "multimodal frame sampling: binary payload treated as fixed 64-byte "
+    "frames, every 2nd kept, digest per frame — Arrow-batched "
+    "mapInPandas with the binary column confined to the stage (the "
+    "ffmpeg decode is the disclosed deterministic stand-in; the corpus "
+    "text is ASCII so the SQL oracle replays byte slicing with substr)",
+)
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .multimodal import binary_ops
+
+    docs = load_table(spark, sf, "documents")
+    media = binary_ops.attach_binary(docs, "doc_id", "text", "text/plain")
+    return binary_ops.frame_sample(media, frame_bytes=64, every=2)
