@@ -191,3 +191,63 @@ def test_sliding_chunks_match_naive(spark, word_counts, size_stride):
         assert [(r.start_word, r.chunk_text.split() if r.chunk_text else []) for r in rows] == exp, (
             i, n, size, stride,
         )
+
+
+_word = st.sampled_from(["a", "b", "c", "d", "ee"])
+
+
+@given(st.lists(st.lists(_word, min_size=0, max_size=30), min_size=1, max_size=8))
+@_SPARK_SETTINGS
+def test_repetition_signals_match_naive(spark, docs_words):
+    """Gopher repetition signals (row-local sorted-run fold) vs a naive
+    Counter-based reference on random small-vocab documents."""
+    from collections import Counter
+
+    from ubdc_airbnb_spark.operators.curation import repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    for i, ws in enumerate(docs_words):
+        n = len(ws)
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        r = got[i]
+        assert r.n_words == n
+        assert r.dup_word_frac == ((n - len(set(ws))) / n if n else 0.0)
+        assert r.top_word_frac == (max(Counter(ws).values()) / n if n else 0.0)
+        assert r.top_bigram_frac == (
+            max(Counter(bgs).values()) / len(bgs) if bgs else 0.0
+        )
+
+
+@given(
+    st.lists(st.lists(_word, min_size=0, max_size=25), min_size=1, max_size=6),
+    st.integers(min_value=2, max_value=6),
+)
+@_SPARK_SETTINGS
+def test_segment_dedup_matches_naive(spark, docs_words, seg):
+    """C4-style segment dedup vs a naive first-occurrence reference."""
+    from ubdc_airbnb_spark.operators.curation import segment_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in segment_dedup(df, "doc_id", "text", seg_words=seg).collect()
+    }
+    seen: set[str] = set()
+    expect: dict[int, tuple[str, int]] = {}
+    for i, ws in enumerate(docs_words):
+        kept = []
+        for s in range(0, max(len(ws), 1), seg):
+            seg_text = " ".join(ws[s : s + seg])
+            if seg_text and seg_text not in seen:
+                seen.add(seg_text)
+                kept.append(seg_text)
+        if kept:
+            expect[i] = (" ".join(kept), len(kept))
+    assert got == expect

@@ -1,0 +1,189 @@
+"""Corpus-curation operators for the training-data pipeline: eval-set
+decontamination (n-gram overlap), Gopher-style repetition signals, and
+C4-style cross-document segment deduplication.
+
+These mirror the published web-corpus pipelines (C4's "three-sentence
+dedup", Gopher/MassiveText repetition filters, GPT-3/PaLM benchmark
+decontamination) re-expressed as Spark DataFrame algebra:
+
+- decontamination is a broadcast semi-join of corpus n-grams against the
+  (small) eval-set n-gram dictionary — the corpus never shuffles except
+  the final per-doc tally, which partial-aggregates map-side;
+- repetition signals are pure per-row column expressions (sort the token
+  array once, fold a max-run-length accumulator) — zero shuffle, stays
+  in whole-stage codegen at 100 TB;
+- segment dedup is the only genuinely shuffling op (it must compare
+  segments *across* documents): one hash-partition on the segment text
+  to pick the global first occurrence, one on doc_id to reassemble.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import word_ngrams, words
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination probe: for every training document,
+    count how many of its distinct word ``n``-grams appear anywhere in
+    the evaluation set. Documents with ``n_overlap > 0`` are
+    contamination suspects (the GPT-3 appendix-C / PaLM approach).
+
+    Scale shape: the eval-set gram dictionary is benchmark-sized (MBs),
+    so it broadcasts; the corpus side is a narrow explode → broadcast
+    hash join → per-doc count with map-side partial aggregation. The
+    100 TB corpus is scanned once and never shuffled on gram.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher / MassiveText quality filters)
+# ---------------------------------------------------------------------------
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a *sorted* array — equal
+    to the max element frequency, computed row-locally (no explode, no
+    shuffle) by folding a (prev, run, best) accumulator."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics:
+
+    - ``n_words``: whitespace token count
+    - ``dup_word_frac``: fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total)
+    - ``top_word_frac``: frequency of the most common token / total
+    - ``top_bigram_frac``: frequency of the most common word bigram /
+      bigram count (0 when the doc has < 2 words)
+
+    All four are per-row column expressions over a sorted copy of the
+    token array — zero shuffle, whole-stage codegen, embarrassingly
+    parallel at any corpus size. MassiveText drops docs with
+    ``top_word_frac > 0.2`` or high duplicate-line fractions; the caller
+    applies thresholds."""
+    ws = words(F.col(text_col))
+    bg = word_ngrams(F.col(text_col), 2)
+    n = F.size(ws).cast("long")
+    n_bg = F.size(bg).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.when(n > 0, (n - F.size(F.array_distinct(ws)).cast("long")).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        F.when(n > 0, _max_run(F.array_sort(ws)).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("top_word_frac"),
+        F.when(n_bg > 0, _max_run(F.array_sort(bg)).cast("double") / n_bg)
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document segment dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+) -> DataFrame:
+    """C4-style corpus-level segment dedup: split every document into
+    consecutive ``seg_words``-word segments, keep only the globally
+    *first* occurrence of each distinct segment (ordered by
+    (doc_id, position) — deterministic), and reassemble documents from
+    their surviving segments. Documents reduced to nothing disappear.
+
+    Returns (id_col, clean_text, n_kept).
+
+    Scale shape: segments hash-partition by their text exactly once (the
+    window that elects the first occurrence), then regroup by doc id —
+    the same two-shuffle layout C4's original MapReduce used. Both keys
+    are high-cardinality and near-uniform; no broadcast, no driver
+    state."""
+    ws = words(F.col(text_col))
+    n_segs = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
+    seg_starts = F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0)))
+    segs = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    seg_starts,
+                    lambda i: F.struct(
+                        i.cast("long").alias("seg_idx"),
+                        F.array_join(
+                            F.slice(ws, i * seg_words + 1, seg_words), " "
+                        ).alias("seg_text"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "s.seg_idx", "s.seg_text")
+        .filter(F.length("seg_text") > 0)
+    )
+    w = Window.partitionBy("seg_text").orderBy(F.col(id_col), F.col("seg_idx"))
+    first = segs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("seg_idx"), F.col("seg_text")))
+            ).alias("kept"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("kept"), lambda s: s["seg_text"]), " "
+            ).alias("clean_text"),
+            F.col("n_kept"),
+        )
+    )

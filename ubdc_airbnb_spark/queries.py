@@ -3350,3 +3350,527 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     media = binary_ops.attach_binary(docs, "doc_id", "text", "text/plain")
     return binary_ops.frame_sample(media, frame_bytes=64, every=2)
+
+
+# --------------------------------------------------------------------------
+# Remaining TPC-H shapes (q2/q8/q9/q11/q15/q16/q20 adapted to the driver
+# tables — no partsupp, so the lineitem bridge stands in for it)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "q2_min_cost_supplier",
+    ("J4", "J8", "A5", "W1", "W4"),
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s_acctbal, s_name, n_name
+      FROM cost c JOIN supplier ON s_suppkey = c.l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+    FROM eu JOIN part ON p_partkey = eu.l_partkey
+    WHERE p_size = 15
+      AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2
+                       WHERE e2.l_partkey = eu.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+    "TPC-H Q2 shape — min-cost supplier per part via correlated MIN "
+    "subquery (partsupp stood in by per-(part,supplier) min unit price "
+    "from lineitem). Spark spells the correlation as a partition window "
+    "min — one shuffle on partkey instead of a self-join; all dims "
+    "broadcast",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf, "part").filter(F.col("p_size") == 15)
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = cost.join(F.broadcast(eu_supp), cost.l_suppkey == eu_supp.s_suppkey)
+    wmin = Window.partitionBy("l_partkey")
+    best = eu.withColumn("min_cost", F.min("unit_cost").over(wmin)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q8_market_share",
+    ("J8", "A2", "U2"),
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31') t
+    GROUP BY o_year
+    """,
+    "TPC-H Q8 shape — national market share: 8-way join, conditional "
+    "decimal sum ratio per year. Only lineitem⋈orders shuffles; part, "
+    "supplier+nation, customer+nation+region all broadcast",
+)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate").between(
+            F.expr("TIMESTAMP '1996-01-01'"), F.expr("TIMESTAMP '1997-12-31'")
+        )
+    )
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    cust_am = (
+        cust.join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_n = supp.join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key")).select(
+        "s_suppkey", "nation"
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_am), orders.o_custkey == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "q9_product_profit",
+    ("J8", "A2", "P4"),
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%') t
+    GROUP BY nation, o_year
+    """,
+    "TPC-H Q9 shape — product-line profit by supplier nation and year "
+    "(supplycost stood in by retail price × quantity; name LIKE filter "
+    "on part). Exact decimal arithmetic end-to-end; one shuffle "
+    "(lineitem⋈orders), everything else broadcast",
+)
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    nation = load_table(spark, sf, "nation")
+    supp_n = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "decimal(18,2)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year"), amount.alias("amount")
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@q(
+    "q11_important_parts",
+    ("A2", "J5", "J8"),
+    """
+    WITH v AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_4') GROUP BY l_partkey)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM v)
+    """,
+    "TPC-H Q11 shape — parts holding an outsized value share for a "
+    "nation group: grouped decimal sum + scalar-subquery threshold. The "
+    "scalar total is a broadcast nested-loop of a 1-row aggregate — the "
+    "corpus-side agg shuffles once on partkey",
+)
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4")
+    )
+    supp_n = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey"
+    )
+    v = (
+        li.join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val"))
+    )
+    total = v.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@q(
+    "q15_top_supplier",
+    ("A2", "J8", "J4", "W2"),
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    "TPC-H Q15 shape — top revenue supplier for a quarter: the view + "
+    "scalar-max correlation becomes agg → broadcast 1-row max → exact "
+    "decimal equality (ties kept, as in the spec)",
+)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01'"))
+    )
+    supp = load_table(spark, sf, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("total_rev")
+    )
+    best = revenue.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@q(
+    "q16_supplier_counts",
+    ("J6", "A2", "A7", "P2"),
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 shape — distinct-supplier counts per part class with a "
+    "NOT IN exclusion ('complaint' suppliers = negative balance). The "
+    "NOT IN compiles to a broadcast anti-join; COUNT(DISTINCT) expands "
+    "to a two-phase partial-distinct aggregate",
+)
+def q16_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q20_dominant_suppliers",
+    ("J7", "A2", "J8", "P8"),
+    """
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    dominant AS (
+      SELECT DISTINCT l_suppkey FROM (
+        SELECT l_suppkey, l_partkey, qty,
+               SUM(qty) OVER (PARTITION BY l_partkey) AS total
+        FROM sq) s
+      JOIN part ON p_partkey = s.l_partkey
+      WHERE p_type = 'SMALL' AND CAST(qty AS DOUBLE) > 0.3 * CAST(total AS DOUBLE))
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+    "TPC-H Q20 shape — suppliers who shipped a dominant share (>30%) of "
+    "some SMALL part's two-year volume (availqty stood in by shipped "
+    "quantity): windowed share per (part,supplier) → semi-join the "
+    "supplier dimension on the dominant set",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+    )
+    part = load_table(spark, sf, "part").filter(F.col("p_type") == "SMALL")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sq.withColumn("total", F.sum("qty").over(w))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .filter(F.col("qty").cast("double") > F.lit(0.3) * F.col("total").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(dominant), supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@q(
+    "w9_lag_delta",
+    ("W2", "W3", "A2", "C1"),
+    """
+    WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+                   FROM orders GROUP BY 1)
+    SELECT day, CAST(dt AS DOUBLE) AS day_total,
+           CAST(dt - lag(dt) OVER (ORDER BY day) AS DOUBLE) AS delta
+    FROM daily
+    """,
+    "day-over-day revenue delta via lag(): ordered analytic over the "
+    "daily aggregate (first day NULL). Decimal subtraction stays exact; "
+    "the global ordering runs over day-count rows, not the fact table",
+)
+def w9_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("dt"))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        F.col("dt").cast("double").alias("day_total"),
+        (F.col("dt") - F.lag("dt").over(w)).cast("double").alias("delta"),
+    )
+
+
+@q(
+    "w10_ntile",
+    ("W1", "W3"),
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    """,
+    "ntile(4) balance quartiles within each market segment — "
+    "partitioned analytic (scale-safe: the sort is per segment, not "
+    "global) with a unique (acctbal, custkey) order for determinism",
+)
+def w10_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-curation operators (decontamination, repetition, segment dedup)
+# --------------------------------------------------------------------------
+
+
+def _gram_join_sql(n: int) -> str:
+    return " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+
+
+@q(
+    "ns_decontaminate",
+    ("NS-text", "NS-dedup"),
+    f"""
+    WITH ws AS (SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS w
+                FROM documents),
+    grams AS (SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) >= 5
+                       THEN list_transform(generate_series(1, len(w) - 4),
+                              i -> {_gram_join_sql(5)})
+                       ELSE [] END) AS g
+              FROM ws),
+    ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 29 = 0),
+    tr AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 29 <> 0)
+    SELECT doc_id, COUNT(*) AS n_overlap
+    FROM tr JOIN ev USING (gram) GROUP BY doc_id
+    """,
+    "benchmark decontamination: training docs sharing any distinct word "
+    "5-gram with the (deterministic doc_id%29) eval split, with overlap "
+    "counts — eval gram dictionary broadcasts, corpus scans once and "
+    "only the per-doc tally shuffles (map-side partial agg)",
+)
+def ns_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    return curation.ngram_overlap(train, eval_df, "doc_id", "text", n=5)
+
+
+@q(
+    "ns_repetition",
+    ("NS-text",),
+    """
+    WITH ws AS (SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS w
+                FROM documents),
+    wx AS (SELECT doc_id, unnest(w) AS x FROM ws),
+    wc AS (SELECT doc_id, MAX(cnt) AS topw
+           FROM (SELECT doc_id, x, COUNT(*) AS cnt FROM wx GROUP BY doc_id, x)
+           GROUP BY doc_id),
+    bgs AS (SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1])
+                     ELSE [] END) AS x
+            FROM ws),
+    bc AS (SELECT doc_id, MAX(cnt) AS topb
+           FROM (SELECT doc_id, x, COUNT(*) AS cnt FROM bgs GROUP BY doc_id, x)
+           GROUP BY doc_id)
+    SELECT ws.doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CASE WHEN len(w) > 0
+                THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN len(w) > 0
+                THEN CAST(COALESCE(topw, 0) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                ELSE 0.0 END AS top_word_frac,
+           CASE WHEN len(w) >= 2
+                THEN CAST(COALESCE(topb, 0) AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM ws LEFT JOIN wc ON ws.doc_id = wc.doc_id
+            LEFT JOIN bc ON ws.doc_id = bc.doc_id
+    """,
+    "Gopher/MassiveText repetition filters: duplicate-word fraction, top "
+    "word and top bigram frequency shares per document — computed "
+    "row-locally in Spark (sort the token array once, fold a "
+    "max-run-length accumulator: zero shuffle) while the oracle spells "
+    "the same numbers relationally via unnest+GROUP BY",
+)
+def ns_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents")
+    return curation.repetition_signals(docs, "doc_id", "text")
+
+
+@q(
+    "ns_segment_dedup",
+    ("NS-dedup", "U4", "W2"),
+    """
+    WITH ws AS (SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS w
+                FROM documents),
+    raw AS (SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(0, CAST(GREATEST(CEIL(len(w) / 10.0) - 1, 0) AS BIGINT)),
+                     i -> struct_pack(seg_idx := CAST(i AS BIGINT),
+                                      seg_text := array_to_string(w[(i*10+1):(i*10+10)], ' ')))) AS s
+            FROM ws),
+    segs AS (SELECT doc_id, s.seg_idx AS seg_idx, s.seg_text AS seg_text
+             FROM raw WHERE length(s.seg_text) > 0),
+    first AS (SELECT doc_id, seg_idx, seg_text,
+                     ROW_NUMBER() OVER (PARTITION BY seg_text
+                                        ORDER BY doc_id, seg_idx) AS rn
+              FROM segs)
+    SELECT doc_id,
+           string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text,
+           COUNT(*) AS n_kept
+    FROM first WHERE rn = 1 GROUP BY doc_id
+    """,
+    "C4-style corpus-level segment dedup: 10-word segments, keep only "
+    "the global first occurrence of each distinct segment (deterministic "
+    "(doc_id, position) order), reassemble documents — two shuffles "
+    "total (segment-text window election, doc_id regroup), the same "
+    "layout C4's MapReduce used",
+)
+def ns_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents")
+    return curation.segment_dedup(docs, "doc_id", "text", seg_words=10)
