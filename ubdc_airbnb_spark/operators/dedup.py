@@ -79,13 +79,15 @@ def minhash_signatures(
             lambda g: md5_long(g) % MERSENNE31,
         ).alias("hv"),
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("hv"), lambda h: (h * a + b) % MERSENNE31))
-            for a, b in params
-        ]
+    # The num_perm min-fold expressions are assembled as ONE SQL string and
+    # parsed JVM-side in a single call: building them with per-perm Column
+    # lambdas costs hundreds of py4j round-trips (~0.4 s of pure driver
+    # latency per query at any scale).
+    terms = ",".join(
+        f"array_min(transform(hv, h -> (h * {a}L + {b}L) % {MERSENNE31}L))"
+        for a, b in params
     )
-    return base.select(F.col(id_col), sig.alias("sig"))
+    return base.select(F.col(id_col), F.expr(f"array({terms})").alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -153,30 +155,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     signatures: no explode, no groupBy, the corpus is never moved.
     Rows with no words produce no sketch (same semantics as the
     explode+aggregate formulation this replaces)."""
-    hs = F.col("__hs")
-    n = F.size(hs)
-    sketch = None
-    for b in range(bits):
-        # popcount of bit b across the array as an arithmetic fold —
-        # cheaper than filter+size (no per-bit array allocation)
-        cnt = F.aggregate(
-            hs,
-            F.lit(0),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
-        )
-        # vote sum = (+1)*cnt + (-1)*(n-cnt) = 2*cnt - n
-        piece = (
-            F.when(cnt * 2 - n > 0, F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        sketch = piece if sketch is None else (sketch + piece)
+    # All per-bit vote folds are assembled as ONE SQL expression string and
+    # parsed JVM-side in a single call — the equivalent per-bit Column
+    # construction is ~400 py4j round-trips (~0.8 s of driver latency per
+    # query). popcount of bit b is an arithmetic fold (cheaper than
+    # filter+size: no per-bit array allocation); vote sum = 2*cnt - n.
+    sketch_sql = " + ".join(
+        f"IF(2 * aggregate(__hs, 0, (acc, h) -> acc"
+        f" + CAST(shiftright(h, {b}) & 1 AS INT)) - size(__hs) > 0, {1 << b}L, 0L)"
+        for b in range(bits)
+    )
     return (
         df.select(
             F.col(id_col),
             F.transform(F.array_distinct(words(text_col)), lambda w: md5_long(w)).alias("__hs"),
         )
-        .filter(F.size(hs) > 0)
-        .select(id_col, sketch.alias("simhash"))
+        .filter(F.size(F.col("__hs")) > 0)
+        .select(id_col, F.expr(sketch_sql).alias("simhash"))
     )
 
 

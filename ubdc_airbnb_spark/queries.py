@@ -1706,9 +1706,9 @@ def j1_prefix_cover_semi(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("user_id") * 13) % 1024).alias("y"),
     )
     pts = ev.withColumn("quadkey", quadkey.tile_to_quadkey("x", "y", 10))
-    covers = spark.createDataFrame(
-        [("02",), ("031",), ("1",), ("2301",)], "qk_prefix string"
-    )
+    # VALUES → LocalRelation: skips the createDataFrame RDD round-trip
+    # (~0.2 s of driver latency under the bench's per-query timing)
+    covers = spark.sql("SELECT * FROM VALUES ('02'), ('031'), ('1'), ('2301') AS t(qk_prefix)")
     return joins.prefix_semi_join(pts, covers, keep=["event_id"]).select("event_id")
 
 
