@@ -76,7 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, use_cache: bool = Tr
     except Exception:
         ns_cols = []
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_ltz(spark, spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamp_micros() produces a session-tz TIMESTAMP from epoch micros;
     # downstream date_trunc/unix_timestamp must agree with DuckDB's naive-
@@ -85,6 +85,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, use_cache: bool = Tr
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _ntz_to_ltz(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Parquet µs timestamps with isAdjustedToUTC=false arrive as
+    TIMESTAMP_NTZ, which half the timestamp builtins (unix_micros,
+    window, ...) reject. With the session pinned to UTC the NTZ→LTZ cast
+    is value-identical to DuckDB's naive reading, so normalize every
+    NTZ column to the session-tz TIMESTAMP type once at the scan."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if not ntz:
+        return df
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
