@@ -1,0 +1,210 @@
+"""Round-2 operator tests: Bloom runtime pruning, salted two-phase
+aggregation, incremental state merge, histogram quantile sketch, charset
+profiling — each vs a naive exact computation on deterministic data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubdc_airbnb_spark.operators import bloomfilter, incremental, sketches, skew
+from ubdc_airbnb_spark.functions import textstats
+
+
+# ------------------------------------------------------------- bloom filter
+
+
+@pytest.fixture(scope="module")
+def fact_dim(spark):
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 300).cast("string").alias("k")
+    )
+    dim = spark.range(0, 40).select((F.col("id") * 7).cast("string").alias("k"))
+    return fact, dim
+
+
+def test_bloom_no_false_negatives(spark, fact_dim):
+    fact, dim = fact_dim
+    exact = set(
+        r.row_id
+        for r in fact.join(dim.distinct(), "k", "left_semi").collect()
+    )
+    survivors = set(
+        r.row_id
+        for r in bloomfilter.bloom_probe(
+            fact, "k", bloomfilter.bloom_build(dim, "k")
+        ).collect()
+    )
+    assert exact <= survivors  # Bloom may over-approve, never under
+
+
+def test_bloom_prune_semi_join_exact(spark, fact_dim):
+    fact, dim = fact_dim
+    got = set(
+        r.row_id for r in bloomfilter.bloom_prune_semi_join(fact, dim, "k", "k").collect()
+    )
+    want = set(r.row_id for r in fact.join(dim.distinct(), "k", "left_semi").collect())
+    assert got == want
+
+
+def test_bloom_probe_plan_is_join_free(spark, fact_dim):
+    """The probe must be a pure filter over the fact scan: the bitmap is
+    baked in as a literal, so no join/exchange node may appear."""
+    fact, dim = fact_dim
+    probed = bloomfilter.bloom_probe(fact, "k", bloomfilter.bloom_build(dim, "k"))
+    plan = probed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_bloom_fp_rate_sane(spark):
+    """8192 bits / 100 keys / k=4 → theoretical fp ≈ 5e-6; assert the
+    observed rate over 5000 non-member probes is far below 1%."""
+    dim = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+    probes = spark.range(10_000, 15_000).select(F.col("id").cast("string").alias("k"))
+    bloom = bloomfilter.bloom_build(dim, "k")
+    fp = bloomfilter.bloom_probe(probes, "k", bloom).count()
+    assert fp <= 50
+
+
+# ------------------------------------------------------------- salted agg
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("row_id"),
+        # one hot key holding ~80% of rows + a long tail
+        F.when(F.col("id") % 5 != 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("t"), (F.col("id") % 97).cast("string"))
+        ).alias("key"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    got = {
+        (r.key, r.n, float(r.s), r.lo, r.hi)
+        for r in skew.salted_agg(
+            df,
+            ["key"],
+            "row_id",
+            [
+                skew.count_agg("n"),
+                skew.sum_agg(F.col("v").cast("decimal(18,2)"), "s"),
+                skew.min_agg("v", "lo"),
+                skew.max_agg("v", "hi"),
+            ],
+        ).collect()
+    }
+    want = {
+        (r.key, r.n, float(r.s), r.lo, r.hi)
+        for r in df.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """Phase-1 output must contain multiple salt partials for the hot key."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("row_id"), F.lit("hot").alias("key"), F.lit(1.0).alias("v")
+    )
+    from ubdc_airbnb_spark.functions.hashing import md5_long
+
+    partial = df.groupBy(
+        "key", (md5_long("row_id", salt="skew") % 16).alias("__salt")
+    ).count()
+    assert partial.count() == 16  # all fanout slots used at n=1000
+
+
+# ------------------------------------------------------- incremental state
+
+
+def test_incremental_merge_equals_direct(spark):
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 101).cast("double").alias("v"),
+        (F.col("id") < 1500).alias("is_base"),
+    )
+    base = incremental.partial_state(df.filter("is_base"), ["g"], "v")
+    delta = incremental.partial_state(df.filter("NOT is_base"), ["g"], "v")
+    merged = incremental.finalize(
+        incremental.merge_states(base, delta, ["g"]), ["g"]
+    )
+    direct = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+        (
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+    got = {tuple(r) for r in merged.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want
+
+
+def test_incremental_state_is_per_key(spark):
+    df = spark.range(0, 100).select((F.col("id") % 5).alias("g"), F.lit(1.0).alias("v"))
+    st = incremental.partial_state(df, ["g"], "v")
+    assert st.count() == 5  # O(keys), not O(rows)
+
+
+# ------------------------------------------------- histogram quantile sketch
+
+
+def test_histogram_quantiles_within_width(spark):
+    vals = spark.range(1, 10_001).select((F.col("id") * 3.7).alias("v"))
+    width = 50.0
+    sk = sketches.histogram_sketch(vals, "v", width)
+    est = {r.q: r.est for r in sketches.histogram_quantiles(sk, width).collect()}
+    exact = vals.selectExpr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p50",
+        "percentile_cont(0.9) WITHIN GROUP (ORDER BY v) AS p90",
+        "percentile_cont(0.99) WITHIN GROUP (ORDER BY v) AS p99",
+    ).collect()[0]
+    assert abs(est[0.5] - exact.p50) <= width
+    assert abs(est[0.9] - exact.p90) <= width
+    assert abs(est[0.99] - exact.p99) <= width
+
+
+def test_histogram_sketch_merges(spark):
+    a = spark.range(0, 500).select((F.col("id") * 1.0).alias("v"))
+    b = spark.range(500, 1000).select((F.col("id") * 1.0).alias("v"))
+    both = a.unionByName(b)
+    merged = (
+        sketches.histogram_sketch(a, "v", 10.0)
+        .unionByName(sketches.histogram_sketch(b, "v", 10.0))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = sketches.histogram_sketch(both, "v", 10.0)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+# --------------------------------------------------------- charset profile
+
+
+def test_script_profile_counts(spark):
+    df = spark.createDataFrame([("ab1 \tZ",)], "text string")
+    row = df.select(*textstats.script_profile("text")).collect()[0]
+    assert row.n_chars_total == 6
+    assert row.n_ascii_letters == 3
+    assert row.n_digits == 1
+    assert row.n_whitespace == 2
+    assert row.n_non_ascii == 0
+    assert row.ascii_letter_ratio == 0.5
+
+
+def test_mojibake_gate(spark):
+    df = spark.createDataFrame(
+        [("clean english text", False), ("éééé x", True)],
+        "text string, want boolean",
+    )
+    got = df.select("want", textstats.is_mojibake_suspect("text").alias("sus")).collect()
+    for r in got:
+        assert r.sus == r.want

@@ -150,3 +150,52 @@ def pii_redact(col: Column | str) -> Column:
     address) and is identical in the oracle."""
     c = F.regexp_replace(_c(col), EMAIL_REGEX, "<EMAIL>")
     return F.regexp_replace(c, PHONE_REGEX, "<PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# Script / charset profiling — the cheap first gate of a multilingual
+# corpus pipeline (route docs to per-script pipelines, drop mojibake).
+# Character-class counting by regexp_replace-and-measure: the same
+# class expression means the same thing in Java regex and RE2, so the
+# DuckDB oracle replays every ratio bit-for-bit. Zero shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _class_count(c: Column, cls: str) -> Column:
+    """#chars matching a regex character class = len - len(stripped)."""
+    return F.length(c) - F.length(F.regexp_replace(c, cls, ""))
+
+
+def script_profile(col: Column | str) -> list[Column]:
+    """Per-document charset mix: ascii_letter / digit / whitespace /
+    other-ascii / non-ascii counts plus the dominant-class ratio. Emitted
+    as aliased columns ready for ``select(*script_profile("text"))``."""
+    c = _c(col)
+    letters = _class_count(c, "[A-Za-z]")
+    digits = _class_count(c, "[0-9]")
+    spaces = _class_count(c, r"[ \t\n\r]")
+    nonascii = _class_count(c, "[^\\x00-\\x7F]")
+    total = F.length(c)
+    return [
+        total.alias("n_chars_total"),
+        letters.alias("n_ascii_letters"),
+        digits.alias("n_digits"),
+        spaces.alias("n_whitespace"),
+        nonascii.alias("n_non_ascii"),
+        (letters.cast("double") / F.greatest(total, F.lit(1)).cast("double")).alias(
+            "ascii_letter_ratio"
+        ),
+        (nonascii.cast("double") / F.greatest(total, F.lit(1)).cast("double")).alias(
+            "non_ascii_ratio"
+        ),
+    ]
+
+
+def is_mojibake_suspect(col: Column | str, threshold: float = 0.3) -> Column:
+    """Heuristic mojibake/binary-spill gate: too many non-ASCII,
+    non-letter characters for a text document."""
+    c = _c(col)
+    nonascii = F.length(c) - F.length(F.regexp_replace(c, "[^\\x00-\\x7F]", ""))
+    return (
+        nonascii.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+    ) > threshold

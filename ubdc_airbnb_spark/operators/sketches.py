@@ -17,6 +17,8 @@ how per-partition / per-day sketches roll up on a cluster.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -129,6 +131,59 @@ def cm_sketch(
         .groupBy("row", "slot")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: percentiles in O(buckets) state
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(df: DataFrame, col: str | Column, width: float) -> DataFrame:
+    """Fixed-width histogram as a sketch: ``(bucket = floor(v / width),
+    cnt)``. One map-side-combinable groupBy over O(range/width) uniform
+    keys — state is independent of row count, and two sketches merge by
+    summing counts (the per-day / per-partition rollup path). Width is a
+    data-contract constant (like HLL's ``b``), not tuned per batch, so
+    sketches from different batches always align."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        df.select(F.floor(c / F.lit(width)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame, width: float, qs: Sequence[float] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Percentile estimates from a histogram sketch: for each q, the
+    upper edge of the first bucket whose cumulative count reaches
+    ``ceil(q·n)`` — error ≤ ``width`` by construction (asserted vs exact
+    percentile_disc in tests). Runs over ≤ |buckets| rows: a window
+    cumsum + one tiny aggregate. All comparisons are integer, so the
+    DuckDB oracle replays bit-for-bit; only the final edge→value
+    multiply touches floats (identical operands both sides)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket", "cnt", F.sum("cnt").over(w).alias("cum"), F.sum("cnt").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy()
+            .agg(
+                F.lit(q).alias("q"),
+                ((F.min("bucket") + 1) * F.lit(width)).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
 
 
 def cm_estimate(

@@ -1,0 +1,77 @@
+"""Skew-resilient aggregation (north-star: hot keys at 100 TB).
+
+A plain ``groupBy(key)`` shuffles every row of a hot key to one reducer;
+at 100 TB a single viral key can hold a 10-TB partition while 999
+executors idle. Spark's partial aggregation already absorbs most of this
+for *algebraic* aggregates, but collect-style aggregates
+(``collect_list``, exact ``count_distinct`` per group) and extreme skew
+still bottleneck.
+
+``salted_agg`` makes the classic two-phase repair explicit and reusable:
+
+  phase 1: groupBy(key, salt)  — salt = hash(row) % fanout splits each
+           hot key across ``fanout`` reducers; partial aggregate there.
+  phase 2: groupBy(key)        — merge the ≤ fanout partials per key
+           (tiny input: |keys| × fanout rows).
+
+The salt is a *content* hash (md5 of a caller-chosen unique column), not
+``rand()``, so retried tasks and the DuckDB oracle reproduce identical
+partials bit-for-bit. Result equals the unsalted aggregate exactly for
+any merge-algebra aggregate (sum/count/min/max/bit_or/...).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+
+class MergeAgg:
+    """One aggregate expressed as (partial expr, merge expr) over the
+    same output name — e.g. sum/sum, count/sum, min/min, max/max."""
+
+    def __init__(self, name: str, partial: Column, merge_fn) -> None:
+        self.name = name
+        self.partial = partial.alias(name)
+        self.merge = merge_fn(F.col(name)).alias(name)
+
+
+def sum_agg(col: Column | str, name: str) -> MergeAgg:
+    c = F.col(col) if isinstance(col, str) else col
+    return MergeAgg(name, F.sum(c), F.sum)
+
+
+def count_agg(name: str) -> MergeAgg:
+    return MergeAgg(name, F.count(F.lit(1)), F.sum)
+
+
+def min_agg(col: Column | str, name: str) -> MergeAgg:
+    c = F.col(col) if isinstance(col, str) else col
+    return MergeAgg(name, F.min(c), F.min)
+
+
+def max_agg(col: Column | str, name: str) -> MergeAgg:
+    c = F.col(col) if isinstance(col, str) else col
+    return MergeAgg(name, F.max(c), F.max)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_src: Column | str,
+    aggs: Sequence[MergeAgg],
+    fanout: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregate (see module docstring).
+
+    ``salt_src`` must be unique-ish per row (a row id) so the salt
+    spreads hot keys uniformly. Phase 2's input is |keys|·fanout rows —
+    the second shuffle is negligible at any scale."""
+    keys = list(keys)
+    salt = (md5_long(salt_src, salt="skew") % fanout).alias("__salt")
+    partial = df.groupBy(*keys, salt).agg(*[a.partial for a in aggs])
+    return partial.groupBy(*keys).agg(*[a.merge for a in aggs])

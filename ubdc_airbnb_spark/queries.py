@@ -3874,3 +3874,195 @@ def ns_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return curation.segment_dedup(docs, "doc_id", "text", seg_words=10)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: runtime pruning / skew / incremental / sketch-quantile /
+# charset gates
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ns_bloom_bitmap",
+    ("NS-bloom", "J7"),
+    f"""
+    WITH keys AS (SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS k
+                  FROM supplier WHERE s_nationkey < 5),
+    pos AS (SELECT {hashing.md5_long_sql("k || '#bf' || CAST(i AS VARCHAR)")} % 8192 AS p
+            FROM keys, generate_series(0, 3) AS t(i)),
+    words AS (SELECT p // 32 AS word_id, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS word
+              FROM pos GROUP BY p // 32)
+    SELECT word_id, word FROM words
+    """,
+    "portable Bloom-filter register table (k=4 salted md5 positions, "
+    "m=8192 bits folded into 32-bit words with bit_or) — constant-size "
+    "state built with one map-side-combinable groupBy; the oracle "
+    "replays the identical bitmap bit-for-bit (operators/bloomfilter.py)",
+)
+def ns_bloom_bitmap(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import bloomfilter
+
+    supp = load_table(spark, sf, "supplier").filter(F.col("s_nationkey") < 5)
+    keys = supp.select(F.col("s_suppkey").cast("string").alias("k")).distinct()
+    return bloomfilter.bloom_build(keys, "k", n_hashes=4, m_bits=8192)
+
+
+@q(
+    "j15_bloom_prune_semi",
+    ("NS-bloom", "J7", "A2"),
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+    GROUP BY l_returnflag
+    """,
+    "semi-join with Bloom runtime pruning: the 100-TB fact side is "
+    "pre-filtered by a codegen'd bitmap probe (zero shuffle, no join "
+    "node) before the exact broadcast semi-join touches only survivors; "
+    "result provably identical to the plain semi-join (the oracle): "
+    "Bloom passes all true matches, the real join removes false "
+    "positives",
+)
+def j15_bloom_prune_semi(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import bloomfilter
+
+    li = load_table(spark, sf, "lineitem")
+    supp = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select(F.col("s_suppkey").cast("string").alias("k"))
+        .distinct()
+    )
+    fact = li.withColumn("k", F.col("l_suppkey").cast("string"))
+    pruned = bloomfilter.bloom_prune_semi_join(fact, supp, "k", "k")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@q(
+    "a10_salted_agg",
+    ("NS-skew", "A2"),
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "two-phase salted aggregation for hot keys: phase 1 groups by "
+    "(key, md5-salt%16) so one viral key spreads over 16 reducers, "
+    "phase 2 merges the tiny partials — bit-identical to the plain "
+    "GROUP BY (the oracle) because every aggregate carries a merge "
+    "algebra (count->sum, decimal sum, min, max)",
+)
+def a10_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import skew
+
+    li = load_table(spark, sf, "lineitem")
+    out = skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
+        [
+            skew.count_agg("n_items"),
+            skew.MergeAgg(
+                "sum_qty", F.sum(F.col("l_quantity").cast("decimal(18,2)")), F.sum
+            ),
+            skew.min_agg("l_extendedprice", "min_price"),
+            skew.max_agg("l_extendedprice", "max_price"),
+        ],
+        fanout=16,
+    )
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
+@q(
+    "ns_incremental_agg",
+    ("NS-incremental", "A2", "C1"),
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    "incremental aggregate maintenance: history and the new batch "
+    "(split at 2024-01-20) are reduced to per-key partial states "
+    "independently, merged with the state algebra (count->sum, decimal "
+    "sum, min, max) and finalized — scans only the batch, shuffles only "
+    "|keys| state rows, and lands bit-identical to the full recompute "
+    "(the oracle) (operators/incremental.py)",
+)
+def ns_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import incremental
+
+    ev = load_table(spark, sf, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = incremental.partial_state(ev.filter(F.col("ts") < cutoff), ["event_type"], "value")
+    delta = incremental.partial_state(ev.filter(F.col("ts") >= cutoff), ["event_type"], "value")
+    merged = incremental.merge_states(base, delta, ["event_type"])
+    return incremental.finalize(merged, ["event_type"])
+
+
+@q(
+    "ns_quantile_sketch",
+    ("NS-sketch", "W7"),
+    """
+    WITH sk AS (SELECT CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS bucket,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1),
+    cum AS (SELECT bucket,
+                   SUM(cnt) OVER (ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM sk)
+    SELECT q, (MIN(bucket) + 1) * 100.0 AS est
+    FROM cum, (VALUES (0.5), (0.9), (0.99)) AS qs(q)
+    WHERE cum >= CAST(CEIL(q * n) AS BIGINT)
+    GROUP BY q
+    """,
+    "fixed-width histogram quantile sketch: O(range/width) counters "
+    "instead of a full sort, mergeable across batches by summing "
+    "counts; p50/p90/p99 read off the cumulative histogram with error "
+    "<= width (vs exact percentile asserted in tests); the oracle "
+    "replays the identical integer cumsum",
+)
+def ns_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    li = load_table(spark, sf, "lineitem")
+    sk = sketches.histogram_sketch(li, "l_extendedprice", width=100.0)
+    return sketches.histogram_quantiles(sk, width=100.0, qs=(0.5, 0.9, 0.99))
+
+
+@q(
+    "ns_script_profile",
+    ("NS-text", "P1"),
+    r"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_total,
+           LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')) AS n_ascii_letters,
+           LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digits,
+           LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[ \t\n\r]', '', 'g')) AS n_whitespace,
+           LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\x00-\x7F]', '', 'g')) AS n_non_ascii,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS ascii_letter_ratio,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\x00-\x7F]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS non_ascii_ratio
+    FROM documents
+    """,
+    "charset/script profiling — the first gate of a multilingual "
+    "pipeline (route scripts, drop mojibake): per-document character-"
+    "class counts by strip-and-measure with portable character classes; "
+    "pure narrow projection, zero shuffle, zero UDF",
+)
+def ns_script_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", *textstats.script_profile("text"))
