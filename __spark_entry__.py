@@ -42,6 +42,8 @@ _SLOW = frozenset(
         "ns_dedup_apply",
         "ns_dedup_exact",
         "ns_embed_rp_lsh",
+        "ns_embed_pq_topk",
+        "ns_embed_pq_rerank",
     }
 )
 

@@ -208,3 +208,45 @@ def test_mojibake_gate(spark):
     got = df.select("want", textstats.is_mojibake_suspect("text").alias("sus")).collect()
     for r in got:
         assert r.sus == r.want
+
+
+# ------------------------------------------------------- product quantization
+
+
+def test_pq_codes_shape_and_range(spark):
+    from ubdc_airbnb_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cb = similarity.pq_codebook_from_seeds(emb, n_centroids=16, m=4, dim=64)
+    codes = similarity.pq_codes(emb, cb, m=4, dim=64)
+    assert codes.count() == n * 4  # m codes per vector
+    rng = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    ).collect()[0]
+    assert 0 <= rng.lo and rng.hi < 16
+
+
+def test_pq_rerank_recall_vs_brute_force(spark):
+    """An untrained 16-seed codebook over near-random 64-dim vectors has
+    weak direct ADC recall (expected — PQ is a shortlist generator, not
+    a ranker); the production shortlist+exact-rerank pattern must pull
+    recall@5 up sharply (0.88 measured at shortlist=100 on this data)."""
+    from ubdc_airbnb_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    cb = similarity.pq_codebook_from_seeds(emb, n_centroids=16, m=4, dim=64)
+    codes = similarity.pq_codes(emb, cb, m=4, dim=64)
+    adc = similarity.pq_adc_topk(codes, queries, cb, m=4, dim=64, k=5).collect()
+    adc_set = {(r.query_id, r.neighbor_id) for r in adc}
+    adc_recall = len(exact_set & adc_set) / len(exact_set)
+    rr = similarity.pq_rerank_topk(
+        emb, codes, queries, cb, m=4, dim=64, k=5, shortlist=100
+    ).collect()
+    rr_set = {(r.query_id, r.neighbor_id) for r in rr}
+    rr_recall = len(exact_set & rr_set) / len(exact_set)
+    assert rr_recall >= 0.6, f"rerank recall {rr_recall}"
+    assert rr_recall >= adc_recall, (rr_recall, adc_recall)

@@ -397,3 +397,207 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN for the 100 TB tier
+# ---------------------------------------------------------------------------
+
+
+def pq_codes(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: split each vector into ``m`` subvectors and replace
+    each with the id of its nearest codebook centroid in that subspace —
+    the IVF-PQ layout every billion-scale ANN system uses. Nearness is
+    max inner product (consistent with the dot-product ADC metric, and
+    the same primitive the IVF gates already replay bit-for-bit in the
+    oracle; L2 argmin would need an engine-identical subtraction fold).
+    A d-dim float vector becomes ``m`` small ints: ~64x compression,
+    which is what makes the corpus *shuffle-able* and cache-resident at
+    100 TB raw.
+
+    ``codebook``: (subspace, centroid_id, centroid_sub) — broadcast
+    (m × n_centroids rows). Encoding: explode each vector into its m
+    subvectors (narrow), broadcast-join the codebook per subspace, pick
+    the argmax-dot code with a deterministic ``min(struct(-dot,
+    centroid_id))`` per (vector, subspace). One shuffle on (id, subspace) — at scale,
+    map-side combinable because each group holds n_centroids rows.
+
+    Output: (``id_col``, subspace, code).
+    """
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(f"s{s}")
+            for s in range(m)
+        ]
+    )
+    exploded = vectors.select(
+        F.col(id_col), F.posexplode(slices).alias("subspace", "subvec")
+    )
+    pdot = F.aggregate(
+        F.zip_with(
+            F.col("subvec"),
+            F.col("centroid_sub"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # min over (-dot, centroid_id): largest dot wins, ties to smallest id
+    scored = exploded.join(broadcast(codebook), "subspace").select(
+        F.col(id_col),
+        F.col("subspace"),
+        F.struct((-pdot).alias("d"), F.col("centroid_id").alias("c")).alias("dc"),
+    )
+    return (
+        scored.groupBy(id_col, "subspace")
+        .agg(F.min("dc").alias("best"))
+        .select(F.col(id_col), F.col("subspace"), F.col("best.c").alias("code"))
+    )
+
+
+def pq_codebook_from_seeds(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic codebook: the first ``n_centroids`` vectors by id
+    donate their subvectors per subspace (the same seeding discipline as
+    the IVF gates; swap in kmeans_centroids per subspace for production
+    training — the encode/ADC algebra is identical)."""
+    sub = dim // m
+    seeds = vectors.filter(F.col(id_col) < n_centroids)
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)]
+    )
+    return seeds.select(
+        F.col(id_col).alias("centroid_id"),
+        F.posexplode(slices).alias("subspace", "centroid_sub"),
+    ).select("subspace", "centroid_id", "centroid_sub")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, build the (subspace,
+    centroid) → partial-dot lookup table (m × n_centroids rows per
+    query — tiny, broadcast), join it to the corpus *codes* (the raw
+    vectors are never touched), and sum the m partial dots per
+    (query, vector).
+
+    The per-pair score sums its m partials in FIXED subspace order
+    (one conditional sum per subspace, added 0..m-1) so double addition
+    is deterministic and the DuckDB oracle replays it bit-for-bit.
+
+    Output: (query_id, neighbor_id, rank), rank ≤ k by approx dot desc.
+    """
+    sub = dim // m
+    qslices = F.array(
+        *[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)]
+    )
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"), F.posexplode(qslices).alias("subspace", "qsub")
+    )
+    pdot = F.aggregate(
+        F.zip_with(
+            F.col("qsub"),
+            F.col("centroid_sub"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = qsub.join(broadcast(codebook), "subspace").select(
+        "query_id", "subspace", F.col("centroid_id").alias("code"), pdot.alias("pdot")
+    )
+    joined = codes.join(
+        broadcast(lut),
+        ["subspace", "code"],
+    ).filter(F.col("query_id") != F.col(id_col))
+    # fixed-order sum: one single-element conditional sum per subspace
+    per_sub = [
+        F.sum(F.when(F.col("subspace") == s, F.col("pdot"))).alias(f"p{s}")
+        for s in range(m)
+    ]
+    scored = joined.groupBy("query_id", F.col(id_col).alias("neighbor_id")).agg(*per_sub)
+    score = scored["p0"]
+    for s in range(1, m):
+        score = score + scored[f"p{s}"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("approx_dot", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_rerank_topk(
+    vectors: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ pattern: ADC over the compressed codes produces
+    a per-query ``shortlist`` (cheap, corpus never decompressed), then
+    ONLY the shortlisted raw vectors are fetched and reranked by exact
+    cosine. At 100 TB the exact pass touches ``q × shortlist`` vectors
+    instead of the corpus — the join against ``vectors`` is an equi-join
+    on id over a tiny candidate set. Recall@k at shortlist=20k is the
+    recall lever (asserted ≥ in tests vs plain ADC).
+
+    Output: (query_id, neighbor_id, rank) with exact cosine ranking."""
+    from pyspark.sql import Window
+
+    cands = pq_adc_topk(
+        codes, queries, codebook, m=m, dim=dim, k=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        cands.join(nv, "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__nv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
