@@ -250,3 +250,66 @@ def test_pq_rerank_recall_vs_brute_force(spark):
     rr_recall = len(exact_set & rr_set) / len(exact_set)
     assert rr_recall >= 0.6, f"rerank recall {rr_recall}"
     assert rr_recall >= adc_recall, (rr_recall, adc_recall)
+
+
+# ----------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_matches_plain_having(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("event_id"),
+        # five hot keys (400 rows each), long tail of singletons
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 10).cast("string"))
+        .otherwise(F.concat(F.lit("tail"), F.col("id").cast("string")))
+        .alias("k"),
+    )
+    from ubdc_airbnb_spark.operators.sketches import heavy_hitters
+
+    got = {
+        (r.k, r.cnt)
+        for r in heavy_hitters(
+            df, "k", F.col("event_id").cast("string"), threshold=100
+        ).collect()
+    }
+    want = {
+        (r.k, r.cnt)
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).filter("cnt >= 100").collect()
+    }
+    assert got == want
+    assert len(want) == 5
+
+
+# ------------------------------------------------------- URL canonicalization
+
+
+def test_canonical_url_variants_collapse(spark):
+    from ubdc_airbnb_spark.functions import urltools
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://Example.COM/a/?b=2&a=1&utm_source=x#frag",),
+            ("https://example.com/a?a=1&b=2&fbclid=zzz",),
+            ("https://example.com/a?a=1&b=2",),
+        ],
+        "url string",
+    )
+    got = df.select(urltools.canonical_url("url").alias("c")).distinct().collect()
+    assert len(got) == 1
+    assert got[0].c == "https://example.com/a?a=1&b=2"
+
+
+def test_canonical_url_keeps_non_tracking_and_empty_query(spark):
+    from ubdc_airbnb_spark.functions import urltools
+
+    df = spark.createDataFrame(
+        [
+            ("http://h.io/p?utm_campaign=c",),   # only tracking -> no query
+            ("http://h.io/p",),
+            ("http://h.io/p?id=7",),            # non-tracking survives
+        ],
+        "url string",
+    )
+    got = [r.c for r in df.select(urltools.canonical_url("url").alias("c")).collect()]
+    assert got[0] == "http://h.io/p"
+    assert got[1] == "http://h.io/p"
+    assert got[2] == "http://h.io/p?id=7"

@@ -209,3 +209,54 @@ def cm_estimate(
         .groupBy(*keys.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: sample → sketch-probe → exact verify
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str | Column,
+    row_key: str | Column,
+    threshold: int,
+    d: int = 4,
+    w: int = 1024,
+    sample_fraction: float = 0.25,
+    salt: str = "hh",
+) -> DataFrame:
+    """Keys with frequency ≥ ``threshold``, without a full-key groupBy.
+
+    The 100 TB shape: (1) one pass builds the O(d·w) Count-Min sketch;
+    (2) candidates come from a deterministic hash *row* sample — a key
+    with freq ≥ T survives with P ≥ 1-(1-p)^T (≈ 1-2e-9 at p=0.25,
+    T=70), and the long tail (the expensive part of a full distinct) is
+    mostly skipped; (3) the CM probe discards sampled tail keys (one-
+    sided error: no true heavy key is lost here); (4) only the few
+    survivors are exactly counted via a broadcast semi-join + groupBy
+    over the filtered rows. Every stage is deterministic (salted md5,
+    no RNG), so the DuckDB oracle replays the identical pipeline.
+
+    Output: (``col``, cnt) with exact counts ≥ threshold."""
+    from pyspark.sql.functions import broadcast
+
+    from .sampling import hash_sample
+
+    c = F.col(col) if isinstance(col, str) else col
+    name = col if isinstance(col, str) else "key"
+    sketch = cm_sketch(df, c, d=d, w=w)
+    cand_keys = (
+        hash_sample(df, row_key, sample_fraction, salt=salt)
+        .select(c.alias(name))
+        .distinct()
+    )
+    est = cm_estimate(sketch, cand_keys, name, d=d, w=w)
+    survivors = est.filter(F.col("est") >= threshold).select(name)
+    return (
+        df.select(c.alias(name))
+        .join(broadcast(survivors), name, "left_semi")
+        .groupBy(name)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

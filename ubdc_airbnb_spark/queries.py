@@ -4182,3 +4182,113 @@ def ns_embed_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
         emb, codes, emb.filter(F.col("vec_id") < 10), cb,
         m=4, dim=64, k=5, shortlist=100,
     )
+
+
+@q(
+    "ns_url_canonical",
+    ("NS-curation", "A2", "C6"),
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://Docs.' || source || '.Example.com/p/' || CAST(doc_id % 10 AS VARCHAR)
+             || '/?utm_source=' || source || '&b=' || CAST(doc_id % 7 AS VARCHAR)
+             || '&a=1&fbclid=x' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+             || regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '')
+             || CASE WHEN params = '' THEN '' ELSE '?' || params END AS curl
+      FROM (
+        SELECT doc_id, url,
+               array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                 p -> p <> '' AND NOT (
+                   starts_with(string_split(p, '=')[1], 'utm_')
+                   OR string_split(p, '=')[1] IN ('fbclid','gclid','msclkid','ref','mc_cid','mc_eid')))), '&') AS params
+        FROM raw))
+    SELECT curl AS canonical_url,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_variants
+    FROM canon GROUP BY curl
+    """,
+    "URL canonicalization + URL-level dedup — the first pass of web-"
+    "crawl curation: lowercase scheme/host, strip fragments and "
+    "tracking params (utm_*/fbclid/...), sort surviving params, strip "
+    "trailing slash; group variants under the canonical form and keep "
+    "the earliest doc. Narrow regexp/array projection (zero UDF) + one "
+    "hash groupBy on the canonical key (functions/urltools.py)",
+)
+def ns_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import urltools
+
+    docs = load_table(spark, sf, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Docs."),
+            F.col("source"),
+            F.lit(".Example.com/p/"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("/?utm_source="),
+            F.col("source"),
+            F.lit("&b="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&a=1&fbclid=x"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        raw.select("doc_id", urltools.canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+@q(
+    "ns_heavy_hitters",
+    ("NS-sketch", "A2"),
+    f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS s, user_id, event_id FROM events),
+    sampled AS (
+      SELECT DISTINCT user_id, s FROM ev
+      WHERE {hashing.md5_long_sql("CAST(event_id AS VARCHAR)", salt="hh")} % 1000000 < 250000),
+    hs AS (SELECT user_id, i,
+                  {hashing.md5_long_sql("s", salt=None).replace("MD5(s)", "MD5(s || '#cm' || CAST(i AS VARCHAR))")} % 1024 AS slot
+           FROM ev, generate_series(0, 3) AS t(i)),
+    sk AS (SELECT i AS row, slot, CAST(COUNT(*) AS BIGINT) AS cnt FROM hs GROUP BY i, slot),
+    kh AS (SELECT sampled.user_id, i,
+                  {hashing.md5_long_sql("sampled.s", salt=None).replace("MD5(sampled.s)", "MD5(sampled.s || '#cm' || CAST(i AS VARCHAR))")} % 1024 AS slot
+           FROM sampled, generate_series(0, 3) AS t(i)),
+    est AS (SELECT kh.user_id, MIN(COALESCE(sk.cnt, 0)) AS est
+            FROM kh LEFT JOIN sk ON kh.i = sk.row AND kh.slot = sk.slot
+            GROUP BY kh.user_id),
+    survivors AS (SELECT user_id FROM est WHERE est >= 70)
+    SELECT e.user_id, COUNT(*) AS cnt
+    FROM events e JOIN survivors sv ON e.user_id = sv.user_id
+    GROUP BY e.user_id HAVING COUNT(*) >= 70
+    """,
+    "heavy hitters without a full-key groupBy: deterministic 25% hash "
+    "row-sample nominates candidates (a freq>=70 key is missed with "
+    "P<=0.75^70~2e-9), the O(d*w) Count-Min sketch prunes the sampled "
+    "tail (one-sided: no true heavy key lost), and only survivors are "
+    "exactly counted over a broadcast semi-join; the oracle replays the "
+    "identical sample+sketch+verify pipeline; agreement with the plain "
+    "HAVING query asserted in tests",
+)
+def ns_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = load_table(spark, sf, "events")
+    out = sketches.heavy_hitters(
+        ev.select(F.col("user_id").cast("string").alias("user_id_s"), "user_id", "event_id"),
+        "user_id_s",
+        F.col("event_id").cast("string"),
+        threshold=70,
+    )
+    return out.select(F.col("user_id_s").cast("bigint").alias("user_id"), "cnt")
