@@ -44,6 +44,7 @@ _SLOW = frozenset(
         "ns_embed_rp_lsh",
         "ns_embed_pq_topk",
         "ns_embed_pq_rerank",
+        "ns_dedup_semantic",
     }
 )
 

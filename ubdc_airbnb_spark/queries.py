@@ -4292,3 +4292,126 @@ def ns_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         threshold=70,
     )
     return out.select(F.col("user_id_s").cast("bigint").alias("user_id"), "cnt")
+
+
+@q(
+    "ns_dedup_semantic",
+    ("NS-similarity", "NS-dedup"),
+    """
+    WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, cent.ce)
+                          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                          cent.centroid_id) AS rn
+        FROM v, cent) WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN v va ON va.vec_id = cand.id_a
+      JOIN v vb ON vb.vec_id = cand.id_b
+      WHERE list_dot_product(va.e, vb.e)
+            / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) >= 0.4),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM v
+      UNION
+      SELECT s.b AS id, reach.r FROM reach JOIN sym s ON reach.id = s.a),
+    comp AS (SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT component AS keep_vec_id,
+           COUNT(*) AS cluster_size,
+           COUNT(*) - 1 AS n_removed
+    FROM comp GROUP BY component
+    """,
+    "semantic (embedding-cosine) dedup end-to-end: IVF-bucketed "
+    "candidate pairs (2-probe, never all-pairs) + exact cosine >= 0.4 "
+    "verify -> connected components (min-label propagation) -> keep the "
+    "min-id canonical per cluster with removal accounting; oracle "
+    "replays bucketing, verification, and the component fixpoint "
+    "(recursive CTE)",
+)
+def ns_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid_vec"),
+    )
+    pairs = similarity.ivf_threshold_pairs(emb, cents, threshold=0.4, probes=2)
+    comp = connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+    return comp.groupBy(F.col("component").alias("keep_vec_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        (F.count(F.lit(1)) - 1).alias("n_removed"),
+    )
+
+
+@q(
+    "ns_curation_funnel",
+    ("NS-curation", "NS-text", "A2"),
+    """
+    WITH scored AS (
+      SELECT doc_id, source, lang,
+             length(text) AS n_chars,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)) AS n_tokens,
+             (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+              + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                              / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0))
+              + least((CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a'], lower(w)))) AS DOUBLE)
+                       / CAST(greatest(len(words), 1) AS DOUBLE)) * 10.0, 1.0)
+              + CASE WHEN (CAST(list_sum(list_prepend(0, list_transform(words, w -> length(w)))) AS DOUBLE)
+                           / CAST(greatest(len(words), 1) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+                     THEN 1.0 ELSE 0.5 END) / 4.0 AS quality
+      FROM (SELECT doc_id, source, lang, text,
+                   list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS words
+            FROM documents)),
+    flagged AS (
+      SELECT source,
+             CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f_lang,
+             CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS f_quality
+      FROM scored)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f_len) AS BIGINT) AS n_pass_len,
+           CAST(SUM(f_len * f_lang) AS BIGINT) AS n_pass_lang,
+           CAST(SUM(f_len * f_lang * f_quality) AS BIGINT) AS n_keep
+    FROM flagged GROUP BY source
+    """,
+    "the curation funnel every pretraining pipeline runs: token-count "
+    "gate -> language gate -> quality gate, with per-source survival "
+    "accounting at each stage (sequential AND semantics: a doc only "
+    "reaches gate k+1 if it passed gate k). One narrow projection + one "
+    "groupBy(source) — no shuffle of document text, no UDF",
+)
+def ns_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    n_tokens = textstats.whitespace_token_count("text")
+    f_len = (
+        F.when((n_tokens >= 20) & (n_tokens <= 100000), F.lit(1)).otherwise(F.lit(0))
+    )
+    f_lang = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    f_quality = (
+        F.when(textstats.quality_score("text") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    )
+    flagged = docs.select(
+        "source",
+        f_len.alias("f_len"),
+        f_lang.alias("f_lang"),
+        f_quality.alias("f_quality"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_len").alias("n_pass_len"),
+        F.sum(F.col("f_len") * F.col("f_lang")).alias("n_pass_lang"),
+        F.sum(F.col("f_len") * F.col("f_lang") * F.col("f_quality")).alias("n_keep"),
+    )
