@@ -1,0 +1,93 @@
+"""E2E test of the composed corpus-curation plan (plans/curation.py):
+a hand-built corpus where every stage has known casualties, so the
+stage-by-stage survivor accounting is fully predictable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubdc_airbnb_spark.plans.curation import run_curation
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "bank where the water is clear and the fish are plenty for all of them"
+)
+GOOD2 = (
+    "a merge of the sorted runs begins when the last batch lands and the "
+    "scheduler hands each worker a span of keys to fold into the output"
+)
+GOOD3 = (
+    "every morning the harbor fills with small boats and the market opens "
+    "while the gulls circle over the stalls looking for an easy meal today"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # survivors: long-enough english text, unique urls and bodies
+        (1, GOOD + " one", "en", "https://a.io/1?x=1"),
+        (2, GOOD2, "en", "https://a.io/2"),
+        # killed by funnel: too short
+        (3, "too short", "en", "https://a.io/3"),
+        # killed by funnel: wrong language tag
+        (4, GOOD + " vier", "de", "https://a.io/4"),
+        # killed by URL dedup: same canonical url as doc 1 (tracking junk)
+        (5, GOOD + " five", "en", "HTTPS://A.io/1?x=1&utm_source=z#f"),
+        # killed by exact dedup: byte-identical to doc 2's text
+        (6, GOOD2, "en", "https://a.io/6"),
+        # killed by near-dup dedup: shares almost all word 3-grams with doc 1
+        (7, GOOD + " one indeed", "en", "https://a.io/7"),
+        # killed by decontamination: contains the eval passage verbatim
+        (8, GOOD3 + " " + "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "https://a.io/8"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, url string")
+
+
+@pytest.fixture(scope="module")
+def eval_docs(spark):
+    return spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+
+
+def test_curation_stage_accounting(spark, corpus, eval_docs):
+    res = run_curation(
+        spark, corpus, eval_docs=eval_docs, url_col="url", min_tokens=10
+    )
+    assert res.report["raw"] == 8
+    assert res.report["quality_funnel"] == 6   # -3 (short), -4 (lang)
+    assert res.report["url_dedup"] == 5        # -5 (canonical twin of 1)
+    assert res.report["exact_dedup"] == 4      # -6 (byte twin of 2)
+    assert res.report["neardup_dedup"] == 3    # -7 (minhash twin of 1)
+    assert res.report["decontaminated"] == 2   # -8 (eval passage)
+    ids = sorted(r.doc_id for r in res.corpus.select("doc_id").collect())
+    assert ids == [1, 2]
+
+
+def test_curation_split_is_deterministic(spark, corpus, eval_docs):
+    res1 = run_curation(spark, corpus, eval_docs=eval_docs, url_col="url", min_tokens=10)
+    res2 = run_curation(spark, corpus, eval_docs=eval_docs, url_col="url", min_tokens=10)
+    s1 = {(r.doc_id, r.split) for r in res1.corpus.select("doc_id", "split").collect()}
+    s2 = {(r.doc_id, r.split) for r in res2.corpus.select("doc_id", "split").collect()}
+    assert s1 == s2
+
+
+def test_curation_without_optional_stages(spark, corpus):
+    res = run_curation(spark, corpus, min_tokens=10)
+    assert "url_dedup" not in res.report
+    assert "decontaminated" not in res.report
+    assert res.report["neardup_dedup"] >= 1
+
+
+def test_curate_cli(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("curated") / "corpus")
+    from ubdc_airbnb_spark.cli import main
+
+    rc = main(["curate", "--sf-dir", "/root/testdata/sf0.001", "--output", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert "split" in got.columns

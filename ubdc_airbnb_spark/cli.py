@@ -458,6 +458,36 @@ def cmd_export_data(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the composed corpus-curation pipeline (plans/curation.py):
+    quality funnel -> URL dedup -> exact dedup -> MinHash near-dup ->
+    decontamination -> split; writes the surviving corpus and prints the
+    stage-by-stage survivor report."""
+    from .plans.curation import run_curation
+    from .sources.tables import load_table
+
+    spark = _spark()
+    docs = (
+        spark.read.parquet(args.input)
+        if args.input
+        else load_table(spark, args.sf_dir, "documents")
+    )
+    eval_docs = spark.read.parquet(args.eval_set) if args.eval_set else None
+    res = run_curation(
+        spark,
+        docs,
+        eval_docs=eval_docs,
+        url_col=args.url_col,
+        min_tokens=args.min_tokens,
+        lang=args.lang or None,
+        min_quality=args.min_quality,
+    )
+    res.corpus.write.mode("overwrite").parquet(args.output)
+    for stage, n in res.report.items():
+        print(f"{stage}: {n}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ubdc-airbnb-spark")
     p.add_argument("--warehouse", default=os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ubdc_warehouse"))
@@ -510,6 +540,17 @@ def main(argv: list[str] | None = None) -> int:
     ct = sub.add_parser("create-test-area", help="buffered test AOI from a quadkey, all flags on")
     ct.add_argument("quadkey")
     ct.set_defaults(fn=cmd_create_test_area)
+
+    cu = sub.add_parser("curate", help="run the full corpus-curation pipeline")
+    cu.add_argument("--input", default=None, help="parquet docs dir (default: --sf-dir documents table)")
+    cu.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cu.add_argument("--eval-set", default=None, help="parquet eval docs for decontamination")
+    cu.add_argument("--url-col", default=None)
+    cu.add_argument("--min-tokens", type=int, default=20)
+    cu.add_argument("--lang", default="en", help="'' disables the language gate")
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--output", required=True)
+    cu.set_defaults(fn=cmd_curate)
 
     e = sub.add_parser("export-data", help="JSONL export with --only-latest/--since")
     e.add_argument("--table", default="responses")

@@ -1,0 +1,122 @@
+"""The composed corpus-curation pipeline (north-star): the full
+pretraining pass a data team runs over a raw crawl, as ONE plan built
+from the engine's oracle-gated operators:
+
+  1. quality funnel     — token-count / language / quality gates
+                          (narrow projection, no text shuffle)
+  2. URL-level dedup    — canonical-URL keep-earliest (cheapest pass
+                          first: one groupBy on a short key)
+  3. exact dedup        — md5 digest keep-first
+  4. near-dup dedup     — MinHash+LSH candidates → connected
+                          components → canonical keep
+  5. decontamination    — eval-set n-gram overlap (broadcast)
+  6. split assignment   — deterministic hash train/val/test
+
+Order matters and is the production order: each stage runs over the
+survivors of the previous one, so the expensive passes (MinHash, overlap
+join) see the smallest possible corpus. Every stage keeps its
+row-accounting so the run report shows where documents died — the same
+funnel discipline the per-stage gates (`ns_curation_funnel`,
+`ns_url_canonical`, `ns_dedup_exact`, `ns_dedup_components`,
+`ns_decontaminate`, `ns_consistent_split`) verify in isolation.
+
+At 100 TB: stages 1-2 are narrow or short-key shuffles; stage 3 shuffles
+digests, not text; stage 4 shuffles band buckets and component labels;
+stage 5 broadcasts the (small) eval set; stage 6 is narrow. Text bodies
+are shuffled at most once (stage-4 gram materialization is per-doc
+local).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textstats
+from ..functions.hashing import md5_long
+from ..functions.urltools import canonical_url
+from ..operators import dedup, sampling
+from ..operators.curation import ngram_overlap
+from ..operators.graph import connected_components
+
+
+@dataclass
+class CurationResult:
+    corpus: DataFrame          # surviving docs + split label
+    report: dict[str, int]     # stage -> surviving doc count
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    lang: str | None = "en",
+    min_quality: float = 0.5,
+    minhash_perms: int = 16,
+    lsh_bands: int = 4,
+    decontam_min_overlap: int = 5,
+) -> CurationResult:
+    """Run the full curation pass (module docstring). ``eval_docs``
+    (id, text) enables stage 5; ``url_col`` enables stage 2. The
+    report counts survivors after each stage (a driver-side count per
+    stage — bounded, and exactly what the run log needs)."""
+    report: dict[str, int] = {"raw": docs.count()}
+
+    # 1. quality funnel — sequential AND of the three gates
+    n_tokens = textstats.whitespace_token_count(text_col)
+    kept = docs.filter((n_tokens >= min_tokens) & (n_tokens <= max_tokens))
+    if lang is not None:
+        kept = kept.filter(F.col("lang") == lang)
+    kept = kept.filter(textstats.quality_score(text_col) >= min_quality)
+    report["quality_funnel"] = kept.count()
+
+    # 2. URL-level dedup (cheapest dedup first)
+    if url_col is not None:
+        first = (
+            kept.select(F.col(id_col), canonical_url(url_col).alias("__curl"))
+            .groupBy("__curl")
+            .agg(F.min(id_col).alias(id_col))
+        )
+        kept = kept.join(first.select(id_col), id_col, "left_semi")
+        report["url_dedup"] = kept.count()
+
+    # 3. exact dedup — digest keep-first
+    digest_first = (
+        kept.select(F.col(id_col), F.md5(F.col(text_col)).alias("__d"))
+        .groupBy("__d")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    kept = kept.join(digest_first.select(id_col), id_col, "left_semi")
+    report["exact_dedup"] = kept.count()
+
+    # 4. near-dup dedup — MinHash+LSH -> components -> keep component min
+    sigs = dedup.minhash_signatures(
+        kept, id_col, text_col, num_perm=minhash_perms, ngram=3, shingle="word"
+    )
+    pairs = dedup.lsh_candidate_pairs(sigs, id_col, num_perm=minhash_perms, bands=lsh_bands)
+    comp = connected_components(pairs, kept.select(id_col), id_col=id_col)
+    keepers = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    kept = kept.join(keepers, id_col, "left_semi")
+    report["neardup_dedup"] = kept.count()
+
+    # 5. decontamination — drop docs overlapping the eval set
+    if eval_docs is not None:
+        overlap = ngram_overlap(kept, eval_docs, id_col=id_col, text_col=text_col)
+        contaminated = overlap.filter(
+            F.col("n_overlap") >= decontam_min_overlap
+        ).select(id_col).distinct()
+        kept = kept.join(contaminated, id_col, "left_anti")
+        report["decontaminated"] = kept.count()
+
+    # 6. deterministic split
+    corpus = sampling.split(kept, F.col(id_col).cast("string"))
+    return CurationResult(corpus, report)
