@@ -313,3 +313,50 @@ def test_canonical_url_keeps_non_tracking_and_empty_query(spark):
     assert got[0] == "http://h.io/p"
     assert got[1] == "http://h.io/p"
     assert got[2] == "http://h.io/p?id=7"
+
+
+# ----------------------------------------------------- grouped sketch variants
+
+
+def test_hll_by_group_accuracy(spark):
+    from ubdc_airbnb_spark.operators import sketches
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 4).alias("g"),
+        # group g has ~ (g+1)*500 distinct keys
+        (F.col("id") % ((F.col("id") % 4 + 1) * 500)).cast("string").alias("k"),
+    )
+    regs = sketches.hll_registers_by(df, ["g"], "k", b=12)
+    est = {r.g: r.est for r in sketches.hll_estimate_by(regs, ["g"], b=12).collect()}
+    exact = {
+        r.g: r.n for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.15, (g, est[g], n)
+
+
+def test_grouped_quantile_sketch_within_width(spark):
+    from ubdc_airbnb_spark.operators import sketches
+
+    df = spark.range(1, 10_001).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 2.0).alias("v")
+    )
+    width = 40.0
+    sk = (
+        df.select("g", F.floor(F.col("v") / width).cast("long").alias("bucket"))
+        .groupBy("g", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    est = {
+        (r.g, r.q): r.est
+        for r in sketches.histogram_quantiles_by(sk, ["g"], width, qs=(0.5, 0.95)).collect()
+    }
+    exact = df.groupBy("g").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)").alias("p95"),
+    ).collect()
+    # bound is vs the discrete percentile (an actual data value): the
+    # sketch returns its bucket's upper edge, <= width away
+    for r in exact:
+        assert abs(est[(r.g, 0.5)] - r.p50) <= width
+        assert abs(est[(r.g, 0.95)] - r.p95) <= width

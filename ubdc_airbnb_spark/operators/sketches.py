@@ -260,3 +260,106 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped sketch variants: one sketch per key, same algebra
+# ---------------------------------------------------------------------------
+
+
+def hll_registers_by(
+    df: DataFrame, keys: Sequence[str], col: str | Column, b: int = 12
+) -> DataFrame:
+    """Per-key HLL register tables: (keys..., bucket, m_j). State is
+    O(|keys| · m) — the grouped distinct-count shape (distinct users per
+    day/type) without O(|keys| · distinct) exact state."""
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    h = md5_long(col)
+    rest = F.shiftright(h, b)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(
+            *keys,
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, keys: Sequence[str], b: int = 12
+) -> DataFrame:
+    """Per-key cardinality estimates from per-key register tables —
+    identical integer harmonic sum as :func:`hll_estimate`, one row per
+    key."""
+    m = 1 << b
+    rest_bits = _HASH_BITS - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(rest_bits + 1) - F.col("m_j")).cast("int"),
+            )
+        ).alias("s_present"),
+    )
+    v = F.lit(m) - F.col("n_present")
+    s = F.col("s_present") + v * F.shiftleft(F.lit(1).cast("long"), rest_bits + 1)
+    est_raw = F.lit(alpha * m * m * float(1 << (rest_bits + 1))) / s.cast("double")
+    est = F.when(
+        (est_raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(est_raw)
+    return agg.select(
+        *keys,
+        v.cast("long").alias("v_zero_buckets"),
+        s.cast("long").alias("s_harmonic"),
+        F.round(est, 4).alias("est"),
+    )
+
+
+def histogram_quantiles_by(
+    sketch: DataFrame,
+    keys: Sequence[str],
+    width: float,
+    qs: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-key percentile estimates from per-key histogram sketches
+    (``sketch``: keys..., bucket, cnt). Window cumsum partitioned by
+    key over O(buckets) rows per key; same ≤ width error contract as
+    :func:`histogram_quantiles`."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*keys)
+    cum = sketch.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy(*keys)
+            .agg(
+                F.lit(q).alias("q"),
+                ((F.min("bucket") + 1) * F.lit(width)).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

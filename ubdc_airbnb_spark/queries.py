@@ -4415,3 +4415,82 @@ def ns_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("f_len") * F.col("f_lang")).alias("n_pass_lang"),
         F.sum(F.col("f_len") * F.col("f_lang") * F.col("f_quality")).alias("n_keep"),
     )
+
+
+@q(
+    "ns_hll_by_group",
+    ("NS-sketch", "A2"),
+    """
+    WITH h AS (SELECT event_type,
+                      CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM events),
+    r AS (SELECT event_type, h & 4095 AS bucket,
+                 CASE WHEN (h >> 12) = 0 THEN 49
+                      ELSE 49 - length(bin(h >> 12)) END AS rho
+          FROM h),
+    regs AS (SELECT event_type, bucket, MAX(rho) AS m_j FROM r GROUP BY event_type, bucket),
+    a AS (SELECT event_type, COUNT(*) AS n_present,
+                 CAST(SUM(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT) AS s_present
+          FROM regs GROUP BY event_type),
+    e AS (SELECT event_type, CAST(4096 - n_present AS BIGINT) AS v,
+                 CAST(s_present + (4096 - n_present) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS s
+          FROM a),
+    est0 AS (SELECT event_type, v, s,
+                    6.810691763087074e+21 / CAST(s AS DOUBLE) AS est_raw FROM e)
+    SELECT event_type, v AS v_zero_buckets, s AS s_harmonic,
+           ROUND(CASE WHEN est_raw <= 10240.0 AND v > 0
+                      THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+                      ELSE est_raw END, 4) AS est
+    FROM est0
+    """,
+    "grouped portable-HLL distinct counts (distinct users per event "
+    "type): one register table per key, O(|keys| * m) state, identical "
+    "integer harmonic sum per group; the grouped analog of "
+    "ns_hll_distinct, mergeable across batches by per-key register MAX",
+)
+def ns_hll_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = load_table(spark, sf, "events")
+    regs = sketches.hll_registers_by(
+        ev.withColumn("u", F.col("user_id").cast("string")), ["event_type"], "u", b=12
+    )
+    return sketches.hll_estimate_by(regs, ["event_type"], b=12)
+
+
+@q(
+    "w11_grouped_quantile_sketch",
+    ("NS-sketch", "W7", "A2"),
+    """
+    WITH sk AS (SELECT l_returnflag,
+                       CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS bucket,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1, 2),
+    cum AS (SELECT l_returnflag, bucket,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM sk)
+    SELECT l_returnflag, q, (MIN(bucket) + 1) * 100.0 AS est
+    FROM cum, (VALUES (0.5), (0.95)) AS qs(q)
+    WHERE cum >= CAST(CEIL(q * n) AS BIGINT)
+    GROUP BY l_returnflag, q
+    """,
+    "per-key histogram quantile sketch: p50/p95 of price per return "
+    "flag from O(buckets) counters per key — the grouped percentile at "
+    "100 TB without per-key sorts; same <= width error contract, same "
+    "integer cumsum replay",
+)
+def w11_grouped_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    li = load_table(spark, sf, "lineitem")
+    sk = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") / F.lit(100.0)).cast("long").alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return sketches.histogram_quantiles_by(sk, ["l_returnflag"], width=100.0, qs=(0.5, 0.95))
