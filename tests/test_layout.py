@@ -55,3 +55,48 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from ubdc_airbnb_spark.sources.layout import compact
+
+    path = str(tmp_path / "frag")
+    # simulate a micro-batch sink: 40 tiny files
+    spark.range(0, 4000).selectExpr("id", "id % 7 AS k").repartition(40).write.mode(
+        "overwrite"
+    ).parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 40
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    n = compact(spark, path, target_file_bytes=1 << 30)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == n == 1
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_compact_preserving_sort_keeps_disjoint_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ubdc_airbnb_spark.sources.layout import compact
+
+    path = str(tmp_path / "frag2")
+    spark.range(0, 50_000).selectExpr("id AS k", "id * 2 AS v").repartition(30).write.mode(
+        "overwrite"
+    ).parquet(path)
+    compact(spark, path, target_file_bytes=200_000, preserve_sort=["k"])
+    ranges = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.read_metadata(f)
+        st = md.row_group(0).column(0).statistics
+        lo, hi = st.min, st.max
+        for rg in range(1, md.num_row_groups):
+            s2 = md.row_group(rg).column(0).statistics
+            lo, hi = min(lo, s2.min), max(hi, s2.max)
+        ranges.append((lo, hi))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2  # disjoint key ranges -> file-level pruning works

@@ -199,3 +199,83 @@ def test_chunking_is_narrow(spark):
     plan = _plan(sliding_chunks(docs))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_salted_agg_is_two_exchange_phases(spark):
+    """Phase 1 shuffles on (key, salt), phase 2 on key — exactly two
+    aggregate exchanges, both preceded by partial HashAggregates."""
+    from ubdc_airbnb_spark.operators import skew
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    out = skew.salted_agg(
+        li, ["l_returnflag"], F.col("l_orderkey").cast("string"),
+        [skew.count_agg("n")], fanout=16,
+    )
+    tree = _plan(out).split("\n\n")[0]  # tree section: one line per node
+    assert tree.count("Exchange") == 2
+    assert tree.count("HashAggregate") == 4  # partial+final per phase
+
+
+def test_bloom_build_single_shuffle_probe_none(spark):
+    from ubdc_airbnb_spark.operators import bloomfilter
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    supp = load_table(spark, SF, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("k")
+    )
+    bloom = bloomfilter.bloom_build(supp, "k")
+    tree = _plan(bloom).split("\n\n")[0]
+    assert tree.count("Exchange") == 1  # word-id groupBy only
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_suppkey").cast("string").alias("k")
+    )
+    probe_plan = _plan(bloomfilter.bloom_probe(li, "k", bloom))
+    assert "Exchange" not in probe_plan
+    assert "Join" not in probe_plan
+
+
+def test_histogram_sketch_single_shuffle(spark):
+    from ubdc_airbnb_spark.operators import sketches
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    tree = _plan(sketches.histogram_sketch(li, "l_extendedprice", 100.0)).split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_pq_adc_never_joins_raw_vectors(spark):
+    """ADC scoring must touch only the codes + broadcast LUT — the raw
+    embedding column may appear solely under the LUT/codebook branches
+    (query slices), never in a non-broadcast join input."""
+    from ubdc_airbnb_spark.operators import similarity
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cb = similarity.pq_codebook_from_seeds(emb, n_centroids=16, m=4, dim=64)
+    codes = similarity.pq_codes(emb, cb, m=4, dim=64)
+    out = similarity.pq_adc_topk(
+        codes, emb.filter(F.col("vec_id") < 10), cb, m=4, dim=64, k=5
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_script_profile_is_narrow(spark):
+    from ubdc_airbnb_spark.functions import textstats
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(docs.select("doc_id", *textstats.script_profile("text")))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_canonical_url_is_narrow(spark):
+    from ubdc_airbnb_spark.functions.urltools import canonical_url
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = docs.select(F.concat(F.lit("https://h.io/p?a=1&utm_s=x#f")).alias("url"))
+    plan = _plan(df.select(canonical_url("url").alias("c")))
+    assert "Exchange" not in plan and "Join" not in plan

@@ -211,3 +211,41 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     ).filter(F.col("r_id") != F.col("l_id"))
     expected = {(r.l_id, r.r_id) for r in batch.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_foreach_batch_incremental_agg_matches_batch(spark, tmp_path):
+    """Streaming state maintenance = batch recompute: after ingesting the
+    whole source through availableNow micro-batches, the finalized state
+    table equals the direct aggregate."""
+    from ubdc_airbnb_spark.operators.incremental import finalize
+
+    src = _events_dir(spark, tmp_path)
+    state = str(tmp_path / "agg_state")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_incremental_agg(stream, state, ["event_type"], "value")
+
+    got = {
+        tuple(r)
+        for r in finalize(spark.read.parquet(state), ["event_type"]).collect()
+    }
+    ev = spark.read.parquet(src)
+    want = {
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -49,3 +49,42 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table_name)
     )
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    preserve_sort: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every
+    streaming/incremental sink needs: micro-batches and MERGEs leave
+    thousands of KB-sized files, and at 100 TB the scan's task-per-file
+    overhead (and the NameNode/manifest pressure) dominates. Rewrites
+    the table into ceil(bytes / target) files (optionally re-sorted so
+    min/max stats stay tight), with the same temp-write + rename-swap
+    discipline as upsert_parquet — readers never observe a partial
+    table. Returns the new file count."""
+    import math
+    import os
+
+    from ..operators.upsert import replace_parquet
+
+    base = path.rstrip("/")
+    total = 0
+    for root, _dirs, files in os.walk(base):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(base)
+    if preserve_sort:
+        df = df.repartitionByRange(n_files, *preserve_sort).sortWithinPartitions(
+            *preserve_sort
+        )
+    else:
+        df = df.coalesce(n_files)
+    replace_parquet(df, base)
+    return n_files

@@ -192,3 +192,31 @@ def foreach_batch_upsert(stream: DataFrame, target_path: str, keys: list[str]):
     q = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def foreach_batch_incremental_agg(
+    stream: DataFrame, state_path: str, keys: list[str], value_col: str
+):
+    """Incremental aggregate maintenance in streaming form: every
+    micro-batch is reduced to its per-key partial state (scans only the
+    batch) and merged into the parquet state table with the
+    count->sum/decimal-sum/min/max algebra — the streaming twin of
+    operators/incremental.py, with the same invariant:
+    finalize(state) == direct aggregate over everything ingested."""
+    from ..operators.incremental import merge_states, partial_state
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.upsert import replace_parquet
+
+        spark = batch_df.sparkSession
+        batch_state = partial_state(batch_df, keys, value_col)
+        try:
+            existing = spark.read.parquet(state_path)
+        except Exception:
+            batch_state.write.mode("overwrite").parquet(state_path)
+            return
+        replace_parquet(merge_states(existing, batch_state, keys), state_path)
+
+    q = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
