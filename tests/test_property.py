@@ -251,3 +251,94 @@ def test_segment_dedup_matches_naive(spark, docs_words, seg):
         if kept:
             expect[i] = (" ".join(kept), len(kept))
     assert got == expect
+
+
+# ------------------------------------------------- round-2 operator properties
+
+_agg_row = st.tuples(
+    st.integers(min_value=0, max_value=3),          # key
+    st.integers(min_value=-1000, max_value=1000),   # value (int -> exact)
+)
+
+
+@given(st.lists(_agg_row, min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_salted_agg_matches_naive(spark, rows):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(rows)], "rid long, k long, v double"
+    )
+    got = {
+        r.k: (r.n, float(r.s), r.lo, r.hi)
+        for r in skew.salted_agg(
+            df, ["k"], F.col("rid").cast("string"),
+            [
+                skew.count_agg("n"),
+                skew.sum_agg(F.col("v").cast("decimal(18,2)"), "s"),
+                skew.min_agg("v", "lo"),
+                skew.max_agg("v", "hi"),
+            ],
+            fanout=4,
+        ).collect()
+    }
+    naive = defaultdict(list)
+    for k, v in rows:
+        naive[k].append(float(v))
+    for k, vs in naive.items():
+        assert got[k] == (len(vs), sum(vs), min(vs), max(vs)), k
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60))
+@settings(max_examples=8, deadline=None)
+def test_histogram_quantiles_bounded_error(spark, vals):
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators import sketches
+
+    width = 100.0
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    est = {r.q: r.est for r in sketches.histogram_quantiles(
+        sketches.histogram_sketch(df, "v", width), width, qs=(0.5, 0.9)
+    ).collect()}
+    sv = sorted(vals)
+    for q in (0.5, 0.9):
+        import math
+
+        exact = sv[max(0, math.ceil(q * len(sv)) - 1)]  # discrete percentile
+        assert abs(est[q] - exact) <= width, (q, est[q], exact, sv)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
+)
+@settings(max_examples=8, deadline=None)
+def test_incremental_merge_matches_naive(spark, a_vals, b_vals):
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators import incremental
+
+    if not a_vals and not b_vals:
+        return
+    mk = lambda vs: spark.createDataFrame(
+        [(0, float(v)) for v in vs], "g long, v double"
+    )
+    states = []
+    if a_vals:
+        states.append(incremental.partial_state(mk(a_vals), ["g"], "v"))
+    if b_vals:
+        states.append(incremental.partial_state(mk(b_vals), ["g"], "v"))
+    merged = states[0]
+    for s2 in states[1:]:
+        merged = incremental.merge_states(merged, s2, ["g"])
+    row = incremental.finalize(merged, ["g"]).collect()[0]
+    allv = [float(v) for v in a_vals + b_vals]
+    assert row.cnt == len(allv)
+    assert row.sum_value == sum(allv)
+    assert row.min_value == min(allv)
+    assert row.max_value == max(allv)
