@@ -4494,3 +4494,52 @@ def w11_grouped_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return sketches.histogram_quantiles_by(sk, ["l_returnflag"], width=100.0, qs=(0.5, 0.95))
+
+
+@q(
+    "mm_fake_decode",
+    ("NS-multimodal",),
+    """
+    WITH dims AS (SELECT unnest(generate_series(0, 7)) AS d),
+    base AS (SELECT doc_id, text, GREATEST(length(text), 1) AS n FROM documents),
+    acc AS (
+      SELECT doc_id, n, d,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   generate_series(d + 1, length(text), 8),
+                   p -> CAST(ascii(substr(text, CAST(p AS INTEGER), 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000003) AS a
+      FROM base, dims)
+    SELECT doc_id AS media_id,
+           CAST(MAX(CASE WHEN d = 0 THEN a END) AS DOUBLE) / 1000003.0 AS f0,
+           CAST(MAX(CASE WHEN d = 1 THEN a END) AS DOUBLE) / 1000003.0 AS f1,
+           CAST(MAX(CASE WHEN d = 2 THEN a END) AS DOUBLE) / 1000003.0 AS f2,
+           CAST(MAX(CASE WHEN d = 3 THEN a END) AS DOUBLE) / 1000003.0 AS f3,
+           CAST(MAX(CASE WHEN d = 4 THEN a END) AS DOUBLE) / 1000003.0 AS f4,
+           CAST(MAX(CASE WHEN d = 5 THEN a END) AS DOUBLE) / 1000003.0 AS f5,
+           CAST(MAX(CASE WHEN d = 6 THEN a END) AS DOUBLE) / 1000003.0 AS f6,
+           CAST(MAX(CASE WHEN d = 7 THEN a END) AS DOUBLE) / 1000003.0 AS f7,
+           MAX(n) % 640 + 1 AS width,
+           MAX(n) % 480 + 1 AS height
+    FROM acc GROUP BY doc_id
+    """,
+    "the multimodal DECODE stage itself, oracle-gated: Arrow-batched "
+    "mapInPandas runs the (disclosed deterministic) byte->feature "
+    "kernel per media row — binary stays inside the stage, downstream "
+    "shuffles 8 doubles + dims, never payloads; the oracle replays the "
+    "polynomial byte accumulator per dimension in SQL (corpus text is "
+    "ASCII so bytes == ascii(chars))",
+)
+def mm_fake_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from .multimodal.binary_ops import attach_binary, decode_fake
+
+    docs = load_table(spark, sf, "documents")
+    media = attach_binary(docs, "doc_id", "text", media_type="text/plain")
+    out = decode_fake(media)
+    return out.select(
+        "media_id",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
