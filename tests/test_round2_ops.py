@@ -360,3 +360,37 @@ def test_grouped_quantile_sketch_within_width(spark):
     for r in exact:
         assert abs(est[(r.g, 0.5)] - r.p50) <= width
         assert abs(est[(r.g, 0.95)] - r.p95) <= width
+
+
+# ------------------------------------------------- sorted-neighborhood dedup
+
+
+def test_sorted_neighborhood_finds_adjacent_twins(spark):
+    from ubdc_airbnb_spark.operators import dedup
+
+    sk = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1011), (3, 0b1111_0000_1010_0101), (4, 0b1010)],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.sorted_neighborhood_pairs(sk, window=3, max_hamming=1).collect()
+    }
+    # 1,2,4 sort adjacently (values 10,11,10); 3 is far in hamming space
+    assert (1, 4) in got and (1, 2) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_sorted_neighborhood_pairs_all_within_radius(spark):
+    from ubdc_airbnb_spark.operators import dedup
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sk = dedup.simhash(docs, "doc_id", "text", bits=32)
+    pairs = dedup.sorted_neighborhood_pairs(sk, window=3, max_hamming=3)
+    joined = (
+        pairs.join(sk.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha")), "id_a")
+        .join(sk.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb")), "id_b")
+    )
+    bad = joined.filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) > 3).count()
+    assert bad == 0 and pairs.count() > 0

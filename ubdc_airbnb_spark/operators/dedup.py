@@ -222,3 +222,55 @@ def ngram_jaccard_pairs(
         .filter(F.col("inter") * den >= F.col("union_n") * num)
         .select("id_a", "id_b", "inter", "union_n")
     )
+
+
+def sorted_neighborhood_pairs(
+    sketches: DataFrame,
+    id_col: str = "doc_id",
+    sketch_col: str = "simhash",
+    window: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation — the join-free
+    alternative to banding: sort the corpus by its sketch value and
+    compare each row only to its ``window`` predecessors (LAG 1..w over
+    the sort order). Near-identical sketches sort adjacently, so true
+    near-dups land in the same neighborhood; total comparisons are
+    exactly ``n·w`` regardless of bucket skew — the property banding
+    loses when one bucket goes viral. Cost: ONE global sort (a
+    range-partitioned shuffle at scale) and a window pass; no join node
+    at all.
+
+    Output: (id_a, id_b) with id_a < id_b and hamming ≤ ``max_hamming``.
+    Complements ``simhash_hamming_pairs``: band-join finds *all* pairs
+    within the radius (pigeonhole-complete); sorted-neighborhood is the
+    bounded-cost sweep used when skew or memory rules the join out.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(sketch_col, id_col)
+    lags = sketches.select(
+        F.col(id_col),
+        F.col(sketch_col),
+        *[
+            F.lag(F.col(id_col), i).over(w).alias(f"prev_id_{i}")
+            for i in range(1, window + 1)
+        ],
+        *[
+            F.lag(F.col(sketch_col), i).over(w).alias(f"prev_sk_{i}")
+            for i in range(1, window + 1)
+        ],
+    )
+    out = None
+    for i in range(1, window + 1):
+        ham = F.bit_count(
+            F.col(sketch_col).bitwiseXOR(F.col(f"prev_sk_{i}"))
+        )
+        pairs = lags.filter(
+            F.col(f"prev_id_{i}").isNotNull() & (ham <= max_hamming)
+        ).select(
+            F.least(F.col(id_col), F.col(f"prev_id_{i}")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col(f"prev_id_{i}")).alias("id_b"),
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()

@@ -4543,3 +4543,30 @@ def mm_fake_decode(spark: SparkSession, sf: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
     )
+
+
+@q(
+    "ns_dedup_sorted_neighborhood",
+    ("NS-dedup", "W3"),
+    _SIMHASH_SQL
+    + """
+    , ordered AS (
+      SELECT doc_id, simhash,
+             row_number() OVER (ORDER BY simhash, doc_id) AS rn
+      FROM sk)
+    SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+                    GREATEST(a.doc_id, b.doc_id) AS id_b
+    FROM ordered a JOIN ordered b
+      ON b.rn BETWEEN a.rn - 3 AND a.rn - 1
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    """,
+    "sorted-neighborhood near-dup candidates: ONE global sort of the "
+    "SimHash sketch + a LAG-1..3 window sweep — exactly n*w comparisons "
+    "with no join node, immune to the viral-bucket skew that banding "
+    "self-joins suffer; the oracle replays the identical neighborhood "
+    "via row_number ranges",
+)
+def ns_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    sk = dedup.simhash(docs, "doc_id", "text", bits=32)
+    return dedup.sorted_neighborhood_pairs(sk, "doc_id", "simhash", window=3, max_hamming=3)
