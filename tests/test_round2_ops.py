@@ -394,3 +394,44 @@ def test_sorted_neighborhood_pairs_all_within_radius(spark):
     )
     bad = joined.filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) > 3).count()
     assert bad == 0 and pairs.count() > 0
+
+
+# ------------------------------------------------- upsampling / packing
+
+
+def test_upsample_copy_counts(spark):
+    from ubdc_airbnb_spark.operators import sampling
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = sampling.upsample(df, F.lit(2.5), F.col("k").cast("string"))
+    n = out.count()
+    # 2 copies guaranteed + ~half a third: expect ~2500 +- deterministic
+    assert 2300 <= n <= 2700
+    per_key = out.groupBy("k").count()
+    rng = per_key.agg(F.min("count").alias("lo"), F.max("count").alias("hi")).collect()[0]
+    assert rng.lo == 2 and rng.hi == 3
+    # deterministic: identical on re-run
+    assert sampling.upsample(df, F.lit(2.5), F.col("k").cast("string")).count() == n
+
+
+def test_upsample_subsampling_weights(spark):
+    from ubdc_airbnb_spark.operators import sampling
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    n = sampling.upsample(df, F.lit(0.25), F.col("k").cast("string")).count()
+    assert 400 <= n <= 600  # ~25%, hash-deterministic
+
+
+def test_sequence_pack_budget_invariants(spark):
+    from ubdc_airbnb_spark.operators import chunking
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("toks")
+    )
+    out = chunking.sequence_pack(df, "doc_id", F.col("toks"), budget=128).collect()
+    by_id = sorted(out, key=lambda r: r.doc_id)
+    stream = 0
+    for r in by_id:
+        assert r.pack_id == stream // 128
+        assert r.pack_offset == stream % 128
+        stream += r.n_tokens

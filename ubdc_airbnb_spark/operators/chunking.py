@@ -62,3 +62,37 @@ def sliding_chunks(
         F.size(chunk).cast("long").alias("n_words"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Contiguous sequence packing — assign documents to fixed-budget
+    training sequences by running token count, the deterministic
+    approximation of greedy bin packing every large-scale pretraining
+    pipeline uses (T5-style packing): docs are taken in a stable order
+    (``order_col``, default the id) and ``pack_id = floor((cumsum -
+    tokens) / budget)`` so a pack holds consecutive docs until the
+    budget would overflow into the next pack. Oversized docs (> budget)
+    own their packs. One window cumsum over the sort order — at scale a
+    range-partitioned sort, no join, no driver state.
+
+    Output: (id, n_tokens, pack_id, pack_offset) — offset is the token
+    position where the doc starts inside its pack's running stream."""
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    cum = df.select(
+        F.col(id_col), token_count.cast("long").alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return cum.select(
+        id_col,
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget)).alias("pack_id"),
+        ((F.col("cum") - F.col("n_tokens")) % F.lit(budget)).alias("pack_offset"),
+    )

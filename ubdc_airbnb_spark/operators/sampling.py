@@ -64,3 +64,26 @@ def split(
     label_col: str = "split",
 ) -> DataFrame:
     return df.withColumn(label_col, split_label(col, weights, salt))
+
+
+def upsample(
+    df: DataFrame,
+    weight_col: Column,
+    key: Column | str,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Fractional epoch upsampling — the data-mixing step that feeds
+    high-quality sources to training more than once per epoch: weight
+    2.5 means every row appears twice and, deterministically by content
+    hash, half the rows a third time. ``explode(sequence(1, n_copies))``
+    is a narrow per-row expansion (no shuffle, no RNG); the emitted
+    ``copy_id`` keeps downstream shuffling/packing stable. Weights < 1
+    degenerate to plain hash subsampling."""
+    whole = F.floor(weight_col).cast("long")
+    frac = weight_col - whole
+    extra = (hash_bucket(key, salt) < (frac * _M).cast("long")).cast("long")
+    n_copies = (whole + extra).alias("__n")
+    out = df.withColumn("__n", n_copies).filter(F.col("__n") > 0)
+    return out.withColumn(
+        "copy_id", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n")))
+    ).drop("__n")

@@ -4570,3 +4570,68 @@ def ns_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     sk = dedup.simhash(docs, "doc_id", "text", bits=32)
     return dedup.sorted_neighborhood_pairs(sk, "doc_id", "simhash", window=3, max_hamming=3)
+
+
+@q(
+    "ns_corpus_upsample",
+    ("NS-sampling", "U4"),
+    f"""
+    WITH weighted AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 2.5 ELSE 0.5 END AS w
+      FROM documents),
+    counted AS (
+      SELECT doc_id,
+             CAST(FLOOR(w) AS BIGINT)
+             + CASE WHEN {hashing.md5_long_sql("CAST(doc_id AS VARCHAR)", salt="epoch")} % 1000000
+                         < CAST((w - FLOOR(w)) * 1000000 AS BIGINT)
+                    THEN 1 ELSE 0 END AS n
+      FROM weighted)
+    SELECT doc_id, CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy_id
+    FROM counted WHERE n > 0
+    """,
+    "fractional epoch upsampling (data mixing): weight 2.5 -> two "
+    "copies of every doc plus a deterministic content-hash half gets a "
+    "third; weight 0.5 degenerates to hash subsampling — narrow "
+    "explode(sequence), no shuffle, no RNG, reproducible across runs "
+    "and engines (operators/sampling.py upsample)",
+)
+def ns_corpus_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    w = F.when(F.col("lang") == "en", F.lit(2.5)).otherwise(F.lit(0.5))
+    out = sampling.upsample(docs, w, F.col("doc_id").cast("string"))
+    return out.select("doc_id", "copy_id")
+
+
+@q(
+    "ns_sequence_pack",
+    ("NS-chunking", "W3"),
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
+           (cum - n_tokens) % 512 AS pack_offset
+    FROM c
+    """,
+    "T5-style sequence packing: docs concatenated in stable id order "
+    "and sliced into 512-token training sequences — pack_id/offset from "
+    "ONE window cumsum (range-partitioned sort at scale, no join, no "
+    "driver state); every pack is budget-full except the last "
+    "(operators/chunking.py sequence_pack)",
+)
+def ns_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import chunking
+    from .functions import textstats as ts
+
+    docs = load_table(spark, sf, "documents")
+    return chunking.sequence_pack(
+        docs, "doc_id", ts.whitespace_token_count("text"), budget=512
+    )
