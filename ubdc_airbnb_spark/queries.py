@@ -4417,10 +4417,7 @@ def ns_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "ns_hll_by_group",
-    ("NS-sketch", "A2"),
-    """
+_HLL_BY_GROUP_SQL = """
     WITH h AS (SELECT event_type,
                       CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
                FROM events),
@@ -4442,7 +4439,13 @@ def ns_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
                       THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
                       ELSE est_raw END, 4) AS est
     FROM est0
-    """,
+    """
+
+
+@q(
+    "ns_hll_by_group",
+    ("NS-sketch", "A2"),
+    _HLL_BY_GROUP_SQL,
     "grouped portable-HLL distinct counts (distinct users per event "
     "type): one register table per key, O(|keys| * m) state, identical "
     "integer harmonic sum per group; the grouped analog of "
@@ -4635,3 +4638,32 @@ def ns_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     return chunking.sequence_pack(
         docs, "doc_id", ts.whitespace_token_count("text"), budget=512
     )
+
+
+@q(
+    "ns_incremental_distinct",
+    ("NS-incremental", "NS-sketch", "A2"),
+    _HLL_BY_GROUP_SQL,
+    "incremental DISTINCT maintenance: the history and the new batch "
+    "(split at 2024-01-20) build per-key HLL register tables "
+    "independently; merging = per-(key, bucket) register MAX — exact "
+    "over ANY split of the data, so the merged sketch is bit-identical "
+    "to the whole-corpus sketch and shares its oracle verbatim. The "
+    "distinct-count rollup never rescans history (O(|keys| * m) state "
+    "per batch)",
+)
+def ns_incremental_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "u", F.col("user_id").cast("string")
+    )
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = sketches.hll_registers_by(ev.filter(F.col("ts") < cutoff), ["event_type"], "u")
+    delta = sketches.hll_registers_by(ev.filter(F.col("ts") >= cutoff), ["event_type"], "u")
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    return sketches.hll_estimate_by(merged, ["event_type"], b=12)
