@@ -4667,3 +4667,97 @@ def ns_incremental_distinct(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.max("m_j").alias("m_j"))
     )
     return sketches.hll_estimate_by(merged, ["event_type"], b=12)
+
+
+@q(
+    "ns_winsorize",
+    ("NS-sketch", "A2"),
+    """
+    WITH sk AS (SELECT CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS bucket,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1),
+    cum AS (SELECT bucket,
+                   SUM(cnt) OVER (ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM sk),
+    p99 AS (SELECT (MIN(bucket) + 1) * 100.0 AS cap
+            FROM cum WHERE cum >= CAST(CEIL(0.99 * n) AS BIGINT))
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_extendedprice > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(SUM(CAST(LEAST(l_extendedprice, cap) AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+    FROM lineitem, p99
+    GROUP BY l_returnflag
+    """,
+    "sketch-driven winsorization: the p99 cap comes from the O(buckets) "
+    "histogram sketch (no sort of the fact table), broadcast as a "
+    "one-row literal; values clip with LEAST and aggregate in exact "
+    "decimal — outlier repair at 100 TB for the cost of one extra tiny "
+    "aggregate",
+)
+def ns_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    li = load_table(spark, sf, "lineitem")
+    sk = sketches.histogram_sketch(li, "l_extendedprice", width=100.0)
+    cap = (
+        sketches.histogram_quantiles(sk, width=100.0, qs=(0.99,))
+        .select(F.col("est").alias("cap"))
+    )
+    clipped = li.crossJoin(F.broadcast(cap))
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_extendedprice") > F.col("cap"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_clipped"),
+        _dec_sum(F.least(F.col("l_extendedprice"), F.col("cap"))).alias("sum_clipped"),
+    )
+
+
+@q(
+    "ns_outlier_zscore",
+    ("NS-profile", "A2"),
+    """
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type),
+    m AS (SELECT event_type, n, s / n AS mean,
+                 sqrt(ss / n - (s / n) * (s / n)) AS std
+          FROM stats)
+    SELECT e.event_type,
+           CAST(SUM(CASE WHEN ABS(e.value - m.mean) > 3.0 * m.std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+    "per-group z-score outlier detection in two passes: moments "
+    "(count / decimal-exact sum / decimal-exact sum-of-squares) per key "
+    "— one map-side-combinable groupBy — then a broadcast join flags "
+    "|v - mean| > 3 sigma; identical double arithmetic from identical "
+    "exact moments on both engines",
+)
+def ns_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s"),
+        F.sum(v.cast("decimal(28,6)") * v.cast("decimal(28,6)")).cast("double").alias("ss"),
+    )
+    m = stats.select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(F.col("ss") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))).alias("std"),
+    )
+    joined = ev.join(F.broadcast(m), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.abs(F.col("value") - F.col("mean")) > 3.0 * F.col("std"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
