@@ -91,3 +91,30 @@ def test_curate_cli(spark, tmp_path_factory):
     got = spark.read.parquet(out)
     assert got.count() > 0
     assert "split" in got.columns
+
+
+def test_curation_with_mixing_and_packing(spark, corpus, eval_docs):
+    res = run_curation(
+        spark, corpus, eval_docs=eval_docs, url_col="url", min_tokens=10,
+        source_weights=None, pack_budget=16,
+    )
+    rows = res.corpus.collect()
+    assert {"pack_id", "pack_offset"} <= set(res.corpus.columns)
+    assert res.report["n_packs"] >= 1
+    # token-stream invariant over the packed order
+    ordered = sorted(rows, key=lambda r: (r.pack_id, r.pack_offset))
+    stream = 0
+    for r in ordered:
+        assert r.pack_id == stream // 16
+        assert r.pack_offset == stream % 16
+        stream += len(r.text.split())
+
+
+def test_curation_mixing_upsamples(spark, corpus, eval_docs):
+    docs = corpus.withColumn("source", F.lit("web"))
+    res = run_curation(
+        spark, docs, eval_docs=eval_docs, url_col="url", min_tokens=10,
+        source_weights={"web": 2.0},
+    )
+    assert res.report["mixed"] == 2 * res.report["decontaminated"]
+    assert "copy_id" in res.corpus.columns

@@ -74,3 +74,63 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 1000,
+) -> DataFrame:
+    """Frequency-ranked word vocabulary: top ``size`` words by global
+    count, ids assigned in (count DESC, word ASC) order — fully
+    deterministic, so retrained vocabularies are reproducible. One
+    explode + map-side-combinable word count, then a top-k rank over
+    the (small) distinct-word table.
+
+    Output: (word, token_id) with token_id in [0, size)."""
+    from pyspark.sql import Window
+
+    from ..functions.textstats import words
+
+    counts = (
+        docs.select(F.explode(words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.col("word"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        .filter(F.col("token_id") < size)
+        .select("word", "token_id")
+    )
+
+
+def tokenize(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Vocabulary tokenization — the corpus→token-id step before
+    packing/training: explode words in position order, broadcast-join
+    the vocabulary (vocab is model-sized, always broadcastable), emit
+    one row per token with its position. Out-of-vocabulary words get
+    ``unk_id``. The corpus shuffles once on (doc, position) only if the
+    caller re-aggregates to arrays; this per-token layout is the one
+    ``sequence_pack`` and loss-masking consume directly.
+
+    Output: (``id_col``, pos, word, token_id)."""
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.textstats import words
+
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "word")
+    )
+    return exploded.join(broadcast(vocab), "word", "left").select(
+        F.col(id_col),
+        "pos",
+        "word",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("long").alias("token_id"),
+    )

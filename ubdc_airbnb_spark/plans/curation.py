@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..functions import textstats
 from ..functions.hashing import md5_long
 from ..functions.urltools import canonical_url
-from ..operators import dedup, sampling
+from ..operators import chunking, dedup, sampling
 from ..operators.curation import ngram_overlap
 from ..operators.graph import connected_components
 
@@ -62,6 +62,8 @@ def run_curation(
     minhash_perms: int = 16,
     lsh_bands: int = 4,
     decontam_min_overlap: int = 5,
+    source_weights: dict[str, float] | None = None,
+    pack_budget: int | None = None,
 ) -> CurationResult:
     """Run the full curation pass (module docstring). ``eval_docs``
     (id, text) enables stage 5; ``url_col`` enables stage 2. The
@@ -119,4 +121,39 @@ def run_curation(
 
     # 6. deterministic split
     corpus = sampling.split(kept, F.col(id_col).cast("string"))
+
+    # 7. (optional) data mixing — fractional per-source epoch weights
+    if source_weights is not None:
+        weight = None
+        for src, wt in source_weights.items():
+            cond = F.col("source") == src
+            weight = F.when(cond, wt) if weight is None else weight.when(cond, wt)
+        weight = weight.otherwise(F.lit(1.0))
+        corpus = sampling.upsample(corpus, weight, F.col(id_col).cast("string"))
+        report["mixed"] = corpus.count()
+
+    # 8. (optional) sequence packing — pack_id/offset for training shards
+    if pack_budget is not None:
+        packs = chunking.sequence_pack(
+            corpus.withColumn(
+                "__u", F.concat_ws("#", F.col(id_col), *(
+                    ["copy_id"] if "copy_id" in corpus.columns else []
+                ))
+            ),
+            "__u",
+            textstats.whitespace_token_count(text_col),
+            budget=pack_budget,
+            order_col="__u",
+        ).withColumnRenamed("__u", "pack_key")
+        corpus = (
+            corpus.withColumn(
+                "pack_key", F.concat_ws("#", F.col(id_col), *(
+                    ["copy_id"] if "copy_id" in corpus.columns else []
+                ))
+            )
+            .join(packs.select("pack_key", "pack_id", "pack_offset"), "pack_key")
+            .drop("pack_key")
+        )
+        report["n_packs"] = corpus.select("pack_id").distinct().count()
+
     return CurationResult(corpus, report)

@@ -4761,3 +4761,43 @@ def ns_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long").alias("n_outliers"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@q(
+    "ns_tokenize_vocab",
+    ("NS-text", "A2", "W1"),
+    """
+    WITH w AS (SELECT doc_id, pos - 1 AS pos, word FROM (
+                 SELECT doc_id,
+                        unnest(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS word,
+                        generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0), 1) AS pos
+                 FROM documents)),
+    counts AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    vocab AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word) - 1 AS token_id
+              FROM counts QUALIFY token_id < 1000)
+    SELECT w.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           CAST(SUM(COALESCE(v.token_id, -1) * (w.pos + 1)) AS BIGINT) AS id_checksum
+    FROM w LEFT JOIN vocab v ON w.word = v.word
+    GROUP BY w.doc_id
+    """,
+    "vocabulary tokenization — the corpus->token-id step before packing "
+    "and training: a deterministic frequency-ranked top-1000 vocab "
+    "(count DESC, word ASC), broadcast-joined to position-exploded "
+    "words; OOV -> -1. The gate checks per-doc token counts, OOV "
+    "counts, and a position-weighted id checksum so every token id and "
+    "position must match the oracle (operators/tfidf.py build_vocab/"
+    "tokenize)",
+)
+def ns_tokenize_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import tfidf
+
+    docs = load_table(spark, sf, "documents")
+    vocab = tfidf.build_vocab(docs, "text", size=1000)
+    toks = tfidf.tokenize(docs, vocab, "doc_id", "text")
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("token_id") == -1, 1).otherwise(0)).cast("long").alias("n_unk"),
+        F.sum(F.col("token_id") * (F.col("pos") + 1)).cast("long").alias("id_checksum"),
+    )
