@@ -1,3 +1,13 @@
-from . import hashing, jsonutils, mercator, quadkey, textstats, timeutils
+from . import geometry, hashing, ids, jsonutils, mercator, quadkey, textstats, timeutils, urltools
 
-__all__ = ["hashing", "jsonutils", "mercator", "quadkey", "textstats", "timeutils"]
+__all__ = [
+    "geometry",
+    "hashing",
+    "ids",
+    "jsonutils",
+    "mercator",
+    "quadkey",
+    "textstats",
+    "timeutils",
+    "urltools",
+]

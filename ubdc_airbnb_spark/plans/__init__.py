@@ -1,3 +1,3 @@
-from . import discovery, harvest, ledger
+from . import curation, discovery, harvest, ledger, ops
 
-__all__ = ["discovery", "harvest", "ledger"]
+__all__ = ["curation", "discovery", "harvest", "ledger", "ops"]

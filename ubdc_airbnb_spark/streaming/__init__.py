@@ -1,3 +1,3 @@
-from . import jobs
+from . import jobs, stateful
 
-__all__ = ["jobs"]
+__all__ = ["jobs", "stateful"]
