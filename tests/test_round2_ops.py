@@ -435,3 +435,35 @@ def test_sequence_pack_budget_invariants(spark):
         assert r.pack_id == stream // 128
         assert r.pack_offset == stream % 128
         stream += r.n_tokens
+
+
+# ----------------------------------------------------------------- KMV sketch
+
+
+def test_kmv_estimate_accuracy(spark):
+    from ubdc_airbnb_spark.operators import sketches
+
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    est = sketches.kmv_estimate(sketches.kmv_sketch(df, "k", k=256), k=256).collect()[0]
+    assert abs(est.est - 5000) / 5000 < 0.2  # ~1/sqrt(k) ≈ 6% expected
+
+
+def test_kmv_small_set_is_exact(spark):
+    from ubdc_airbnb_spark.operators import sketches
+
+    df = spark.range(0, 40).select(F.col("id").cast("string").alias("k"))
+    est = sketches.kmv_estimate(sketches.kmv_sketch(df, "k", k=256), k=256).collect()[0]
+    assert est.est == 40.0
+
+
+def test_kmv_intersection_accuracy(spark):
+    from ubdc_airbnb_spark.operators import sketches
+
+    # |A|=3000 (0..2999), |B|=3000 (1500..4499), |A∩B|=1500, |A∪B|=4500
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(1500, 4500).select(F.col("id").cast("string").alias("k"))
+    sa = sketches.kmv_sketch(a, "k", k=256)
+    sb = sketches.kmv_sketch(b, "k", k=256)
+    row = sketches.kmv_intersection_estimate(sa, sb, k=256).collect()[0]
+    assert abs(row.union_est - 4500) / 4500 < 0.25
+    assert abs(row.intersection_est - 1500) / 1500 < 0.4  # Jaccard noise adds up

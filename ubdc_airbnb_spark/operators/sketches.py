@@ -363,3 +363,78 @@ def histogram_quantiles_by(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: set-operation cardinality estimates
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
+    """K-minimum-values sketch: the ``k`` smallest distinct 60-bit
+    hashes of the key — O(k) state, built with one distinct + a global
+    ordered limit (TakeOrdered: per-partition top-k then a tiny merge,
+    no full sort materialization). Unlike HLL, two KMV sketches support
+    INTERSECTION estimates, not just union — the audience-overlap
+    question (users in A ∩ B) at 100 TB without exact distinct state.
+
+    Output: (h) — the k smallest hash values."""
+    return (
+        df.select(md5_long(col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: with the k-th smallest
+    of n uniform hashes at fraction kth/2^60 of the space,
+    E[distinct] = (k-1) / (kth / 2^60). Exact-integer inputs, one double
+    division. Returns (n_hashes, kth_min, est); sketches smaller than k
+    (set smaller than k) report their exact size."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("kth_min")
+    )
+    space = float(1 << 60)
+    return agg.select(
+        "n_hashes",
+        "kth_min",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(
+            (F.col("n_hashes") - 1).cast("double")
+            / (F.col("kth_min").cast("double") / F.lit(space))
+        )
+        .alias("est"),
+    )
+
+
+def kmv_intersection_estimate(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """|A ∩ B| estimate from two KMV sketches: take the k smallest of
+    the union of both sketches, measure the fraction also present in
+    BOTH (the KMV Jaccard estimator), and scale by the union estimate.
+    All set algebra runs over ≤ 2k rows. Returns one row:
+    (jaccard, union_est, intersection_est)."""
+    u = a.unionByName(b).distinct().orderBy("h").limit(k)
+    in_both = u.join(a, "h", "left_semi").join(b, "h", "left_semi")
+    ucount = u.agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("kth_min")
+    )
+    space = float(1 << 60)
+    union_est = (
+        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(
+            (F.col("n_hashes") - 1).cast("double")
+            / (F.col("kth_min").cast("double") / F.lit(space))
+        )
+    )
+    n_both = in_both.count()
+    n_union_sketch = u.count()
+    jacc = n_both / n_union_sketch if n_union_sketch else 0.0
+    return ucount.select(
+        F.lit(jacc).alias("jaccard"),
+        union_est.alias("union_est"),
+        (F.lit(jacc) * union_est).alias("intersection_est"),
+    )

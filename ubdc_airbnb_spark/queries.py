@@ -4801,3 +4801,47 @@ def ns_tokenize_vocab(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("token_id") == -1, 1).otherwise(0)).cast("long").alias("n_unk"),
         F.sum(F.col("token_id") * (F.col("pos") + 1)).cast("long").alias("id_checksum"),
     )
+
+
+@q(
+    "ns_kmv_overlap",
+    ("NS-sketch", "U1", "A1"),
+    f"""
+    WITH ev AS (SELECT event_type,
+                       {hashing.md5_long_sql("CAST(user_id AS VARCHAR)")} AS h
+                FROM events),
+    a AS (SELECT h FROM (SELECT DISTINCT h FROM ev WHERE event_type = 'view')
+          ORDER BY h LIMIT 256),
+    b AS (SELECT h FROM (SELECT DISTINCT h FROM ev WHERE event_type = 'purchase')
+          ORDER BY h LIMIT 256),
+    u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+          ORDER BY h LIMIT 256),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM u
+           WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+    nu AS (SELECT COUNT(*) AS n_hashes, MAX(h) AS kth_min FROM u)
+    SELECT (nb.c / nu.n_hashes) AS jaccard,
+           CASE WHEN nu.n_hashes < 256 THEN CAST(nu.n_hashes AS DOUBLE)
+                ELSE CAST(nu.n_hashes - 1 AS DOUBLE)
+                     / (CAST(nu.kth_min AS DOUBLE) / 1152921504606846976.0) END AS union_est,
+           (nb.c / nu.n_hashes) *
+           CASE WHEN nu.n_hashes < 256 THEN CAST(nu.n_hashes AS DOUBLE)
+                ELSE CAST(nu.n_hashes - 1 AS DOUBLE)
+                     / (CAST(nu.kth_min AS DOUBLE) / 1152921504606846976.0) END AS intersection_est
+    FROM nb, nu
+    """,
+    "KMV (k-minimum-values) set-operation sketch: the audience-overlap "
+    "question |viewers INTERSECT purchasers| that HLL cannot answer — "
+    "k=256 smallest distinct hashes per set (TakeOrdered, O(k) state), "
+    "union top-k + membership fractions give Jaccard, union, and "
+    "intersection estimates; oracle replays the identical hash "
+    "order-statistics; accuracy vs exact overlap asserted in tests",
+)
+def ns_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "u", F.col("user_id").cast("string")
+    )
+    a = sketches.kmv_sketch(ev.filter(F.col("event_type") == "view"), "u", k=256)
+    b = sketches.kmv_sketch(ev.filter(F.col("event_type") == "purchase"), "u", k=256)
+    return sketches.kmv_intersection_estimate(a, b, k=256)
