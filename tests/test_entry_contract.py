@@ -10,7 +10,7 @@ import __spark_entry__ as entry_mod
 def test_queries_and_oracles_align():
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
-    assert len(qs) >= 140
+    assert len(qs) >= 141
     assert set(sqls) == set(qs)  # every query is value-hash gated
     assert all(callable(fn) for fn in qs.values())
 

@@ -4845,3 +4845,49 @@ def ns_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
     a = sketches.kmv_sketch(ev.filter(F.col("event_type") == "view"), "u", k=256)
     b = sketches.kmv_sketch(ev.filter(F.col("event_type") == "purchase"), "u", k=256)
     return sketches.kmv_intersection_estimate(a, b, k=256)
+
+
+@q(
+    "ns_quality_calibrate",
+    ("NS-curation", "NS-text", "W1"),
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+              + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                              / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0))
+              + least((CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a'], lower(w)))) AS DOUBLE)
+                       / CAST(greatest(len(words), 1) AS DOUBLE)) * 10.0, 1.0)
+              + CASE WHEN (CAST(list_sum(list_prepend(0, list_transform(words, w -> length(w)))) AS DOUBLE)
+                           / CAST(greatest(len(words), 1) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+                     THEN 1.0 ELSE 0.5 END) / 4.0 AS quality
+      FROM (SELECT doc_id, source, text,
+                   list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS words
+            FROM documents))
+    SELECT doc_id, source,
+           percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS quality_pct,
+           CASE WHEN percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) >= 0.2
+                THEN 1 ELSE 0 END AS keep_top80
+    FROM scored
+    """,
+    "per-source quality calibration: raw heuristic scores are not "
+    "comparable across sources (books score high, forums low on the "
+    "same scale), so curation thresholds operate on the within-source "
+    "percent_rank — one window per source partition, deterministic "
+    "(doc_id tiebreak); keep_top80 drops each source's worst quintile "
+    "rather than whole low-scoring sources",
+)
+def ns_quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        textstats.quality_score("text"), F.col("doc_id")
+    )
+    pct = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        pct.alias("quality_pct"),
+        F.when(pct >= 0.2, F.lit(1)).otherwise(F.lit(0)).alias("keep_top80"),
+    )
