@@ -279,3 +279,162 @@ def test_canonical_url_is_narrow(spark):
     df = docs.select(F.concat(F.lit("https://h.io/p?a=1&utm_s=x#f")).alias("url"))
     plan = _plan(df.select(canonical_url("url").alias("c")))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 #1: the global-window family must never move raw table rows
+# into one partition. Rule checked mechanically on the physical tree: every
+# `Exchange SinglePartition` subtree must contain a HashAggregate between
+# the exchange and any parquet scan — i.e. only *bounded* (sketch / bucket
+# total / histogram) data may ever be single-partitioned.
+# ---------------------------------------------------------------------------
+
+
+def _unbounded_single_partition_subtrees(df) -> list[str]:
+    import re
+
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    lines = txt.splitlines()
+
+    def depth(line: str) -> int:
+        return len(re.match(r"[\s:+|-]*", line).group(0))
+
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d0 = depth(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip() or depth(nxt) <= d0:
+                break
+            sub.append(nxt)
+        body = "\n".join(sub)
+        scans = "Scan parquet" in body or "FileScan" in body
+        if scans and "HashAggregate" not in body:
+            bad.append(line.strip() + "\n" + body)
+    return bad
+
+
+def test_sequence_pack_no_unbounded_single_partition(spark):
+    from ubdc_airbnb_spark.functions import textstats as ts
+    from ubdc_airbnb_spark.operators.chunking import sequence_pack
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = sequence_pack(docs, "doc_id", ts.whitespace_token_count("text"), budget=512)
+    assert not _unbounded_single_partition_subtrees(out)
+    # and the corpus window itself is partitioned (hash on the bucket id)
+    plan = _plan(out)
+    assert "Window" in plan
+
+
+def test_token_budget_no_unbounded_single_partition(spark):
+    out = q.ns_token_budget(spark, SF)
+    assert not _unbounded_single_partition_subtrees(out)
+
+
+def test_sorted_neighborhood_no_unbounded_single_partition(spark):
+    from ubdc_airbnb_spark.operators import dedup
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sk = dedup.simhash(docs, "doc_id", "text", bits=32)
+    out = dedup.sorted_neighborhood_pairs(sk, "doc_id", "simhash", window=3, max_hamming=3)
+    assert not _unbounded_single_partition_subtrees(out)
+
+
+def test_batch_assign_no_unbounded_single_partition(spark):
+    from ubdc_airbnb_spark.operators.windows import assign_batches
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select("event_id")
+    out = assign_batches(ev, "event_id", 100)
+    assert not _unbounded_single_partition_subtrees(out)
+
+
+def test_w3_rank_is_take_ordered_then_bounded_window(spark):
+    """w3 ranks only the TakeOrdered top-k result — the unpartitioned
+    window sees k rows, never the orders table."""
+    plan = _plan(q.w3_ranked_sort(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_cumsum_matches_global_window(spark):
+    """Exactness of the two-pass prefix sum vs the naive global window,
+    including duplicate bucket keys straddling boundaries."""
+    from pyspark.sql import Window
+
+    from ubdc_airbnb_spark.operators.prefixsum import partitioned_cumsum, partitioned_row_number
+
+    rows = [(i % 37, i, (i * 7) % 11 + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    got = partitioned_cumsum(
+        df, order=[F.col("k"), F.col("id")], value=F.col("v"),
+        out_col="cum", bucket_key=F.col("k"), num_buckets=8,
+    )
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+    got_rn = partitioned_row_number(
+        df, order=[F.col("k"), F.col("id")], out_col="rn",
+        bucket_key=F.col("k"), num_buckets=8,
+    )
+    w2 = Window.orderBy("k", "id")
+    want_rn = df.withColumn("rn", F.row_number().over(w2).cast("long"))
+    assert sorted(got_rn.collect()) == sorted(want_rn.collect())
+
+
+def test_neighborhood_carry_matches_global_lag(spark):
+    """Sorted-neighborhood two-pass sweep finds exactly the pairs the
+    global-window LAG formulation finds, across many tiny buckets (forces
+    multi-boundary carries)."""
+    from ubdc_airbnb_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, (i * 2654435761) % 256) for i in range(300)]
+    sk = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = sorted(
+        sorted_neighborhood_pairs(sk, "doc_id", "simhash", window=4, max_hamming=2).collect()
+    )
+    # naive reference: sort rows, compare each to its 4 predecessors
+    data = sorted((r.simhash, r.doc_id) for r in sk.collect())
+    want = set()
+    for i in range(len(data)):
+        for j in range(max(0, i - 4), i):
+            if bin(data[i][0] ^ data[j][0]).count("1") <= 2:
+                want.add((min(data[i][1], data[j][1]), max(data[i][1], data[j][1])))
+    assert {(r.id_a, r.id_b) for r in got} == want
+
+
+def test_centroid_probes_large_set_uses_broadcast_not_literal(spark):
+    """VERDICT r2 #5: above the inline guard the centroid array must
+    travel as broadcast DATA (a 1-row broadcast join of the aggregated
+    centroid array), never as a multi-MB SQL literal — and the corpus
+    side still must not shuffle. Both paths must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.similarity import centroid_probes
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid_vec"),
+    )
+    small = centroid_probes(emb, cents, probes=2)  # inline path
+    big = centroid_probes(emb, cents, probes=2, inline_limit=0)  # broadcast path
+    plan = _plan(big)
+    # the 1-row build side makes the nested-loop join a pure broadcast —
+    # the build subtree must be the bounded centroid aggregate
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    assert "HashAggregate" in plan  # collect_list of centroids, 1 output row
+    assert "CartesianProduct" not in plan
+    # no shuffle of the corpus: every non-broadcast Exchange is the tiny
+    # single-partition aggregate of the centroid set
+    simple = big._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        l for l in simple.splitlines() if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert all("SinglePartition" in l for l in shuffles), shuffles
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))

@@ -249,3 +249,80 @@ def test_foreach_batch_incremental_agg_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_foreach_batch_merge_is_idempotent_on_redelivery(spark, tmp_path):
+    """ADVICE r2: foreachBatch is at-least-once — re-running a batch_id
+    that was already merged must be a no-op (cnt/sum unchanged), and the
+    batch-id marker must never leak through finalize."""
+    from ubdc_airbnb_spark.operators.incremental import finalize, merge_states, partial_state
+    from ubdc_airbnb_spark.operators.upsert import recover_swap, replace_parquet
+    from ubdc_airbnb_spark.streaming import jobs
+
+    src = _events_dir(spark, tmp_path)
+    state = str(tmp_path / "idem_state")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_incremental_agg(stream, state, ["event_type"], "value")
+    before = sorted(
+        tuple(r) for r in finalize(spark.read.parquet(state), ["event_type"]).collect()
+    )
+    # replay the whole source as if every batch were redelivered: ids
+    # restart at 0..n-1, all <= the stored __max_batch_id, so every merge
+    # must skip
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_incremental_agg(stream2, state, ["event_type"], "value")
+    after = sorted(
+        tuple(r) for r in finalize(spark.read.parquet(state), ["event_type"]).collect()
+    )
+    assert after == before
+    assert "__max_batch_id" not in finalize(spark.read.parquet(state), ["event_type"]).columns
+
+
+def test_recover_swap_states(spark, tmp_path):
+    """A crash at any point inside the rename swap must be repaired, and
+    'missing' must only be reported when no prior state exists at all."""
+    import os
+    import shutil
+
+    from ubdc_airbnb_spark.operators.upsert import recover_swap
+
+    base = str(tmp_path / "t")
+    df = spark.range(5)
+
+    # state (b): old + complete tmp -> tmp promoted
+    df.write.parquet(base + ".__old__")
+    df.selectExpr("id * 2 AS id").write.parquet(base + ".__tmp__")
+    assert recover_swap(base)
+    assert spark.read.parquet(base).agg({"id": "sum"}).first()[0] == 20
+    shutil.rmtree(base)
+
+    # state (crash before first rename): base intact, partial tmp dropped
+    df.write.parquet(base)
+    os.makedirs(base + ".__tmp__")  # partial: no _SUCCESS
+    assert recover_swap(base)
+    assert not os.path.exists(base + ".__tmp__")
+    shutil.rmtree(base)
+
+    # state (c): base + old -> old dropped
+    df.write.parquet(base)
+    df.write.parquet(base + ".__old__")
+    assert recover_swap(base)
+    assert not os.path.exists(base + ".__old__")
+    shutil.rmtree(base)
+
+    # old only (crash right after first rename, tmp lost) -> old restored
+    df.write.parquet(base + ".__old__")
+    assert recover_swap(base)
+    assert spark.read.parquet(base).count() == 5
+    shutil.rmtree(base)
+
+    # genuinely missing
+    assert not recover_swap(base)

@@ -75,21 +75,35 @@ def sequence_pack(
     training sequences by running token count, the deterministic
     approximation of greedy bin packing every large-scale pretraining
     pipeline uses (T5-style packing): docs are taken in a stable order
-    (``order_col``, default the id) and ``pack_id = floor((cumsum -
-    tokens) / budget)`` so a pack holds consecutive docs until the
-    budget would overflow into the next pack. Oversized docs (> budget)
-    own their packs. One window cumsum over the sort order — at scale a
-    range-partitioned sort, no join, no driver state.
+    (``order_col``, default the id) and a doc belongs to the pack where
+    its token stream STARTS: ``pack_id = floor((cumsum - tokens) /
+    budget)``. A doc that straddles a budget boundary stays whole in the
+    pack where it starts (that pack overflows by up to one doc and the
+    next begins under-full); ``pack_offset`` is the doc's global token
+    stream position mod budget — the start position inside the budget
+    grid, not a within-pack byte offset. Oversized docs (> budget) own
+    their packs.
 
-    Output: (id, n_tokens, pack_id, pack_offset) — offset is the token
-    position where the doc starts inside its pack's running stream."""
-    from pyspark.sql import Window
+    Scale: the cumulative sum is the two-pass range-partitioned prefix
+    sum (``operators/prefixsum.py``) — bucketize on the numeric order
+    key, per-bucket totals broadcast back as offsets, within-bucket
+    window — so NO single-partition ``Exchange`` ever appears in the
+    plan (plan-asserted in tests/test_plans_physical.py). The order key
+    must be numeric for the boundary sketch.
+
+    Output: (id, n_tokens, pack_id, pack_offset)."""
+    from .prefixsum import partitioned_cumsum
 
     order = order_col or id_col
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-    cum = df.select(
-        F.col(id_col), token_count.cast("long").alias("n_tokens")
-    ).withColumn("cum", F.sum("n_tokens").over(w))
+    cols = [F.col(id_col)] if order == id_col else [F.col(id_col), F.col(order)]
+    base = df.select(*cols, token_count.cast("long").alias("n_tokens"))
+    cum = partitioned_cumsum(
+        base,
+        order=[F.col(order)],
+        value=F.col("n_tokens"),
+        out_col="cum",
+        bucket_key=F.col(order),
+    )
     return cum.select(
         id_col,
         "n_tokens",

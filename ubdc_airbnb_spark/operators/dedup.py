@@ -237,9 +237,16 @@ def sorted_neighborhood_pairs(
     the sort order). Near-identical sketches sort adjacently, so true
     near-dups land in the same neighborhood; total comparisons are
     exactly ``n·w`` regardless of bucket skew — the property banding
-    loses when one bucket goes viral. Cost: ONE global sort (a
-    range-partitioned shuffle at scale) and a window pass; no join node
-    at all.
+    loses when one bucket goes viral.
+
+    Scale: NOT a global window. Rows are range-bucketed on the sketch
+    value (``operators/prefixsum.py``), each bucket's last ``window``
+    rows are shipped as carry rows into the next occupied bucket, and
+    the LAG sweep runs ``partitionBy(bucket)`` — every task sees exactly
+    the predecessors a global sort would give, with no
+    single-partition Exchange in the plan (plan-asserted in
+    tests/test_plans_physical.py). Pairs are emitted only for non-carry
+    rows, so boundary pairs appear exactly once.
 
     Output: (id_a, id_b) with id_a < id_b and hamming ≤ ``max_hamming``.
     Complements ``simhash_hamming_pairs``: band-join finds *all* pairs
@@ -248,10 +255,19 @@ def sorted_neighborhood_pairs(
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(sketch_col, id_col)
-    lags = sketches.select(
+    from .prefixsum import neighborhood_with_carry
+
+    aug, bucket_col, carry_col = neighborhood_with_carry(
+        sketches,
+        order=[F.col(sketch_col), F.col(id_col)],
+        bucket_key=F.col(sketch_col),
+        window=window,
+    )
+    w = Window.partitionBy(bucket_col).orderBy(sketch_col, id_col)
+    lags = aug.select(
         F.col(id_col),
         F.col(sketch_col),
+        F.col(carry_col),
         *[
             F.lag(F.col(id_col), i).over(w).alias(f"prev_id_{i}")
             for i in range(1, window + 1)
@@ -267,7 +283,9 @@ def sorted_neighborhood_pairs(
             F.col(sketch_col).bitwiseXOR(F.col(f"prev_sk_{i}"))
         )
         pairs = lags.filter(
-            F.col(f"prev_id_{i}").isNotNull() & (ham <= max_hamming)
+            ~F.col(carry_col)
+            & F.col(f"prev_id_{i}").isNotNull()
+            & (ham <= max_hamming)
         ).select(
             F.least(F.col(id_col), F.col(f"prev_id_{i}")).alias("id_a"),
             F.greatest(F.col(id_col), F.col(f"prev_id_{i}")).alias("id_b"),

@@ -1,0 +1,210 @@
+"""Two-pass range-partitioned prefix sums / ranks — the scale-safe
+replacement for ``Window.orderBy(...)`` with no ``partitionBy``.
+
+An unpartitioned window forces Spark to move the ENTIRE input into one
+partition (WindowExec plans ``Exchange SinglePartition``): at 100 TB that
+is one task doing the whole cumulative sum. The classic distributed fix
+is the two-pass (scan) algorithm:
+
+1. **Bucketize** rows by a numeric key that is monotone non-decreasing
+   along the global sort order. Bucket boundaries come from a
+   ``percentile_approx`` sketch (one cheap aggregate job; the collected
+   boundary list is bounded by ``num_buckets``, never by data size).
+   Because the bucket is a pure function of the row's own key value —
+   NOT of ``spark_partition_id()`` — the assignment is deterministic and
+   identical in every subtree that re-computes it; rows with equal keys
+   always share a bucket, so no sort-order tie ever straddles a bucket.
+2. **Per-bucket totals** (map-side-combinable groupBy, ``num_buckets``
+   output rows) → running offsets via a window over that *bounded*
+   bucket list → broadcast back.
+3. **Within-bucket window** (``partitionBy(bucket)``) + offset = the
+   exact global prefix sum, computed by ``num_buckets`` parallel tasks.
+
+Cost at scale: two scans of the input and ONE hash exchange of the big
+table (on the bucket id) — versus the single-partition sort the naive
+plan ships everything through. Results are bit-identical to the global
+window for exact (integer) value types.
+
+Degenerate inputs (all keys equal, or fewer distinct keys than buckets)
+collapse into fewer buckets and in the worst case one partition — i.e.
+never worse than the plan this module replaces.
+
+Reference analog: the reference serializes this work through Postgres
+sequences / Python loops (single-node by construction); these operators
+are the distributed re-expression.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def range_boundaries(
+    df: DataFrame, key: Column, num_buckets: int = DEFAULT_BUCKETS
+) -> list[float]:
+    """Sorted, de-duplicated interior bucket boundaries for ``key``
+    (cast to double) via a ``percentile_approx`` sketch. Returns at most
+    ``num_buckets - 1`` values — bounded by construction, independent of
+    row count, so the driver collect is safe at any scale."""
+    if num_buckets < 2:
+        return []
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    row = df.select(
+        F.percentile_approx(key.try_cast("double"), probs, 10000).alias("b")
+    ).first()
+    vals = row["b"] if row and row["b"] is not None else []
+    out: list[float] = []
+    for v in vals:
+        if v is None or not math.isfinite(v):
+            continue
+        if not out or v > out[-1]:
+            out.append(float(v))
+    return out
+
+
+def bucket_of(key: Column, boundaries: Sequence[float]) -> Column:
+    """Bucket id = number of boundaries strictly below ``key`` — a
+    monotone non-decreasing function of the key, so global sort order is
+    preserved across bucket ids and ties never split buckets. NULL or
+    non-numeric keys land in bucket 0, matching Spark's NULLS FIRST
+    ascending order; a fully non-numeric key degrades to one bucket
+    (the plan this module replaces), it never errors or reorders."""
+    b = F.lit(0)
+    k = key.try_cast("double")
+    for bound in boundaries:
+        b = b + F.when(k > F.lit(bound), 1).otherwise(0)
+    return b.cast("int")
+
+
+def _with_buckets(
+    df: DataFrame, bucket_key: Column, num_buckets: int, col: str = "__rb"
+) -> DataFrame:
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    # Bucketing is only order-preserving when the double cast is monotone
+    # in the key's own sort order — true for numeric/temporal keys. Any
+    # other type degrades to ONE bucket (exactly the single-partition
+    # plan this module replaces — never wrong, only unscaled).
+    dt = df.select(bucket_key.alias("__k")).schema[0].dataType
+    if isinstance(dt, (NumericType, TimestampType, DateType)):
+        bounds = range_boundaries(df, bucket_key, num_buckets)
+    else:
+        bounds = []
+    return df.withColumn(col, bucket_of(bucket_key, bounds))
+
+
+def partitioned_cumsum(
+    df: DataFrame,
+    order: Sequence[Column],
+    value: Column,
+    out_col: str,
+    bucket_key: Column,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact running sum of ``value`` over the global sort ``order``,
+    without a single-partition window.
+
+    ``bucket_key`` must be numeric and monotone NON-DECREASING along
+    ``order`` (negate it for a descending leading sort key). Ties in
+    ``bucket_key`` are safe — they land in one bucket and the
+    within-bucket window resolves them with the full ``order``.
+    """
+    d = _with_buckets(df, bucket_key, num_buckets)
+    totals = d.groupBy("__rb").agg(F.sum(value).alias("__bt"))
+    # Window over <= num_buckets rows: bounded by construction, not by data.
+    w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__rb", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__boff")
+    )
+    w_in = Window.partitionBy("__rb").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.join(F.broadcast(offs), "__rb")
+        .withColumn(out_col, F.sum(value).over(w_in) + F.col("__boff"))
+        .drop("__rb", "__boff")
+    )
+
+
+def partitioned_row_number(
+    df: DataFrame,
+    order: Sequence[Column],
+    out_col: str,
+    bucket_key: Column,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact global ``row_number()`` over ``order`` as a two-pass rank:
+    per-bucket ``row_number`` + broadcast bucket row-count offsets."""
+    d = _with_buckets(df, bucket_key, num_buckets)
+    totals = d.groupBy("__rb").agg(F.count(F.lit(1)).alias("__bt"))
+    w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__rb", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__boff")
+    )
+    w_in = Window.partitionBy("__rb").orderBy(*order)
+    return (
+        d.join(F.broadcast(offs), "__rb")
+        .withColumn(out_col, (F.row_number().over(w_in) + F.col("__boff")).cast("long"))
+        .drop("__rb", "__boff")
+    )
+
+
+def neighborhood_with_carry(
+    df: DataFrame,
+    order: Sequence[Column],
+    bucket_key: Column,
+    window: int,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[DataFrame, str, str]:
+    """Prepare a sorted-neighborhood sweep without a global window: rows
+    are range-bucketed, and each bucket's LAST ``window`` rows are also
+    shipped ("carried") into the NEXT occupied bucket, where the global
+    sort order places them ahead of that bucket's own rows — so a
+    ``lag(1..window)`` inside ``partitionBy(bucket)`` sees exactly the
+    same predecessors a global sort would give. Pairs are emitted only
+    for non-carry rows (each row is non-carry in exactly one bucket), so
+    nothing is duplicated and nothing is missed.
+
+    Carries target the next *occupied* bucket — looked up from the
+    bounded per-bucket list with a LEAD window — so empty buckets (only
+    possible via sketch-boundary ties) cannot drop boundary pairs.
+
+    Returns ``(augmented_df, bucket_col, carry_col)``; the caller runs
+    its lag sweep partitioned by ``bucket_col`` ordered by ``order`` and
+    filters output rows to ``carry_col == false``.
+    """
+    d = _with_buckets(df, bucket_key, num_buckets)
+    occupied = d.groupBy("__rb").agg(F.count(F.lit(1)).alias("__n")).select("__rb")
+    # Per-bucket tail = last min(window, |bucket|) rows — so the union of
+    # all tails from buckets < b provably contains the last ``window``
+    # GLOBAL predecessors of bucket b (a predecessor outside its bucket's
+    # tail has >= window closer successors in that same bucket). Tail set
+    # size is bounded by window * num_buckets, independent of data size.
+    # (``order`` must be plain ascending columns for this reversal.)
+    w_rev = Window.partitionBy("__rb").orderBy(*[c.desc() for c in order])
+    tails = (
+        d.withColumn("__rn_end", F.row_number().over(w_rev))
+        .filter(F.col("__rn_end") <= window)
+        .drop("__rn_end")
+        .withColumnRenamed("__rb", "__src_rb")
+    )
+    # For each occupied bucket, keep the window closest predecessors among
+    # all earlier-bucket tails (a bounded broadcast nested-loop + a window
+    # over <= window*num_buckets rows per bucket).
+    w_near = Window.partitionBy("__rb").orderBy(*[c.desc() for c in order])
+    carries = (
+        tails.join(F.broadcast(occupied), F.col("__src_rb") < F.col("__rb"))
+        .withColumn("__near", F.row_number().over(w_near))
+        .filter(F.col("__near") <= window)
+        .drop("__src_rb", "__near")
+        .withColumn("__carry", F.lit(True))
+    )
+    base = d.withColumn("__carry", F.lit(False))
+    aug = base.unionByName(carries)
+    return aug, "__rb", "__carry"

@@ -78,10 +78,15 @@ def upsample(
     hash, half the rows a third time. ``explode(sequence(1, n_copies))``
     is a narrow per-row expansion (no shuffle, no RNG); the emitted
     ``copy_id`` keeps downstream shuffling/packing stable. Weights < 1
-    degenerate to plain hash subsampling."""
+    degenerate to plain hash subsampling.
+
+    The fractional ppm threshold is ``round()``ed explicitly before the
+    long cast: Spark's double→long cast truncates while DuckDB's rounds,
+    so an unrounded 0.7 → 699999.99... would diverge by one hash bucket
+    between engines (ADVICE r2) — the oracle SQL rounds identically."""
     whole = F.floor(weight_col).cast("long")
     frac = weight_col - whole
-    extra = (hash_bucket(key, salt) < (frac * _M).cast("long")).cast("long")
+    extra = (hash_bucket(key, salt) < F.round(frac * _M).cast("long")).cast("long")
     n_copies = (whole + extra).alias("__n")
     out = df.withColumn("__n", n_copies).filter(F.col("__n") > 0)
     return out.withColumn(

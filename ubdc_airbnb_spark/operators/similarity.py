@@ -126,40 +126,75 @@ def centroid_probes(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    inline_limit: int = 10_000,
 ) -> DataFrame:
-    """Multi-probe IVF assignment as a ZERO-shuffle narrow select.
+    """Multi-probe IVF assignment with NO shuffle of the corpus.
 
-    The centroid set is driver-small by construction (√n rule: even at
-    10^10 vectors that's ~10^5 centroids), so it is collected and inlined
-    as a literal ``array<struct<cid,cvec>>`` expression; each vector then
-    scores all centroids with a higher-order ``transform``, sorts by
-    (-cosine, cid) and keeps the top ``probes`` — no join, no Exchange,
-    the corpus is never shuffled (the same pattern that made MinHash
-    signatures a pure narrow select). Output: one row per (vector, probed
-    centroid): (id_col, vec_col, centroid_id).
+    Each vector scores every centroid with a higher-order ``transform``
+    over an ``array<struct<cid,cvec>>``, sorts by (-cosine, cid) and
+    keeps the top ``probes``. How the centroid array reaches the workers
+    depends on its size:
 
-    Ordering matches the SQL oracle's
+    - **small** (``count * dim <= inline_limit``): collected and inlined
+      as a literal expression — a pure narrow select, zero plan nodes
+      beyond the scan (the pattern that made MinHash signatures narrow).
+    - **large** (the √n rule puts 10^10 vectors at ~10^5 centroids —
+      tens of MB that would melt the SQL parser/plan serializer as a
+      literal): the centroids are collapsed into ONE array row by a
+      bounded aggregate and attached via a broadcast join (Catalyst
+      folds the constant key into a 1-row BroadcastNestedLoopJoin —
+      with a single-row build side that is exactly a broadcast, not an
+      all-pairs join). The corpus side still never shuffles, and the
+      centroid payload travels as broadcast data, not as SQL text.
+
+    Output: one row per (vector, probed centroid):
+    (id_col, vec_col, centroid_id). Ordering matches the SQL oracle's
     ``row_number() OVER (ORDER BY cos DESC, centroid_id)``.
     """
-    rows = centroids.select(centroid_id, centroid_vec).collect()
-    cents_sql = ", ".join(
-        "named_struct('cid', {}L, 'cvec', array({}))".format(
-            int(r[0]), ", ".join(f"CAST({v!r} AS DOUBLE)" for v in r[1])
+
+    def _probed(cents: Column) -> Column:
+        vec = F.col(vec_col)
+        scores = F.transform(
+            cents,
+            lambda c: F.struct(
+                (-(dot(vec, c["cvec"]) / (norm(vec) * norm(c["cvec"])))).alias("negcos"),
+                c["cid"].alias("cid"),
+            ),
         )
-        for r in sorted(rows, key=lambda r: int(r[0]))
-    )
-    cents = F.expr(f"array({cents_sql})")
-    vec = F.col(vec_col)
-    scores = F.transform(
-        cents,
-        lambda c: F.struct(
-            (-(dot(vec, c["cvec"]) / (norm(vec) * norm(c["cvec"])))).alias("negcos"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    probed = F.slice(F.array_sort(scores), 1, probes)
-    return vectors.select(
-        id_col, vec_col, F.explode(probed).alias("__pr")
+        return F.slice(F.array_sort(scores), 1, probes)
+
+    n_cent = centroids.count()
+    dim_row = centroids.select(F.size(centroid_vec).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
+    if n_cent * max(dim, 1) <= inline_limit:
+        rows = centroids.select(centroid_id, centroid_vec).collect()
+        cents_sql = ", ".join(
+            "named_struct('cid', {}L, 'cvec', array({}))".format(
+                int(r[0]), ", ".join(f"CAST({v!r} AS DOUBLE)" for v in r[1])
+            )
+            for r in sorted(rows, key=lambda r: int(r[0]))
+        )
+        src = vectors
+        cents_col = F.expr(f"array({cents_sql})")
+    else:
+        cents_one = centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(centroid_id).cast("long").alias("cid"),
+                        F.transform(
+                            F.col(centroid_vec), lambda x: x.cast("double")
+                        ).alias("cvec"),
+                    )
+                )
+            ).alias("__cents")
+        ).withColumn("__one", F.lit(1))
+        src = vectors.withColumn("__one", F.lit(1)).join(
+            broadcast(cents_one), "__one"
+        ).drop("__one")
+        cents_col = F.col("__cents")
+    return src.select(
+        id_col, vec_col, F.explode(_probed(cents_col)).alias("__pr")
     ).select(id_col, vec_col, F.col("__pr.cid").alias(centroid_id))
 
 

@@ -143,3 +143,34 @@ def _swap_write(df: DataFrame, path: str) -> None:
     os.rename(base, old)
     os.rename(tmp, base)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_swap(path: str) -> bool:
+    """Repair the on-disk state after a crash anywhere inside
+    :func:`_swap_write` and report whether a table now exists at ``path``.
+
+    Swap sequence & crash states: (a) ``base``+``tmp`` — tmp may be
+    partial, base is the truth → drop tmp; (b) ``old``+``tmp`` (between
+    the two renames) — tmp was fully written before the swap began →
+    promote tmp; (c) ``base``+``old`` — swap finished, cleanup didn't →
+    drop old. Callers that treat a missing path as 'first write' MUST
+    call this first, otherwise state (b) silently discards all history
+    (ADVICE r2)."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    tmp, old = base + ".__tmp__", base + ".__old__"
+    if os.path.exists(base):
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return True
+    if os.path.exists(tmp) and os.path.exists(old):
+        os.rename(tmp, base)
+        shutil.rmtree(old, ignore_errors=True)
+        return True
+    if os.path.exists(old):
+        os.rename(old, base)
+        return True
+    shutil.rmtree(tmp, ignore_errors=True)  # lone partial tmp: not trustworthy
+    return False

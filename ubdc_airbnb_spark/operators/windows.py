@@ -63,17 +63,25 @@ def latest_per_key(df: DataFrame, keys: Sequence[str], ts_col: str, tiebreak: st
 
 
 def assign_batches(df: DataFrame, order_col: str, batch_size: int = 100) -> DataFrame:
-    """W6: chunk rows into fixed-size batches (CELERY_TASK_CHUNK_SIZE=100,
-    ref core/settings.py:9) — ``batch_id = floor((row_number-1)/n)``.
+    """W6: chunk rows into fixed-size contiguous batches
+    (CELERY_TASK_CHUNK_SIZE=100, ref core/settings.py:9) —
+    ``batch_id = floor((row_number-1)/n)``.
 
-    Note: row_number over a global ORDER BY serializes through one
-    partition; at scale prefer ``repartition(n_batches)`` when batch
-    *membership* (not contiguity) is all that matters. This operator is for
-    the reference-parity contiguous batching."""
-    w = Window.orderBy(F.col(order_col))
-    return df.withColumn(
-        "batch_id", F.floor((F.row_number().over(w) - 1) / batch_size).cast("long")
+    The global row_number is the two-pass range-partitioned rank
+    (``operators/prefixsum.py``): per-bucket row_number + broadcast
+    bucket-count offsets — no single-partition Exchange, so contiguous
+    batching survives a table-sized input. ``order_col`` must be numeric
+    (the boundary sketch needs it); when batch *membership* rather than
+    contiguity is all that matters, plain ``repartition(n_batches)`` is
+    cheaper still."""
+    from .prefixsum import partitioned_row_number
+
+    ranked = partitioned_row_number(
+        df, order=[F.col(order_col)], out_col="__rn", bucket_key=F.col(order_col)
     )
+    return ranked.withColumn(
+        "batch_id", F.floor((F.col("__rn") - 1) / batch_size).cast("long")
+    ).drop("__rn")
 
 
 def availability_runs(

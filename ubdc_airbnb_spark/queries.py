@@ -1141,12 +1141,14 @@ def w2_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def w3_ranked_sort(spark: SparkSession, sf: str) -> DataFrame:
+    # Top-k FIRST (TakeOrderedAndProject: per-partition partial top-15 +
+    # single merge — no global sort), THEN rank inside the 15-row result,
+    # so the unpartitioned window only ever sees k rows, never the table.
     orders = load_table(spark, sf, "orders")
+    top = orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(15)
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 15)
-        .select("o_orderkey", "o_totalprice", "rnk")
+    return top.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rnk")
     )
 
 
@@ -3193,24 +3195,52 @@ _QUALITY_SQL = """
     """,
     "token-budget curation: fill a fixed training-token budget with the "
     "highest-quality documents (quality rounded to 6 dp before ranking "
-    "for engine-exact order). Gate uses an ordered prefix sum; the 100 TB "
-    "path is the quality-histogram threshold (SCALE.md) — find the "
-    "cutoff quality bucket from a tiny histogram, then a narrow filter",
+    "for engine-exact order). Scale path shipped as primary: a "
+    "quality-histogram sketch finds the conservative cutoff bucket (a "
+    "narrow filter then drops every doc that cannot qualify), and the "
+    "exact running total over survivors is the two-pass "
+    "range-partitioned prefix sum (operators/prefixsum.py) — no "
+    "single-partition window anywhere in the plan",
 )
 def ns_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.prefixsum import partitioned_cumsum
+
+    budget = 10000
     docs = load_table(spark, sf, "documents")
     s = docs.select(
         "doc_id",
         textstats.whitespace_token_count("text").cast("long").alias("n_tokens"),
         F.round(textstats.quality_score("text"), 6).alias("quality"),
     )
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Pass 0 — histogram prefilter: bucket quality (width 0.01), running
+    # token totals best-first over the O(buckets) sketch, keep only docs
+    # whose bucket could still fit inside the budget. Conservative: the
+    # cutoff bucket is the highest-quality bucket at which the running
+    # total first reaches the budget, and the filter keeps that whole
+    # bucket (exact tie-break happens in the prefix-sum pass).
+    qb = F.floor(F.col("quality") / F.lit(0.01)).cast("long")
+    hist = s.groupBy(qb.alias("qb")).agg(F.sum("n_tokens").alias("toks"))
+    w_hist = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # window over O(100) histogram rows — bounded by construction
+    cut = (
+        hist.withColumn("above", F.coalesce(F.sum("toks").over(w_hist), F.lit(0)))
+        .filter(F.col("above") <= budget)
+        .agg(F.min("qb").alias("qb_cut"))
     )
-    return (
-        s.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-        .filter(F.col("cum_tokens") <= 10000)
+    survivors = s.join(F.broadcast(cut), qb >= F.col("qb_cut"), "inner").drop("qb_cut")
+    # Pass 1+2 — exact cum over survivors, bucketized on -quality so the
+    # bucket id is monotone along the (quality DESC, doc_id) sort order.
+    out = partitioned_cumsum(
+        survivors,
+        order=[F.col("quality").desc(), F.col("doc_id")],
+        value=F.col("n_tokens"),
+        out_col="cum_tokens",
+        bucket_key=-F.col("quality"),
     )
+    return out.select(
+        "doc_id", "n_tokens", "quality", F.col("cum_tokens").cast("long")
+    ).filter(F.col("cum_tokens") <= budget)
 
 
 def _rp_fold_dot_sql(a: str, b: str) -> str:
@@ -4586,7 +4616,7 @@ def ns_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id,
              CAST(FLOOR(w) AS BIGINT)
              + CASE WHEN {hashing.md5_long_sql("CAST(doc_id AS VARCHAR)", salt="epoch")} % 1000000
-                         < CAST((w - FLOOR(w)) * 1000000 AS BIGINT)
+                         < CAST(round((w - FLOOR(w)) * 1000000) AS BIGINT)
                     THEN 1 ELSE 0 END AS n
       FROM weighted)
     SELECT doc_id, CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy_id
@@ -4624,10 +4654,12 @@ def ns_corpus_upsample(spark: SparkSession, sf: str) -> DataFrame:
            (cum - n_tokens) % 512 AS pack_offset
     FROM c
     """,
-    "T5-style sequence packing: docs concatenated in stable id order "
-    "and sliced into 512-token training sequences — pack_id/offset from "
-    "ONE window cumsum (range-partitioned sort at scale, no join, no "
-    "driver state); every pack is budget-full except the last "
+    "T5-style sequence packing: docs concatenated in stable id order, "
+    "each assigned to the 512-token pack where its stream position "
+    "STARTS (a boundary-straddling doc stays whole, so that pack may "
+    "overflow by one doc); pack_id/offset from a two-pass "
+    "range-partitioned prefix sum (operators/prefixsum.py) — per-bucket "
+    "window + broadcast offsets, never a single-partition Exchange "
     "(operators/chunking.py sequence_pack)",
 )
 def ns_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:

@@ -202,20 +202,37 @@ def foreach_batch_incremental_agg(
     batch) and merged into the parquet state table with the
     count->sum/decimal-sum/min/max algebra — the streaming twin of
     operators/incremental.py, with the same invariant:
-    finalize(state) == direct aggregate over everything ingested."""
+    finalize(state) == direct aggregate over everything ingested.
+
+    Exactly-once under foreachBatch's at-least-once delivery (ADVICE r2):
+    the state table carries a ``__max_batch_id`` column written in the
+    SAME atomic rename-swap as the data, so a redelivered batch with
+    ``batch_id <= __max_batch_id`` is skipped instead of double-counted
+    (``finalize`` selects only the metric columns, so the marker never
+    leaks). 'First batch' is decided by a VERIFIED missing path after
+    ``recover_swap`` repairs any interrupted swap — a transient read
+    error re-raises instead of silently resetting history."""
     from ..operators.incremental import merge_states, partial_state
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.upsert import replace_parquet
+        from ..operators.upsert import recover_swap, replace_parquet
 
         spark = batch_df.sparkSession
         batch_state = partial_state(batch_df, keys, value_col)
-        try:
-            existing = spark.read.parquet(state_path)
-        except Exception:
-            batch_state.write.mode("overwrite").parquet(state_path)
+        stamped = batch_state.withColumn("__max_batch_id", F.lit(batch_id).cast("long"))
+        if not recover_swap(state_path):  # VERIFIED missing -> first batch
+            stamped.write.mode("overwrite").parquet(state_path)
             return
-        replace_parquet(merge_states(existing, batch_state, keys), state_path)
+        existing = spark.read.parquet(state_path)  # real errors re-raise
+        if "__max_batch_id" in existing.columns:
+            last = existing.agg(F.max("__max_batch_id")).first()[0]
+            if last is not None and batch_id <= int(last):
+                return  # redelivery of an already-merged batch
+            existing = existing.drop("__max_batch_id")
+        merged = merge_states(existing, batch_state, keys).withColumn(
+            "__max_batch_id", F.lit(batch_id).cast("long")
+        )
+        replace_parquet(merged, state_path)
 
     q = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
     q.awaitTermination()
