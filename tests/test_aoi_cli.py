@@ -221,3 +221,92 @@ def test_random_ids(spark):
     rows = df.collect()
     assert len({r.u for r in rows}) == 50
     assert all(len(r.r) == 8 for r in rows)
+
+
+def test_cli_scrape_listing_data(spark, tmp_path, capsys):
+    """One-off single-listing fetch (ref scrape-listing-data.py:17-37):
+    bypasses staleness/AOI scoping, errors on unregistered ids, and
+    persists through the same bronze/silver pipeline as the beat ops."""
+    wh = _seed_warehouse(tmp_path, "wh_oneoff")
+    assert cli.main(["--warehouse", wh, "discover", "--max-waves", "1"]) == 0
+    listings = spark.read.parquet(f"{wh}/listings")
+    lid = listings.select("listing_id").orderBy("listing_id").first()[0]
+    capsys.readouterr()
+
+    rc = cli.main(
+        ["--warehouse", wh, "scrape-listing-data", "--listing-id", "999999999", "--calendar"]
+    )
+    assert rc == 2  # not registered -> error, like the reference converter
+
+    assert cli.main(
+        ["--warehouse", wh, "scrape-listing-data", "--listing-id", str(lid), "--calendar"]
+    ) == 0
+    assert f"Fetched calendar for listing {lid}" in capsys.readouterr().out
+    days = spark.read.parquet(f"{wh}/calendar_days")
+    assert days.filter(F.col("listing_id") == lid).count() > 0
+    assert days.select("listing_id").distinct().count() == 1  # ONLY this listing
+
+    assert cli.main(
+        ["--warehouse", wh, "scrape-listing-data", "--listing-id", str(lid), "--listing-detail"]
+    ) == 0
+    assert f"Fetched listing-details for listing {lid}" in capsys.readouterr().out
+    assert spark.read.parquet(f"{wh}/users").count() > 0
+    stamped = spark.read.parquet(f"{wh}/listings").filter(F.col("listing_id") == lid)
+    assert stamped.first()["listing_updated_at"] is not None
+
+
+def test_cli_run_due_jobs_virtual_time(spark, tmp_path, capsys):
+    """T1 completion: the declarative schedule fires exactly the ops whose
+    cron cadence has a new fire time since their last run (ref
+    core/celery.py:39-66), under an injected virtual clock."""
+    wh = _seed_warehouse(tmp_path, "wh_sched")
+    assert cli.main(["--warehouse", wh, "discover", "--max-waves", "1"]) == 0
+    capsys.readouterr()
+
+    # first invocation: every job has a past fire time and no last run
+    assert cli.main(["--warehouse", wh, "run-due-jobs", "--now", "2024-03-01T06:00:00"]) == 0
+    out1 = capsys.readouterr().out
+    for job in (
+        "op_update_calendar_periodical",
+        "op_update_listing_details_periodical",
+        "op_discover_new_listings_periodical",
+    ):
+        assert job in out1, out1
+
+    # 30 minutes later: no new fire times
+    assert cli.main(["--warehouse", wh, "run-due-jobs", "--now", "2024-03-01T06:30:00"]) == 0
+    assert "nothing due" in capsys.readouterr().out
+
+    # next day after 02:00: only the daily calendar op fires
+    assert cli.main(["--warehouse", wh, "run-due-jobs", "--now", "2024-03-02T02:30:00"]) == 0
+    out3 = capsys.readouterr().out
+    assert "op_update_calendar_periodical" in out3
+    assert "op_update_listing_details_periodical" not in out3
+    assert "op_discover_new_listings_periodical" not in out3
+
+
+def test_cron_matching_semantics():
+    from datetime import datetime
+
+    from ubdc_airbnb_spark.plans.schedule import cron_matches, due_jobs, prev_fire
+
+    assert cron_matches("0 2 * * *", datetime(2024, 3, 1, 2, 0))
+    assert not cron_matches("0 2 * * *", datetime(2024, 3, 1, 2, 1))
+    assert cron_matches("0 5 12,24 * *", datetime(2024, 1, 24, 5, 0))
+    assert not cron_matches("0 5 12,24 * *", datetime(2024, 1, 23, 5, 0))
+    assert cron_matches("*/15 * * * *", datetime(2024, 1, 1, 9, 45))
+    assert not cron_matches("*/15 * * * *", datetime(2024, 1, 1, 9, 40))
+    # day-of-week: 2024-03-03 is a Sunday (cron 0)
+    assert cron_matches("0 9 * * 0", datetime(2024, 3, 3, 9, 0))
+    assert not cron_matches("0 9 * * 1", datetime(2024, 3, 3, 9, 0))
+
+    assert prev_fire("0 2 * * *", datetime(2024, 3, 1, 6, 0)) == datetime(2024, 3, 1, 2, 0)
+    assert prev_fire("0 5 12,24 * *", datetime(2024, 3, 1, 6, 0)) == datetime(2024, 2, 24, 5, 0)
+
+    rows = [
+        ("daily", "0 2 * * *", datetime(2024, 3, 1, 2, 0)),
+        ("never_run", "0 2 * * *", None),
+        ("monthly", "0 5 12 * *", datetime(2024, 2, 12, 5, 0)),
+    ]
+    due = {d.job for d in due_jobs(rows, datetime(2024, 3, 1, 6, 0))}
+    assert due == {"never_run"}  # daily already ran today; monthly's next fire is Mar 12

@@ -333,6 +333,90 @@ def cmd_run_beat_job(args) -> int:
     return 0
 
 
+def _universal_cover(spark):
+    """One all-flags cover row with the empty quadkey prefix — matches
+    every listing, used by one-off commands that bypass AOI scoping."""
+    from .sources.aoi import FLAG_COLS
+
+    schema = "aoi_id long, qk_prefix string, is_boundary boolean, " + ", ".join(
+        f"{c} boolean" for c in FLAG_COLS
+    )
+    return spark.createDataFrame([(0, "", False) + (True,) * len(FLAG_COLS)], schema)
+
+
+def cmd_scrape_listing_data(args) -> int:
+    """ref management/commands/scrape-listing-data.py:17-37: fetch the
+    calendar or the listing-details payload for ONE registered listing,
+    right now — same fetch→bronze→silver pipeline as the beat ops, with
+    the AOI scoping and staleness gate bypassed (``stale_only=False`` +
+    a universal cover). Errors if the listing was never registered by a
+    scan, like the reference's ``int_to_listing`` converter."""
+    from .operators.upsert import upsert_parquet
+
+    spark = _spark()
+    listings = spark.read.parquet(_table(args.warehouse, "listings"))
+    one = listings.filter(F.col("listing_id") == args.listing_id)
+    if not one.take(1):
+        print(
+            f"listing {args.listing_id} is not registered (run a scan first)",
+            file=sys.stderr,
+        )
+        return 2
+    cover = _universal_cover(spark)
+    if args.calendar:
+        from .plans.ops import run_calendar_harvest
+
+        res = run_calendar_harvest(spark, one, cover, stale_only=False)
+        upsert_parquet(res.listings, _table(args.warehouse, "listings"), ["listing_id"])
+        upsert_parquet(
+            res.calendar_days,
+            _table(args.warehouse, "calendar_days"),
+            ["listing_id", "date"],
+        )
+        _persist_bronze(res.bronze, args.warehouse)
+        print(f"Fetched calendar for listing {args.listing_id}")
+    else:
+        from .operators.upsert import replace_parquet
+        from .plans.ops import run_listing_details
+
+        users = _users_or_empty(spark, args.warehouse)
+        res = run_listing_details(spark, one, cover, users, stale_only=False)
+        upsert_parquet(res.listings, _table(args.warehouse, "listings"), ["listing_id"])
+        replace_parquet(res.users, _table(args.warehouse, "users"))
+        _persist_bronze(res.bronze, args.warehouse)
+        print(f"Fetched listing-details for listing {args.listing_id}")
+    return 0
+
+
+def cmd_run_due_jobs(args) -> int:
+    """T1 completion: execute every beat op whose cron cadence has a
+    fire time after its recorded last run (ref core/celery.py:39-66 as a
+    declarative ``schedules`` table instead of a daemon). ``--now``
+    injects a virtual clock for tests and backfills; ``--dry-run`` lists
+    without executing."""
+    from datetime import datetime
+
+    from .plans import schedule as sched
+
+    now = datetime.fromisoformat(args.now) if args.now else datetime.now()
+    spark = _spark()
+    path = _table(args.warehouse, "schedules")
+    table = sched.load_or_seed(spark, path)
+    rows = [(r.job, r.cron, r.last_run_at) for r in table.collect()]
+    due = sched.due_jobs(rows, now)
+    if not due:
+        print(f"nothing due at {now.isoformat()}")
+        return 0
+    for d in due:
+        if args.dry_run:
+            print(f"due: {d.job} (cron '{d.cron}', fire {d.fire_time.isoformat()})")
+            continue
+        out = BEAT_JOBS[d.job](spark, args, {})
+        sched.mark_ran(spark, path, d.job, d.fire_time)
+        print(f"{d.job}: {out}")
+    return 0
+
+
 def cmd_find_listings(args) -> int:
     """ref find-listings.py:17-32: scan ONE named grid for listings now.
     Errors (like the reference) if the grid is not registered."""
@@ -522,6 +606,20 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("job", choices=sorted(BEAT_JOBS))
     rb.add_argument("--arg", action="append", default=[], help="k=v forwarded to the op")
     rb.set_defaults(fn=cmd_run_beat_job)
+
+    sl = sub.add_parser(
+        "scrape-listing-data", help="one-off calendar or listing-details fetch for one listing"
+    )
+    sl.add_argument("--listing-id", type=int, required=True)
+    op = sl.add_mutually_exclusive_group(required=True)
+    op.add_argument("--calendar", action="store_true")
+    op.add_argument("--listing-detail", action="store_true")
+    sl.set_defaults(fn=cmd_scrape_listing_data)
+
+    rd = sub.add_parser("run-due-jobs", help="execute beat ops whose cron schedule is due")
+    rd.add_argument("--now", help="virtual clock (ISO timestamp); default wall clock")
+    rd.add_argument("--dry-run", action="store_true")
+    rd.set_defaults(fn=cmd_run_due_jobs)
 
     fl = sub.add_parser("find-listings", help="scan one registered grid for listings now")
     fl.add_argument("quadkey")

@@ -38,6 +38,7 @@ def run_calendar_harvest(
     how_many: int = 500_000,
     now_expr: str = "current_timestamp()",
     rate_per_sec: float | None = None,
+    stale_only: bool = True,
 ) -> CalendarHarvestResult:
     """op_update_calendar_periodical (ref operations/calendars.py:84-133
     + worker task tasks.py:97-123), as one batch job:
@@ -50,7 +51,9 @@ def run_calendar_harvest(
        for successful fetches only (the reference stamps after linking
        the response — tasks.py:119-122).
     """
-    due = harvest.select_due_calendars(listings, aoi_covers, inflight, how_many=how_many)
+    due = harvest.select_due_calendars(
+        listings, aoi_covers, inflight, how_many=how_many, stale_only=stale_only
+    )
     n_due = due.count()
     work = due.select(
         F.lit("calendar").alias("kind"),
@@ -401,6 +404,7 @@ def run_listing_details(
     age_hours: int = 15 * 24,  # 2x/month cadence (ref core/celery.py:41-44)
     now_expr: str = "current_timestamp()",
     rate_per_sec: float | None = None,
+    stale_only: bool = True,
 ) -> ListingDetailsResult:
     """op_update_listing_details_periodical (ref
     operations/listing_details.py:24-80 + worker task tasks.py:156-199),
@@ -426,6 +430,7 @@ def run_listing_details(
         freshness_col="listing_updated_at",
         threshold_expr=f"{now_expr} - INTERVAL {age_hours} HOUR",
         how_many=how_many,
+        stale_only=stale_only,
     )
     n_due = due.count()
     work = due.select(
