@@ -1,12 +1,17 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+"exec_queries": {...}, "exec_total": N, "calibration": {...}, "sf": ...}.
 
-Each query is executed once after a tiny warmup query that pays JVM/codegen
-startup; timing covers logical plan → execution → a checksum aggregate
-(sum of xxhash64 over every output column), so Catalyst cannot prune any
-output expression — every projected column is actually computed.
+Two timing families per query (best-of-3, fresh lineage each run, after
+a JVM/codegen warmup): ``queries`` is end-to-end (build + optimize +
+execute — the round-1/2 metric), ``exec_queries`` times only the
+execution of the already-optimized plan — the part that scales with
+data. Every timed action is a checksum aggregate (bit_xor of xxhash64
+over every output column), so Catalyst cannot prune any output
+expression. ``calibration`` carries a no-op 32-task job time and a
+same-box DuckDB re-run of the headline oracle SQLs so cross-round
+numbers stay interpretable across VM re-provisioning.
 """
 
 from __future__ import annotations
@@ -39,6 +44,12 @@ HEADLINE = [
     "ns_embed_topk",
     "ns_token_stats",
     "st_tumbling_window",
+    # round 3: the rewritten two-pass window family, tracked so a
+    # regression back to single-partition plans would show as a cliff
+    "ns_sequence_pack",
+    "ns_token_budget",
+    "ns_dedup_sorted_neighborhood",
+    "w6_batch_assign",
 ]
 
 
@@ -99,28 +110,50 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    def checksum(df) -> None:
-        # forces every output column to be computed (no projection pruning)
-        df.agg(
+    def _checksum_frame(df):
+        # hashes every output column, so Catalyst cannot prune any
+        # projected expression out of the timed work
+        return df.agg(
             F.bit_xor(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])))
-        ).collect()
+        )
 
     specs = {s.name: s for s in q_mod.registry()}
     timings: dict[str, float] = {}
+    exec_timings: dict[str, float] = {}
     total = 0.0
+    exec_total = 0.0
     for name in HEADLINE:
         fn = specs[name].spark
-        # best-of-3: the first run pays whole-stage-codegen compilation;
-        # the best of the rest measures steady-state execution (3 tries
-        # damp the ambient-load noise of a shared host)
+        # Each of 3 runs builds a FRESH frame (fresh RDD lineage, so no
+        # cross-run shuffle-output reuse can flatter the numbers), then
+        # splits the wall time at the optimized-physical-plan boundary:
+        #   e2e  = build + analyze/optimize/plan + execute  (the round-1/2
+        #          metric, kept for cross-round comparability; at toy SF
+        #          it is dominated by CONSTANT driver work — py4j
+        #          expression construction + Catalyst optimization of
+        #          large expression trees — that does not grow with data)
+        #   exec = execute only (first run pays codegen; best-of-3 is
+        #          steady state) — the component that actually scales
+        #          with data volume and the honest basis for a same-box
+        #          engine-vs-engine execution comparison.
+        # Caveat: a query that eagerly materializes an internal
+        # checkpoint during construction (ngram verify's gram table)
+        # carries that work in e2e, not exec — e2e is the upper bound.
         best = float("inf")
+        ebest = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            checksum(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        dt = round(best, 3)
-        timings[name] = dt
-        total += dt
+            cs = _checksum_frame(fn(spark, sf_dir))
+            cs._jdf.queryExecution().executedPlan()  # force plan, no exec
+            t1 = time.perf_counter()
+            cs.collect()
+            t2 = time.perf_counter()
+            best = min(best, t2 - t0)
+            ebest = min(ebest, t2 - t1)
+        timings[name] = round(best, 3)
+        total += timings[name]
+        exec_timings[name] = round(ebest, 3)
+        exec_total += exec_timings[name]
 
     print(
         json.dumps(
@@ -129,10 +162,58 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "exec_queries": exec_timings,
+                "exec_total": round(exec_total, 3),
                 "sf": sf,
+                # host calibration: the driver re-provisions the VM
+                # between rounds, so raw cross-round deltas carry
+                # scheduling-speed noise. noop_32_tasks_sec prices pure
+                # task scheduling; the DuckDB comparator re-times the
+                # SAME oracle SQL on the SAME parquet on the SAME box,
+                # making spark/duckdb a host-independent ratio.
+                "calibration": {
+                    "noop_32_tasks_sec": _noop_tasks_sec(spark),
+                    "duckdb_oracle_total_sec": _duckdb_total_sec(sf_dir, specs),
+                },
             }
         )
     )
+
+
+def _noop_tasks_sec(spark, n: int = 32) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, n, 1, numPartitions=n).selectExpr("count(1)").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _duckdb_total_sec(sf_dir: str, specs) -> float:
+    """Best-of-3 total for the headline queries' own oracle SQL in DuckDB
+    over the same parquet — the only executable same-scale comparator
+    (the reference publishes no wall-clock numbers)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    total = 0.0
+    for qname in HEADLINE:
+        sql = specs[qname].sql
+        if sql is None:
+            continue
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        total += best
+    return round(total, 3)
 
 
 if __name__ == "__main__":

@@ -310,17 +310,31 @@ def _unbounded_single_partition_subtrees(df) -> list[str]:
                 break
             sub.append(nxt)
         body = "\n".join(sub)
-        scans = "Scan parquet" in body or "FileScan" in body
+        scans = (
+            "Scan parquet" in body
+            or "FileScan" in body
+            or "InMemoryTableScan" in body  # pinned inputs are still corpus-scale
+        )
         if scans and "HashAggregate" not in body:
             bad.append(line.strip() + "\n" + body)
     return bad
 
 
-def test_sequence_pack_no_unbounded_single_partition(spark):
+def _force_twopass(monkeypatch):
+    """auto mode picks the (optimal) single-partition plan below the size
+    threshold; these tests assert the AT-SCALE plan, so drop the
+    threshold to force the two-pass path."""
+    from ubdc_airbnb_spark.operators import prefixsum
+
+    monkeypatch.setattr(prefixsum, "SINGLE_PARTITION_MAX_BYTES", -1)
+
+
+def test_sequence_pack_no_unbounded_single_partition(spark, monkeypatch):
     from ubdc_airbnb_spark.functions import textstats as ts
     from ubdc_airbnb_spark.operators.chunking import sequence_pack
     from ubdc_airbnb_spark.sources.tables import load_table
 
+    _force_twopass(monkeypatch)
     docs = load_table(spark, SF, "documents")
     out = sequence_pack(docs, "doc_id", ts.whitespace_token_count("text"), budget=512)
     assert not _unbounded_single_partition_subtrees(out)
@@ -329,25 +343,28 @@ def test_sequence_pack_no_unbounded_single_partition(spark):
     assert "Window" in plan
 
 
-def test_token_budget_no_unbounded_single_partition(spark):
+def test_token_budget_no_unbounded_single_partition(spark, monkeypatch):
+    _force_twopass(monkeypatch)
     out = q.ns_token_budget(spark, SF)
     assert not _unbounded_single_partition_subtrees(out)
 
 
-def test_sorted_neighborhood_no_unbounded_single_partition(spark):
+def test_sorted_neighborhood_no_unbounded_single_partition(spark, monkeypatch):
     from ubdc_airbnb_spark.operators import dedup
     from ubdc_airbnb_spark.sources.tables import load_table
 
+    _force_twopass(monkeypatch)
     docs = load_table(spark, SF, "documents")
     sk = dedup.simhash(docs, "doc_id", "text", bits=32)
     out = dedup.sorted_neighborhood_pairs(sk, "doc_id", "simhash", window=3, max_hamming=3)
     assert not _unbounded_single_partition_subtrees(out)
 
 
-def test_batch_assign_no_unbounded_single_partition(spark):
+def test_batch_assign_no_unbounded_single_partition(spark, monkeypatch):
     from ubdc_airbnb_spark.operators.windows import assign_batches
     from ubdc_airbnb_spark.sources.tables import load_table
 
+    _force_twopass(monkeypatch)
     ev = load_table(spark, SF, "events").select("event_id")
     out = assign_batches(ev, "event_id", 100)
     assert not _unbounded_single_partition_subtrees(out)
@@ -371,7 +388,7 @@ def test_partitioned_cumsum_matches_global_window(spark):
     df = spark.createDataFrame(rows, "k long, id long, v long")
     got = partitioned_cumsum(
         df, order=[F.col("k"), F.col("id")], value=F.col("v"),
-        out_col="cum", bucket_key=F.col("k"), num_buckets=8,
+        out_col="cum", bucket_key=F.col("k"), num_buckets=8, mode="twopass",
     )
     w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
     want = df.withColumn("cum", F.sum("v").over(w))
@@ -379,18 +396,20 @@ def test_partitioned_cumsum_matches_global_window(spark):
 
     got_rn = partitioned_row_number(
         df, order=[F.col("k"), F.col("id")], out_col="rn",
-        bucket_key=F.col("k"), num_buckets=8,
+        bucket_key=F.col("k"), num_buckets=8, mode="twopass",
     )
     w2 = Window.orderBy("k", "id")
     want_rn = df.withColumn("rn", F.row_number().over(w2).cast("long"))
     assert sorted(got_rn.collect()) == sorted(want_rn.collect())
 
 
-def test_neighborhood_carry_matches_global_lag(spark):
+def test_neighborhood_carry_matches_global_lag(spark, monkeypatch):
     """Sorted-neighborhood two-pass sweep finds exactly the pairs the
     global-window LAG formulation finds, across many tiny buckets (forces
     multi-boundary carries)."""
     from ubdc_airbnb_spark.operators.dedup import sorted_neighborhood_pairs
+
+    _force_twopass(monkeypatch)
 
     rows = [(i, (i * 2654435761) % 256) for i in range(300)]
     sk = spark.createDataFrame(rows, "doc_id long, simhash long")

@@ -1,0 +1,150 @@
+"""Scale smoke: run the expensive gates + the rewritten window family on
+a ~10x table set and flag single-partition/skew regressions empirically.
+
+The round-2 defect class (global windows silently executing in ONE
+partition) was invisible to correctness gates and to toy-scale timing;
+this harness would have caught it: for every checked query it measures
+rows-per-partition at the output stage and fails when one partition
+holds more than ``--skew-factor`` x the median of the non-empty
+partitions (with an absolute floor so tiny outputs don't false-alarm).
+
+Data: DuckDB replicates the sf0.1 parquet N times with shifted ids into
+a scratch dir (text/table content repeats — fine for plan-shape and
+skew detection, which depend on volume, not novelty).
+
+Usage: python tools/scale_smoke.py [--factor 10] [--out /tmp/scale_sf1]
+Prints one JSON line per query plus a final verdict line; exit 1 on any
+skew/single-partition finding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+#: (table, id columns to shift so replicas don't collide)
+SHIFT_COLS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "customer": [],
+    "supplier": [],
+    "part": [],
+    "region": [],
+    "nation": [],
+}
+
+CHECK = [
+    # the 5 most expensive headline gates (BENCH_r02 ranking)
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_minhash_lsh",
+    "j9_bridge_join",
+    "j1_prefix_cover_semi",
+    "q1_pricing_summary",
+    # the rewritten two-pass window family
+    "ns_sequence_pack",
+    "ns_token_budget",
+    "ns_dedup_sorted_neighborhood",
+    "w6_batch_assign",
+]
+
+
+def replicate(src_dir: str, out_dir: str, factor: int) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = os.path.join(src_dir, f"{t}.parquet")
+        shift = SHIFT_COLS.get(t, [])
+        if not shift:
+            con.execute(f"COPY (SELECT * FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)")
+            continue
+        base = con.execute(
+            f"SELECT {' ,'.join(f'MAX({c})' for c in shift)} FROM read_parquet('{src}')"
+        ).fetchone()
+        others = con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()
+        cols = ", ".join(
+            f"{name} + i * {int(base[shift.index(name)]) + 1} AS {name}"
+            if name in shift
+            else name
+            for name, *_ in others
+        )
+        con.execute(
+            f"COPY (SELECT {cols} FROM read_parquet('{src}') CROSS JOIN range({factor}) t(i)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+
+
+def partition_profile(df):
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    counts = sorted(r["count"] for r in rows)
+    if not counts:
+        return {"parts": 0, "max": 0, "median": 0}
+    return {
+        "parts": len(counts),
+        "max": counts[-1],
+        "median": counts[len(counts) // 2],
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/scale_sf1")
+    ap.add_argument("--skew-factor", type=float, default=4.0)
+    ap.add_argument("--min-rows", type=int, default=10_000,
+                    help="outputs smaller than this skip the skew check")
+    args = ap.parse_args()
+
+    replicate(args.src, args.out, args.factor)
+
+    from ubdc_airbnb_spark import queries as q_mod
+    from ubdc_airbnb_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    specs = {s.name: s for s in q_mod.registry()}
+    bad = []
+    for name in CHECK:
+        t0 = time.perf_counter()
+        df = specs[name].spark(spark, args.out)
+        prof = partition_profile(df)
+        dt = round(time.perf_counter() - t0, 2)
+        total = prof["max"] if prof["parts"] == 1 else None
+        skewed = (
+            prof["parts"] > 0
+            and prof["max"] >= args.min_rows
+            and (
+                prof["parts"] == 1
+                or prof["max"] > args.skew_factor * max(prof["median"], 1)
+            )
+        )
+        print(json.dumps({"query": name, "sec": dt, **prof, "skewed": skewed}))
+        if skewed:
+            bad.append(name)
+    print(json.dumps({"verdict": "FAIL" if bad else "PASS", "skewed": bad}))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

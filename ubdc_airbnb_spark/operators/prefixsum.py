@@ -29,6 +29,16 @@ Degenerate inputs (all keys equal, or fewer distinct keys than buckets)
 collapse into fewer buckets and in the worst case one partition — i.e.
 never worse than the plan this module replaces.
 
+**Adaptive plan choice** (``mode="auto"``, the default): below
+``SINGLE_PARTITION_MAX_BYTES`` of estimated input the plain
+single-partition window IS the optimal physical plan — one task, zero
+extra jobs — so auto picks it from Catalyst's size estimate, exactly as
+Spark picks broadcast over shuffle joins by stats. Above the threshold
+(always, at cluster scale) auto runs the two-pass plan. Results are
+bit-identical either way; only the physical strategy changes. Force with
+``mode="twopass"``/``mode="single"``; plan tests force two-pass via a
+monkeypatched threshold.
+
 Reference analog: the reference serializes this work through Postgres
 sequences / Python loops (single-node by construction); these operators
 are the distributed re-expression.
@@ -43,6 +53,42 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64
+
+#: auto-mode cutover: inputs whose Catalyst size estimate is below this
+#: run the plain global window (optimal for one task's worth of data)
+SINGLE_PARTITION_MAX_BYTES = 64 << 20
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _go_single(df: DataFrame, mode: str, size_of: DataFrame | None = None) -> bool:
+    """True → emit the single-partition window. Unknown size falls back
+    to the two-pass plan (the scale-safe default)."""
+    if mode == "single":
+        return True
+    if mode == "twopass":
+        return False
+    est = _estimated_bytes(size_of if size_of is not None else df)
+    return est is not None and est <= SINGLE_PARTITION_MAX_BYTES
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist the operator input (MEMORY_AND_DISK) — every two-pass
+    algorithm here reads its input 3-4 times (boundary sketch, bucket
+    totals, main pass), and without a pin each pass re-evaluates the
+    full upstream projection (e.g. a SimHash or quality score over the
+    corpus). Callers pass NARROW projections by contract (a handful of
+    numeric/sketch columns), so the pinned footprint is a small multiple
+    of the key width, spilling to executor-local disk past memory — the
+    standard shape for multi-pass jobs."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def range_boundaries(
@@ -106,16 +152,23 @@ def partitioned_cumsum(
     out_col: str,
     bucket_key: Column,
     num_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "auto",
+    size_of: DataFrame | None = None,
 ) -> DataFrame:
     """Exact running sum of ``value`` over the global sort ``order``,
-    without a single-partition window.
+    without a single-partition window (above the auto threshold).
 
     ``bucket_key`` must be numeric and monotone NON-DECREASING along
     ``order`` (negate it for a descending leading sort key). Ties in
     ``bucket_key`` are safe — they land in one bucket and the
     within-bucket window resolves them with the full ``order``.
+    ``size_of`` overrides the frame whose Catalyst estimate drives auto
+    mode (useful when ``df`` carries a join that inflates the estimate).
     """
-    d = _with_buckets(df, bucket_key, num_buckets)
+    if _go_single(df, mode, size_of):
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return df.withColumn(out_col, F.sum(value).over(w))
+    d = _with_buckets(_pin(df), bucket_key, num_buckets)
     totals = d.groupBy("__rb").agg(F.sum(value).alias("__bt"))
     # Window over <= num_buckets rows: bounded by construction, not by data.
     w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
@@ -138,10 +191,15 @@ def partitioned_row_number(
     out_col: str,
     bucket_key: Column,
     num_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "auto",
+    size_of: DataFrame | None = None,
 ) -> DataFrame:
     """Exact global ``row_number()`` over ``order`` as a two-pass rank:
     per-bucket ``row_number`` + broadcast bucket row-count offsets."""
-    d = _with_buckets(df, bucket_key, num_buckets)
+    if _go_single(df, mode, size_of):
+        w = Window.orderBy(*order)
+        return df.withColumn(out_col, F.row_number().over(w).cast("long"))
+    d = _with_buckets(_pin(df), bucket_key, num_buckets)
     totals = d.groupBy("__rb").agg(F.count(F.lit(1)).alias("__bt"))
     w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
     offs = totals.select(
@@ -161,6 +219,7 @@ def neighborhood_with_carry(
     bucket_key: Column,
     window: int,
     num_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "auto",
 ) -> tuple[DataFrame, str, str]:
     """Prepare a sorted-neighborhood sweep without a global window: rows
     are range-bucketed, and each bucket's LAST ``window`` rows are also
@@ -179,7 +238,14 @@ def neighborhood_with_carry(
     its lag sweep partitioned by ``bucket_col`` ordered by ``order`` and
     filters output rows to ``carry_col == false``.
     """
-    d = _with_buckets(df, bucket_key, num_buckets)
+    if _go_single(df, mode):
+        # single-partition plan: one constant bucket, no carries needed
+        return (
+            df.withColumn("__rb", F.lit(0)).withColumn("__carry", F.lit(False)),
+            "__rb",
+            "__carry",
+        )
+    d = _with_buckets(_pin(df), bucket_key, num_buckets)
     occupied = d.groupBy("__rb").agg(F.count(F.lit(1)).alias("__n")).select("__rb")
     # Per-bucket tail = last min(window, |bucket|) rows — so the union of
     # all tails from buckets < b provably contains the last ``window``

@@ -92,3 +92,59 @@ def upsample(
     return out.withColumn(
         "copy_id", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n")))
     ).drop("__n")
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: Column | str,
+    k: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, chosen by salted key
+    hash — the deterministic version of per-stratum subsampling (eval-set
+    carving, per-source caps). A hash-ordered ``row_number`` PARTITIONED
+    by the group is one shuffle on the group key and skew-splits under
+    AQE; no global window, no RNG. The same keys win on every run and
+    engine (the oracle replays the identical hash order)."""
+    from pyspark.sql import Window
+
+    kc = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(*group_cols).orderBy(
+        md5_long(kc.cast("string"), salt=salt), kc.cast("string")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: Column | str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, position) from its salted content hash — the write-side of
+    'shuffle the corpus once per epoch' that distributed trainers need
+    (each worker reads its shard sequentially; order is reproducible
+    across runs, engines, and repartitioning, unlike ``ORDER BY rand()``).
+
+    shard = hash mod n_shards (uniform); position = hash-ordered
+    row_number WITHIN the shard — a window partitioned by shard, so the
+    sort is n_shards-way parallel and no single-partition Exchange
+    appears (the global-window trap ``prefixsum`` exists to avoid isn't
+    needed here: training order only has to be contiguous per shard)."""
+    from pyspark.sql import Window
+
+    kc = F.col(key) if isinstance(key, str) else key
+    h = md5_long(kc.cast("string"), salt=salt)
+    w = Window.partitionBy("shard").orderBy("__h", kc.cast("string"))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("long"))
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )

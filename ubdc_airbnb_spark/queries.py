@@ -3207,10 +3207,17 @@ def ns_token_budget(spark: SparkSession, sf: str) -> DataFrame:
 
     budget = 10000
     docs = load_table(spark, sf, "documents")
-    s = docs.select(
-        "doc_id",
-        textstats.whitespace_token_count("text").cast("long").alias("n_tokens"),
-        F.round(textstats.quality_score("text"), 6).alias("quality"),
+    # pinned: the quality/token projection feeds the histogram pass AND
+    # the survivor prefix-sum — without a pin the regex-heavy quality
+    # score would be re-evaluated over the corpus per pass
+    from .operators.prefixsum import _pin
+
+    s = _pin(
+        docs.select(
+            "doc_id",
+            textstats.whitespace_token_count("text").cast("long").alias("n_tokens"),
+            F.round(textstats.quality_score("text"), 6).alias("quality"),
+        )
     )
     # Pass 0 — histogram prefilter: bucket quality (width 0.01), running
     # token totals best-first over the O(buckets) sketch, keep only docs
@@ -3237,6 +3244,7 @@ def ns_token_budget(spark: SparkSession, sf: str) -> DataFrame:
         value=F.col("n_tokens"),
         out_col="cum_tokens",
         bucket_key=-F.col("quality"),
+        size_of=s,  # the broadcast cut join would inflate the auto estimate
     )
     return out.select(
         "doc_id", "n_tokens", "quality", F.col("cum_tokens").cast("long")
@@ -4922,4 +4930,115 @@ def ns_quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         pct.alias("quality_pct"),
         F.when(pct >= 0.2, F.lit(1)).otherwise(F.lit(0)).alias("keep_top80"),
+    )
+
+
+@q(
+    "ns_dedup_canonical",
+    ("NS-dedup", "A5"),
+    _SIMHASH_SQL.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    + f"""
+    , banded AS (
+      SELECT doc_id, band_id, (simhash >> (band_id * 8)) & 255 AS band_val, simhash
+      FROM sk, (SELECT unnest(generate_series(0, 3)) AS band_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM sk
+      UNION
+      SELECT s.b AS id, reach.r FROM reach JOIN sym s ON reach.id = s.a
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    q AS (SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality
+          FROM (SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS words
+                FROM documents)),
+    sel AS (SELECT comp.component, comp.doc_id, q.quality,
+                   row_number() OVER (PARTITION BY comp.component
+                                      ORDER BY q.quality DESC, comp.doc_id) AS rn
+            FROM comp JOIN q USING (doc_id))
+    SELECT component,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+           COUNT(*) AS n_members
+    FROM sel GROUP BY component
+    """,
+    "cluster resolution to a kept corpus: near-dup components (SimHash "
+    "pairs -> min-label propagation) reduced to ONE canonical doc each "
+    "- highest quality score wins, min id breaks ties - plus cluster "
+    "size; the window shuffles on the component key only (AQE "
+    "skew-splits a viral cluster), so 'dedup the corpus' is a semi-join "
+    "against canonical_id (operators/dedup.py canonical_per_cluster)",
+)
+def ns_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import canonical_per_cluster
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ns_dedup_simhash_pairs(spark, sf).select("id_a", "id_b")
+    comp = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    scored_docs = docs.select(
+        "doc_id", F.round(textstats.quality_score("text"), 6).alias("__q")
+    )
+    return canonical_per_cluster(
+        comp, scored_docs, id_col="doc_id", prefer=F.col("__q")
+    )
+
+
+@q(
+    "ns_corpus_shuffle",
+    ("NS-sampling", "W6"),
+    f"""
+    WITH h AS (SELECT doc_id,
+                      {hashing.md5_long_sql("CAST(doc_id AS VARCHAR)", salt="shuffle")} AS hh
+               FROM documents)
+    SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % 8
+                                   ORDER BY hh, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS position
+    FROM h
+    """,
+    "deterministic epoch shuffle for training order: (shard, position) "
+    "from the salted content hash - reproducible across runs/engines "
+    "and stable under repartitioning, unlike ORDER BY rand(); the "
+    "position window is PARTITIONED by shard (n_shards-way parallel "
+    "sort, no single-partition Exchange) because training order only "
+    "needs to be contiguous per shard (operators/sampling.py "
+    "deterministic_shuffle)",
+)
+def ns_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.deterministic_shuffle(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "position"
+    )
+
+
+@q(
+    "ns_stratified_sample",
+    ("NS-sampling", "A5"),
+    f"""
+    WITH r AS (SELECT source, doc_id,
+                      row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY {hashing.md5_long_sql("CAST(doc_id AS VARCHAR)", salt="strat")},
+                                 CAST(doc_id AS VARCHAR)) AS rn
+               FROM documents)
+    SELECT source, doc_id FROM r WHERE rn <= 10
+    """,
+    "exact per-stratum sampling: exactly min(k, |group|) docs per "
+    "source chosen by salted hash order - deterministic eval-set "
+    "carving / per-source caps with NO RNG; one shuffle on the group "
+    "key, AQE-skew-safe (operators/sampling.py stratified_sample_exact)",
+)
+def ns_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.stratified_sample_exact(docs, ["source"], "doc_id", 10).select(
+        "source", "doc_id"
     )
