@@ -15,14 +15,28 @@ def test_queries_and_oracles_align():
     assert all(callable(fn) for fn in qs.values())
 
 
-def test_slow_queries_run_last():
+def test_queries_ordered_for_driver_certification():
+    """The driver records exactly the first 50 queries() entries, so the
+    contract is: never-driver-certified queries first (so the whole
+    registry rotates through certification across rounds), cheap before
+    slow within each class, and the certified block preserves the same
+    cheap-before-slow ordering."""
     names = list(entry_mod.queries())
-    first_slow = min(
-        (names.index(n) for n in entry_mod._SLOW if n in names), default=len(names)
-    )
-    after = names[first_slow:]
-    # every query after the first slow one is itself slow-listed
-    assert all(n in entry_mod._SLOW for n in after)
+    done = entry_mod._certified()
+
+    def cls(n: str) -> tuple[bool, bool]:
+        return (n in done, n in entry_mod._SLOW)
+
+    classes = [cls(n) for n in names]
+    assert classes == sorted(classes), "ordering must be (certified, slow)-grouped"
+    # the driver's window contains only uncertified queries while any remain
+    n_uncert = sum(1 for n in names if n not in done)
+    window = names[: min(50, n_uncert)]
+    assert all(n not in done for n in window)
+    # and no heavyweight eats the driver's time budget while cheap
+    # uncertified queries remain
+    if n_uncert >= 50:
+        assert all(n not in entry_mod._SLOW for n in window)
 
 
 def test_entry_flagship(spark):

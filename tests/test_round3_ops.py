@@ -83,3 +83,33 @@ def test_canonical_per_cluster_picks_best_and_counts(spark):
     # cluster 1: quality tie 2 vs 3 -> min id 2; singleton keeps itself;
     # cluster 5: tie 5 vs 6 -> 5
     assert out == {1: (2, 3), 4: (4, 1), 5: (5, 2)}
+
+
+def test_lsh_viral_bucket_cap(spark):
+    """max_bucket drops boilerplate mega-clusters from pair expansion
+    (B^2 blowup) while keeping ordinary near-dup pairs; exact_duplicates
+    recovers the dropped cluster in O(B)."""
+    from ubdc_airbnb_spark.operators.dedup import (
+        exact_duplicates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "empty page please enable javascript to continue") for i in range(40)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=16, ngram=3, shingle="word")
+
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+    capped = lsh_candidate_pairs(sigs, "doc_id", 16, 4, max_bucket=10)
+    # the 40-clone cluster contributes 780 pairs uncapped, none capped
+    assert uncapped.filter(F.col("id_a") < 100).count() == 40 * 39 // 2
+    assert capped.filter(F.col("id_a") < 100).count() == 0
+    # the genuine near-dup pair survives the cap
+    assert [(r.id_a, r.id_b) for r in capped.collect()] == [(100, 101)]
+    # and the dropped cluster is exactly what the O(B) exact pass resolves
+    ex = exact_duplicates(docs, "doc_id", "text").filter(F.col("n_docs") > 1).collect()
+    assert len(ex) == 1 and ex[0].n_docs == 40 and ex[0].keep_id == 0

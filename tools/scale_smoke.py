@@ -89,15 +89,15 @@ def replicate(src_dir: str, out_dir: str, factor: int) -> None:
 
 
 def partition_profile(df):
-    from pyspark.sql import functions as F
-
-    rows = (
-        df.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid")
-        .count()
-        .collect()
+    # Rows per partition measured at the RDD boundary — the authoritative
+    # view of the FINAL plan's partitioning. A `spark_partition_id()`
+    # projection is useless here: Catalyst may evaluate the
+    # non-deterministic expression below the last Exchange (observed:
+    # it reported the 1-file scan's partitioning instead of the
+    # window stage's).
+    counts = sorted(
+        c for c in df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect() if c
     )
-    counts = sorted(r["count"] for r in rows)
     if not counts:
         return {"parts": 0, "max": 0, "median": 0}
     return {
@@ -120,9 +120,22 @@ def main() -> int:
     replicate(args.src, args.out, args.factor)
 
     from ubdc_airbnb_spark import queries as q_mod
+    from ubdc_airbnb_spark.operators import prefixsum
     from ubdc_airbnb_spark.session import get_spark
 
-    spark = get_spark("scale-smoke")
+    # The smoke validates the AT-SCALE physical plan: force the two-pass
+    # path (auto mode would legitimately pick the single-partition window
+    # below its size threshold — Catalyst's column-pruned estimate of a
+    # 10x toy table is still tiny — but that's the plan we're NOT here
+    # to test).
+    prefixsum.SINGLE_PARTITION_MAX_BYTES = -1
+    # AQE's partition coalescing folds toy-sized post-shuffle outputs
+    # into one partition (its job — a 100 TB run would keep them split);
+    # disable it so the measured distribution reflects the PLAN's
+    # partitioning, which is what a 1000-executor run would see.
+    extra_conf = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+
+    spark = get_spark("scale-smoke", extra_conf=extra_conf)
     specs = {s.name: s for s in q_mod.registry()}
     bad = []
     for name in CHECK:

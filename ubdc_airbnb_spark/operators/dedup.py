@@ -95,6 +95,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_perm: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows of
     ``num_perm/bands`` values, hash each band, self-join on
@@ -102,7 +103,18 @@ def lsh_candidate_pairs(
 
     The self-join shuffles on the band bucket key only; bucket sizes are
     tiny for non-duplicate data, so the pair expansion is Σ|bucket|².
-    """
+
+    ``max_bucket`` is the viral-bucket guard for corpus scale: a band
+    bucket with B members expands to B² pairs, and web corpora have
+    boilerplate clusters (empty pages, error templates) with B in the
+    millions — one such bucket turns the join quadratic. Capping drops
+    buckets with more than ``max_bucket`` members from pair generation;
+    those clusters are near-exact duplicates by construction (they agree
+    on a whole band at extreme multiplicity) and are exactly what
+    ``exact_duplicates`` / ``segment_dedup`` already resolve in O(B),
+    so the composition loses no coverage the cheap paths don't recover.
+    The cap costs one extra map-side-combinable count over the banded
+    rows. Default ``None`` (off) — gate-parity behavior."""
     rows_per_band = num_perm // bands
     banded = sigs.select(
         F.col(id_col),
@@ -119,6 +131,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_key"),
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band_id", "band_key")
+        )
+        banded = banded.join(small, ["band_id", "band_key"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

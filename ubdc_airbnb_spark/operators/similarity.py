@@ -358,8 +358,19 @@ def kmeans_centroids(
         dims = assigned.select(
             "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
+        # mean via DECIMAL-exact sum, quantized to 9 dp: double addition
+        # is not associative, so a float avg would drift with partition
+        # order; the decimal sum is order-independent and the 1e-9
+        # quantization absorbs the cross-engine double->decimal cast ulp
+        # (Spark casts via the shortest string repr, other engines
+        # convert exactly), making every Lloyd iteration reproducible
+        # across runs, partitionings, and the DuckDB oracle
         means = dims.groupBy("centroid_id", "pos").agg(
-            F.avg(F.col("val").cast("double")).alias("m")
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("m")
         )
         centroids = (
             means.groupBy("centroid_id")

@@ -5042,3 +5042,70 @@ def ns_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.stratified_sample_exact(docs, ["source"], "doc_id", 10).select(
         "source", "doc_id"
     )
+
+
+def _kmeans_iter_sql(prev: str, tag: str, dim: int = 64) -> str:
+    """One unrolled Lloyd iteration in DuckDB SQL: assign every vector to
+    its nearest centroid (cos desc, centroid_id tiebreak — the exact
+    ordering assign_ivf_buckets uses), then recompute each centroid
+    dimension as a mean quantized to 9 dp (Spark's side sums in exact
+    decimal for partition-order independence; the 1e-9 quantization
+    absorbs the engines' double->decimal cast ulp difference)."""
+    dotvc = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), i -> v.e[i] * c.ce[i])), (x, y) -> x + y)"
+    )
+    dotvv = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), i -> v.e[i] * v.e[i])), (x, y) -> x + y)"
+    )
+    dotcc = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), i -> c.ce[i] * c.ce[i])), (x, y) -> x + y)"
+    )
+    return f"""
+    a{tag} AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {dotvc} / (sqrt({dotvv}) * sqrt({dotcc})) DESC, c.centroid_id
+               ) AS rn
+        FROM v, {prev} c) WHERE rn = 1),
+    m{tag} AS (
+      SELECT centroid_id, i AS pos,
+             round(SUM(e[i]) / COUNT(*), 9) AS m
+      FROM a{tag}, generate_series(1, {dim}) t(i)
+      GROUP BY centroid_id, i),
+    c{tag} AS (
+      SELECT centroid_id, list(m ORDER BY pos) AS ce
+      FROM m{tag} GROUP BY centroid_id)"""
+
+
+@q(
+    "ns_embed_kmeans",
+    ("NS-similarity", "A2"),
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+           WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+    {_kmeans_iter_sql("c0", "1")},
+    {_kmeans_iter_sql("c1", "2")}
+    SELECT centroid_id, CAST(pos - 1 AS INTEGER) AS pos, m AS val FROM m2
+    """,
+    "k-means centroid training (Lloyd, k=8, 2 iterations) for IVF "
+    "bucket balance: assignment is a broadcast argmax (the corpus never "
+    "shuffles), the centroid update is a (cluster, dim) groupBy with a "
+    "DECIMAL-exact mean so every iteration is bit-reproducible across "
+    "partitionings and engines; the oracle unrolls the identical two "
+    "iterations in SQL (operators/similarity.py kmeans_centroids)",
+)
+def ns_embed_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=2)
+    return cents.select(
+        "centroid_id", F.posexplode("centroid_vec").alias("pos", "val")
+    )
