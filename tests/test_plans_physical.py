@@ -457,3 +457,22 @@ def test_centroid_probes_large_set_uses_broadcast_not_literal(spark):
     ]
     assert all("SinglePartition" in l for l in shuffles), shuffles
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_canonical_per_cluster_is_aggregate_only(spark):
+    """Viral-cluster safety: cluster resolution must be a map-side
+    combinable aggregate (argmax via struct-max), never a per-component
+    window sort."""
+    from ubdc_airbnb_spark.operators.dedup import canonical_per_cluster
+
+    comp = spark.createDataFrame([(1, 1), (2, 1)], "id long, component long")
+    docs = spark.createDataFrame([(1, 0.5), (2, 0.9)], "doc_id long, q double")
+    out = canonical_per_cluster(comp, docs, prefer=F.col("q"))
+    plan = _plan(out)
+    assert "Window" not in plan
+    # struct-max compiles to SortAggregate (struct ordering isn't
+    # hash-aggregable) — still partial-aggregated map-side, which is the
+    # property that matters
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Aggregate") >= 2  # partial + final around the exchange

@@ -324,30 +324,29 @@ def canonical_per_cluster(
     """Resolve near-dup CLUSTERS into one kept document each — the step
     after ``connected_components`` that actually dedups the corpus: per
     component keep the doc with the highest ``prefer`` score (ties → min
-    id), and report cluster size. One broadcast-free equi-join on the id
-    plus a window partitioned by component (shuffle on the cluster key,
-    AQE skew-splits a viral cluster).
+    id), and report cluster size. One equi-join on the id plus ONE
+    aggregation: the deterministic argmax is ``max(struct(score, -id))``
+    (struct comparison is lexicographic, so max score wins and the
+    negated id breaks ties toward the smallest id), which
+    partial-aggregates map-side — no per-component window, so a viral
+    cluster costs O(|cluster|) combine work spread across its input
+    partitions, never a single-task sort. Requires a numeric id column
+    (every id in this engine is a long).
 
     Output: (component, canonical_id, n_members). Join the corpus
     against ``canonical_id`` (semi) to materialize the deduped corpus.
     Reference analog: the reference keeps one AirBnBListing row per
     listing_id upsert (managers get_or_create); clusters generalize that
     to fuzzy identity."""
-    from pyspark.sql import Window
-
     scored = components.join(docs, components["id"] == docs[id_col]).select(
         components["id"].alias("__id"),
         F.col(component_col),
         (prefer if prefer is not None else F.lit(0.0)).alias("__score"),
     )
-    w = Window.partitionBy(component_col).orderBy(
-        F.col("__score").desc(), F.col("__id")
+    best = F.max(
+        F.struct(F.col("__score"), (-F.col("__id")).alias("__negid"))
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .groupBy(component_col)
-        .agg(
-            F.max(F.when(F.col("__rn") == 1, F.col("__id"))).alias("canonical_id"),
-            F.count(F.lit(1)).alias("n_members"),
-        )
+    return scored.groupBy(component_col).agg(
+        (-best["__negid"]).cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
     )
