@@ -1,0 +1,139 @@
+"""Trained-model and novelty operators (round 3): bigram LM scoring,
+batch perceptron, containment dedup, n-gram novelty — each checked
+against a pure-Python oracle on small explicit corpora, plus
+partitioning-invariance (the determinism the gates rely on)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(t: str) -> list[str]:
+    return [w for w in t.lower().split() if w]
+
+
+def test_bigram_lm_matches_python_oracle(spark):
+    from ubdc_airbnb_spark.operators import lm
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "dogs bark"),
+        (4, "x"),  # single token: no bigrams, absent from output
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_cond_p) for r in lm.score_documents(docs).collect()}
+
+    toks = {i: _toks(t) for i, t in corpus}
+    bigrams = [(w1, w2) for ws in toks.values() for w1, w2 in zip(ws, ws[1:])]
+    c12: dict[tuple[str, str], int] = {}
+    for bg in bigrams:
+        c12[bg] = c12.get(bg, 0) + 1
+    c1: dict[str, int] = {}
+    for (w1, _), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+    vocab = {w for ws in toks.values() for w in ws}
+    for i, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert i not in got
+            continue
+        total_ppb = sum(
+            math.floor((c12[p] + 1) / (c1[p[0]] + len(vocab)) * 1e9) for p in pairs
+        )
+        n, avg = got[i]
+        assert n == len(pairs)
+        assert avg == (total_ppb / 1e9) / len(pairs)
+
+
+def test_bigram_lm_partitioning_invariant(spark):
+    from ubdc_airbnb_spark.operators import lm
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    a = sorted(map(tuple, lm.score_documents(docs).collect()))
+    b = sorted(map(tuple, lm.score_documents(docs.repartition(13)).collect()))
+    assert a == b  # exact, including the double score (integer-ppb sums)
+
+
+def test_perceptron_matches_python_oracle(spark):
+    from ubdc_airbnb_spark.operators import classifier
+    from ubdc_airbnb_spark.functions.textstats import LANG_MARKERS
+
+    corpus = [
+        (1, "the cat and the dog of a to a", "en"),
+        (2, "der hund und die katze ist das", "de"),
+        (3, "le chat et la les des", "fr"),
+        (4, "the quick brown fox and the hound", "en"),
+        (5, "el que de los la", "es"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.margin, r.pred_en, r.is_en) for r in classifier.classify_english(docs).collect()}
+
+    def feats(t: str) -> list[int]:
+        ws = _toks(t)
+        base = [1, len(ws)]
+        for lang in LANG_MARKERS:
+            base.append(sum(1 for w in ws if w in LANG_MARKERS[lang]))
+        return base
+
+    X = {i: feats(t) for i, t, _ in corpus}
+    Y = {i: (1 if lang == "en" else -1) for i, _, lang in corpus}
+    w = [0] * 6
+    for _ in range(2):
+        grad = [0] * 6
+        for i in X:
+            margin = sum(wi * xi for wi, xi in zip(w, X[i]))
+            if Y[i] * margin <= 0:
+                for k in range(6):
+                    grad[k] += Y[i] * X[i][k]
+        w = [wi + g for wi, g in zip(w, grad)]
+    for i in X:
+        m = sum(wi * xi for wi, xi in zip(w, X[i]))
+        assert got[i] == (m, m > 0, Y[i] > 0)
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    from ubdc_airbnb_spark.operators.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_containment_pairs(docs, "doc_id", "text", ngram=3, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    r = pairs[0]
+    # every 3-gram of the short doc appears in the long one
+    assert r.inter == r.min_n == len(short.split()) - 2
+    assert r.containment == 1.0
+    # symmetric Jaccard at the same strictness sees nothing: union is
+    # dominated by the long doc
+    assert (
+        ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.9).count() == 0
+    )
+
+
+def test_ngram_novelty_first_occurrence_semantics(spark):
+    from ubdc_airbnb_spark.operators.curation import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # grams: abc, bcd — all novel (first doc)
+            (2, "a b c d"),            # exact copy -> novelty 0
+            (3, "a b c x y z"),        # abc seen; bcx, cxy, xyz novel -> 3/4
+            (4, "q r"),                # too short: absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_distinct_grams, r.n_novel, r.novelty) for r in ngram_novelty(docs, "doc_id", "text").collect()}
+    assert got == {
+        1: (2, 2, 1.0),
+        2: (2, 0, 0.0),
+        3: (4, 3, 0.75),
+    }

@@ -187,3 +187,51 @@ def segment_dedup(
             F.col("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (incremental-corpus contribution scoring)
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT word
+    n-grams whose globally first occurrence (min doc id over the corpus)
+    is this document. Near-zero novelty marks documents assembled from
+    already-seen text (templates, mirrors, aggregators) even when no
+    single pair-wise duplicate crosses a dedup threshold; it is the
+    corpus-growth signal used when deciding whether a new crawl slice
+    adds anything.
+
+    Scale shape: distinct grams per doc (narrow explode) → one groupBy
+    on the gram text electing min(id) — map-side partial MIN, uniform
+    high-cardinality key — → equi-join back on the gram → per-doc count
+    ratio. Two shuffles on hash keys, no window, no broadcast of
+    anything corpus-sized.
+
+    Output: (id_col, n_distinct_grams, n_novel, novelty) — documents
+    with fewer than ``ngram`` words are absent (no grams to judge)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.lower(F.col(text_col)), ngram))).alias(
+            "gram"
+        ),
+    )
+    first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
+    return (
+        grams.join(first, "gram")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum((F.col("first_id") == F.col("id")).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_distinct_grams").cast("double"),
+        )
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
-from ..functions.textstats import char_ngrams, words
+from ..functions.textstats import char_ngrams, word_ngrams, words
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -241,6 +241,64 @@ def ngram_jaccard_pairs(
         .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.col("inter") * den >= F.col("union_n") * num)
         .select("id_a", "id_b", "inter", "union_n")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric containment join: C(A,B) = |A∩B| / min(|A|,|B|) over
+    distinct word n-gram sets. Catches subset duplicates — a short
+    document wholly embedded in a longer one (quote pages, scraped
+    excerpts, page n of a serialized article) — which symmetric Jaccard
+    misses because the union is dominated by the longer side; MinHash
+    banding misses them too, because MinHash estimates Jaccard, and
+    J(A,B) ≈ |A|/|B| is tiny for a short-in-long pair even at full
+    containment.
+
+    Same physical shape as ``ngram_jaccard_pairs`` (distinct-gram explode
+    → gram equi-join → per-pair intersection counts → size join). Word
+    n-grams keep gram-collision volume proportional to genuinely shared
+    phrasing, so the pair join is quadratic only in real text overlap;
+    at corpus scale drop ultra-common grams first (the ``max_bucket``
+    guard pattern of ``lsh_candidate_pairs``) or restrict side A to the
+    short-document slice being screened. The threshold compare is exact
+    integer cross-multiplication, so engine float behavior can't flip it.
+
+    Output: (id_a, id_b, inter, min_n, containment) with id_a < id_b."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    num, den = threshold.as_integer_ratio()
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("min_n", F.least(F.col("n_a"), F.col("n_b")))
+        .filter(F.col("inter") * den >= F.col("min_n") * num)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "min_n",
+            (F.col("inter").cast("double") / F.col("min_n").cast("double")).alias(
+                "containment"
+            ),
+        )
     )
 
 

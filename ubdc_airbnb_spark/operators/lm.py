@@ -1,0 +1,116 @@
+"""N-gram language-model corpus scoring — the KenLM-style quality signal
+of LLM data pipelines (CCNet/RefinedWeb filter by LM perplexity): train
+token statistics over the corpus itself, then score every document by how
+"familiar" its token transitions are. Low scores flag garbled or
+machine-generated text; abnormally high scores flag boilerplate.
+
+Spark-first design (100 TB):
+
+- Training is two grouped aggregates over the exploded bigram stream —
+  both map-side partial-combined, shuffling only ``distinct-bigram``-sized
+  partials, never the corpus. Context (first-word) counts are DERIVED
+  from the bigram counts (``c1 = Σ_w2 c12``), so the corpus is tokenized
+  and exploded exactly once for training.
+- Scoring joins the per-occurrence bigram stream back to the count
+  tables: plain equi-joins on the bigram / context keys. Common bigrams
+  ("of the") are hot keys — at scale AQE's skew-join split handles the
+  fan-in; the join itself is 1:1 per occurrence (no row explosion).
+- The per-document mean is aggregated through ``DECIMAL`` (exact,
+  associative) so the score is bit-identical across partitionings and
+  engines — same rule as the rest of the battery (queries.py header).
+- Zero Python UDFs; everything stays in whole-stage codegen.
+
+No reference analog (the reference has no text-quality stage); this is a
+training-data-pipeline extension (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import word_ngrams
+
+
+def doc_bigrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-occurrence bigram stream: (id, bigram) with one row per bigram
+    occurrence, tokens lowercased whitespace words joined by one space.
+    Documents with fewer than two tokens contribute no rows."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("bigram"),
+    )
+
+
+def bigram_model(grams: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train add-one-smoothed bigram statistics from a bigram stream.
+
+    Returns ``(bigram_counts, context_counts)``:
+    ``bigram_counts``  — (bigram, c12): occurrences of the pair.
+    ``context_counts`` — (w1, c1):      occurrences of the first word as
+    a context, derived as Σ c12 so the stream is aggregated once.
+    """
+    bc = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    cc = (
+        bc.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    return bc, cc
+
+
+def score_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mean add-one-smoothed conditional probability per document:
+
+        score(d) = mean over bigrams (w1,w2) of  (c12 + 1) / (c1 + V)
+
+    where V is the corpus vocabulary size (distinct lowercased tokens).
+    The probability (not its log) is averaged so the whole computation is
+    rational arithmetic on integer counts — ``ln`` differs at the ulp
+    between libm implementations, which would break cross-engine hash
+    parity for zero analytical benefit at ranking time (the mean-prob
+    and mean-log-prob rankings agree on the pathological tails this
+    filter exists to catch).
+
+    Each per-bigram probability is quantized to integer parts-per-billion
+    (``floor(p·1e9)``) before summation: the division operands are exact
+    integers so ``p`` is the identical IEEE double on every engine, and
+    floor of an identical double is identical — making the per-doc SUM
+    exact 64-bit integer arithmetic, bit-stable across engines and
+    partition orders (a double→DECIMAL cast would instead round at the
+    engine's half-way convention; measured divergence at the 1e-18 ulp).
+    The 1e-9 quantization is noise for a ranking/filter signal.
+
+    Output: (doc_id, n_bigrams, avg_cond_p) — documents with < 2 tokens
+    are absent (they have no transitions to score).
+    """
+    grams = doc_bigrams(df, id_col, text_col)
+    bc, cc = bigram_model(grams)
+    vsz = (
+        df.select(F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0)).alias("w"))
+        .agg(F.countDistinct("w").alias("vsz"))
+    )
+    scored = (
+        grams.join(bc, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(cc, "w1")
+        .join(F.broadcast(vsz))
+        .withColumn(
+            "p",
+            ((F.col("c12") + F.lit(1)).cast("double") / (F.col("c1") + F.col("vsz")).cast("double")),
+        )
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.floor(F.col("p") * F.lit(1e9)).cast("long")).alias("sum_ppb"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        (
+            (F.col("sum_ppb").cast("double") / F.lit(1e9))
+            / F.col("n_bigrams").cast("double")
+        ).alias("avg_cond_p"),
+    )

@@ -5109,3 +5109,175 @@ def ns_embed_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return cents.select(
         "centroid_id", F.posexplode("centroid_vec").alias("pos", "val")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3: LM corpus scoring, trained classifier, containment dedup,
+# n-gram novelty (operators/lm.py, classifier.py, dedup.py, curation.py)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "ns_bigram_lm",
+    ("NS-text", "A2"),
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS ws
+      FROM documents),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM toks WHERE len(ws) >= 2),
+    bc AS (SELECT bigram, COUNT(*) AS c12 FROM db GROUP BY bigram),
+    cc AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS vsz
+          FROM (SELECT unnest(ws) AS w FROM toks)),
+    scored AS (
+      SELECT d.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(floor((CAST(b.c12 + 1 AS DOUBLE) / CAST(c.c1 + v.vsz AS DOUBLE))
+                                 * 1e9) AS BIGINT)) AS BIGINT) AS sum_ppb
+      FROM db d
+      JOIN bc b USING (bigram)
+      JOIN cc c ON split_part(d.bigram, ' ', 1) = c.w1
+      CROSS JOIN v
+      GROUP BY d.doc_id)
+    SELECT doc_id, n_bigrams,
+           (CAST(sum_ppb AS DOUBLE) / 1e9) / CAST(n_bigrams AS DOUBLE) AS avg_cond_p
+    FROM scored
+    """,
+    "KenLM-style corpus LM quality signal: add-one-smoothed bigram model "
+    "trained on the corpus itself (two partial-combined aggregates over "
+    "one exploded bigram stream), every doc scored by mean conditional "
+    "probability via equi-joins on the bigram/context keys; DECIMAL-exact "
+    "per-doc mean so the score is bit-stable across partitionings "
+    "(operators/lm.py)",
+)
+def ns_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import lm
+
+    docs = load_table(spark, sf, "documents")
+    return lm.score_documents(docs, "doc_id", "text")
+
+
+def _perceptron_oracle_sql() -> str:
+    """Two batch-perceptron iterations unrolled in pure integer SQL —
+    bit-exact replay of operators/classifier.py training."""
+    feats = ", ".join(
+        f"{_CNT_SQL[lang]} AS f{i + 2}" for i, lang in enumerate(("en", "de", "fr", "es"))
+    )
+    dot_s = " + ".join(f"s{i}*f{i}" for i in range(6))
+    dot_t = " + ".join(f"t{i}*f{i}" for i in range(6))
+    w1 = ", ".join(f"CAST(SUM(y*f{i}) AS BIGINT) AS s{i}" for i in range(6))
+    w2 = ", ".join(
+        f"CAST(MIN(s{i}) + COALESCE(SUM(CASE WHEN y*({dot_s}) <= 0 THEN y*f{i} ELSE 0 END), 0) AS BIGINT) AS t{i}"
+        for i in range(6)
+    )
+    return rf"""
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             1 AS f0, len(words) AS f1, {feats}
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS words
+            FROM documents)),
+    w1 AS (SELECT {w1} FROM feat),
+    w2 AS (SELECT {w2} FROM feat CROSS JOIN w1)
+    SELECT doc_id, CAST({dot_t} AS BIGINT) AS margin,
+           ({dot_t}) > 0 AS pred_en, y > 0 AS is_en
+    FROM feat CROSS JOIN w2
+    """
+
+
+@q(
+    "ns_quality_perceptron",
+    ("NS-text", "A1"),
+    _perceptron_oracle_sql(),
+    "trained linear classifier (fastText-filter analog): batch perceptron "
+    "over integer features (bias, token count, per-language marker "
+    "counts), 2 iterations, label lang=='en'; each iteration is one "
+    "map-side-combined aggregate and the 6-long weight vector re-enters "
+    "as literals — integer arithmetic end-to-end, so training is exactly "
+    "reproducible across engines and partitionings "
+    "(operators/classifier.py)",
+)
+def ns_quality_perceptron(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import classifier
+
+    docs = load_table(spark, sf, "documents")
+    return classifier.classify_english(docs, "doc_id", "text", iterations=2)
+
+
+@q(
+    "ns_dedup_containment",
+    ("NS-dedup",),
+    r"""
+    WITH doc_grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS g
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w
+            FROM documents)),
+    grams AS (SELECT doc_id, unnest(g) AS gram FROM doc_grams),
+    pair_inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sizes AS (SELECT doc_id, len(g) AS n FROM doc_grams)
+    SELECT id_a, id_b, inter,
+           least(sa.n, sb.n) AS min_n,
+           CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 2 >= least(sa.n, sb.n) * 1
+    """,
+    "asymmetric containment dedup |A∩B|/min(|A|,|B|) over distinct "
+    "word-3-gram sets — catches short-doc-inside-long-doc duplicates "
+    "that symmetric Jaccard (and MinHash banding, which estimates "
+    "Jaccard) structurally miss; integer cross-multiplied threshold "
+    "(operators/dedup.py ngram_containment_pairs)",
+)
+def ns_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_containment_pairs(docs, "doc_id", "text", ngram=3, threshold=0.5)
+
+
+@q(
+    "ns_ngram_novelty",
+    ("NS-text", "A2"),
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS ws
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        FROM toks WHERE len(ws) >= 3)),
+    first AS (SELECT gram, MIN(doc_id) AS first_id FROM grams GROUP BY gram)
+    SELECT doc_id,
+           COUNT(*) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM grams JOIN first USING (gram)
+    GROUP BY doc_id
+    """,
+    "per-doc corpus-novelty: fraction of a doc's distinct word-3-grams "
+    "whose global first occurrence (min doc_id) is this doc — flags "
+    "template/mirror/aggregator documents no pairwise dedup threshold "
+    "catches; two hash-key shuffles, no window "
+    "(operators/curation.py ngram_novelty)",
+)
+def ns_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents")
+    return curation.ngram_novelty(docs, "doc_id", "text", ngram=3)
