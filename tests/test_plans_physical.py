@@ -476,3 +476,66 @@ def test_canonical_per_cluster_is_aggregate_only(spark):
     assert "HashAggregate" in plan or "SortAggregate" in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Aggregate") >= 2  # partial + final around the exchange
+
+
+def test_lsh_query_serving_broadcasts_query_side(spark):
+    """rp_lsh_query_topk must probe the corpus in place: the banded
+    query batch broadcasts, the corpus reaches the join with no
+    Exchange, and no SortMergeJoin/Cartesian appears anywhere."""
+    from ubdc_airbnb_spark.operators.similarity import rp_lsh_query_topk
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(rp_lsh_query_topk(emb, emb.filter(F.col("vec_id") < 4), k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    # the corpus must never shuffle on the band keys (that would mean the
+    # probe join hash-partitioned the corpus instead of broadcasting the
+    # query batch); the only hash Exchanges are candidate-space (query_id)
+    # for dedup + top-k
+    assert "hashpartitioning(band" not in plan
+
+
+def test_tfidf_cosine_pairs_shuffles_on_term_keys_only(spark):
+    """Inverted-index all-pairs join: no cartesian/nested-loop; the df
+    prune side is a broadcast; pair fragments join on the term key."""
+    from ubdc_airbnb_spark.operators.tfidf import cosine_similar_pairs
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(cosine_similar_pairs(docs, max_df=50))
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the df<=50 term prune
+
+
+def test_bigram_lm_no_cartesian_and_vocab_broadcast(spark):
+    from ubdc_airbnb_spark.operators.lm import score_documents
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(score_documents(docs))
+    assert "Cartesian" not in plan
+    # the single-row vocab size attaches by broadcast, never a shuffle join
+    assert "BroadcastExchange" in plan
+
+
+def test_perceptron_training_is_single_aggregate_per_iteration(spark):
+    """Each perceptron iteration must be one partial+final aggregate pair
+    over the features — no join, no window, no shuffle beyond the F-long
+    partial exchange."""
+    from ubdc_airbnb_spark.operators.classifier import english_features
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    names = [f"f{i}" for i in range(6)]
+    feats = docs.select(
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+        *[c.alias(n) for c, n in zip(english_features("text"), names)],
+    )
+    grad = feats.agg(*[F.sum(F.when((F.col("y") * F.lit(0)) <= 0, F.col("y") * F.col(n))).alias(n) for n in names])
+    plan = _plan(grad)
+    assert "Join" not in plan and "Window" not in plan
+    # exactly one Exchange node in the tree: the partial->final agg hop
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "partial_sum" in plan  # map-side combine confirmed

@@ -15,7 +15,7 @@ hash-partitioned join instead of a cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -646,4 +646,63 @@ def pq_rerank_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def rp_lsh_query_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+    salt: str = "rp",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN *query serving* over random-hyperplane LSH buckets — the
+    read path that complements ``rp_lsh_pairs``'s corpus self-dedup:
+    a small query batch probes the banded signature space and only the
+    colliding corpus vectors are scored exactly.
+
+    Physical plan (the point of the operator): both sides compute their
+    signatures as zero-shuffle narrow selects with the SAME inlined
+    hyperplanes; the banded QUERY side — batch-sized by definition — is
+    ``broadcast()``, so the corpus is probed in place: no corpus shuffle,
+    no corpus sort, cost = Σ |colliding bucket| exact cosines instead of
+    n·q brute force. Recall < 1 by construction (a near neighbor sharing
+    no band with the query is missed — multi-band collision probability
+    is the standard 1-(1-s^w)^b curve); precision 1 after the exact
+    rerank.
+
+    Output: (query_id, neighbor_id, cos, rank) with rank ≤ k per query,
+    ties broken by neighbor id; self-matches excluded."""
+    cb = rp_signature(corpus, id_col, vec_col, num_planes, salt, dim)
+    qb = rp_signature(queries, id_col, vec_col, num_planes, salt, dim)
+    width = num_planes // bands
+
+    def banded(sigs: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.substring(F.col("rp_sig"), b * width + 1, width),
+                )
+            ).alias("band_id", "band_key"),
+        )
+
+    cand = (
+        banded(cb, "neighbor_id", "cvec")
+        .join(broadcast(banded(qb, "query_id", "qvec")), ["band_id", "band_key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -134,3 +134,65 @@ def tokenize(
         "word",
         F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("long").alias("token_id"),
     )
+
+
+def cosine_similar_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity over term-frequency vectors via
+    an inverted-index join (the Bayardo/WHIMP all-pairs-similarity shape)
+    — the token-level complement to set-based n-gram Jaccard: weighted by
+    occurrence counts, robust to word order, and the standard "same
+    article, different boilerplate" detector.
+
+        cos(a,b) = Σ_t tf_a(t)·tf_b(t) / (‖a‖·‖b‖)
+
+    Physical plan: (doc, term, tf) rows self-join on the term — each term
+    contributes df² pair fragments, so total cost is Σ_t df(t)², NOT n².
+    ``max_df`` is the classic all-pairs prune: terms present in more than
+    ``max_df`` documents (stopwords — precisely the terms that carry no
+    similarity signal but dominate Σ df²) are dropped from BOTH the dot
+    products and the norms, so the score stays a true cosine in the
+    pruned term space. At corpus scale always set it (√corpus is a sound
+    default); it is the same viral-key guard as LSH's ``max_bucket``.
+
+    Determinism: dot products and squared norms are exact 64-bit integer
+    sums of tf products; the final cosine uses only IEEE-exact ops
+    (×, ÷, sqrt are correctly rounded by the standard, unlike libm
+    transcendentals), so the double — and the threshold compare — is
+    bit-identical on every engine and partitioning.
+
+    Output: (id_a, id_b, dot, cos) with id_a < id_b, cos ≥ threshold."""
+    terms = doc_terms(docs, id_col, text_col)
+    if max_df is not None:
+        dfreq = term_doc_freq(terms, id_col)
+        terms = terms.join(
+            broadcast(dfreq.filter(F.col("df") <= max_df).select("term")), "term"
+        )
+    norms = terms.groupBy(F.col(id_col).alias("id")).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = terms.select(F.col(id_col).alias("id_a"), "term", F.col("tf").alias("tf_a"))
+    b = terms.select(F.col(id_col).alias("id_b"), "term", F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, ["term"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2_b"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "dot", "cos")
+    )

@@ -5281,3 +5281,84 @@ def ns_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return curation.ngram_novelty(docs, "doc_id", "text", ngram=3)
+
+
+@q(
+    "ns_tfidf_cosine_pairs",
+    ("NS-dedup", "NS-text"),
+    r"""
+    WITH terms AS (
+      SELECT doc_id, lower(term) AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS term
+        FROM documents)
+      GROUP BY doc_id, lower(term)),
+    kept AS (
+      SELECT t.doc_id, t.term, t.tf
+      FROM terms t
+      JOIN (SELECT term, COUNT(*) AS df FROM terms GROUP BY term) d USING (term)
+      WHERE d.df <= 50),
+    norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM kept GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, dot, cos FROM (
+      SELECT id_a, id_b, dot,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      FROM dots
+      JOIN norms na ON na.doc_id = id_a
+      JOIN norms nb ON nb.doc_id = id_b)
+    WHERE cos >= 0.6
+    """,
+    "all-pairs sparse cosine over tf vectors via inverted-index join "
+    "(cost Σ df² not n²; df≤50 prune drops stopword terms from dots AND "
+    "norms — the all-pairs analog of the LSH viral-bucket cap); integer "
+    "dot/norm sums + IEEE-exact sqrt/÷ make the double bit-identical "
+    "across engines (operators/tfidf.py cosine_similar_pairs)",
+)
+def ns_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import tfidf
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf.cosine_similar_pairs(docs, "doc_id", "text", threshold=0.6, max_df=50)
+
+
+@q(
+    "ns_embed_lsh_query",
+    ("NS-similarity",),
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    s AS (SELECT vec_id, {_rp_sig_sql()} AS sig FROM v),
+    bnd AS (SELECT vec_id, i AS band_id, substr(sig, CAST(i * 4 + 1 AS INTEGER), 4) AS band_key
+            FROM s, generate_series(0, 3) t(i)),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM bnd q JOIN bnd c
+               ON q.band_id = c.band_id AND q.band_key = c.band_key
+                  AND q.vec_id <> c.vec_id
+             WHERE q.vec_id < 8),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_rp_fold_dot_sql('vq.e', 'vc.e')}
+               / (sqrt({_rp_fold_dot_sql('vq.e', 'vq.e')}) * sqrt({_rp_fold_dot_sql('vc.e', 'vc.e')})) AS cos
+      FROM cand
+      JOIN v vq ON vq.vec_id = query_id
+      JOIN v vc ON vc.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    "ANN query serving over RP-LSH buckets: the banded query batch is "
+    "broadcast and probes the corpus's banded signatures in place — no "
+    "corpus shuffle, exact-cosine rerank only on colliding buckets; "
+    "recall follows the 1-(1-s^w)^b banding curve, precision 1 after "
+    "rerank (operators/similarity.py rp_lsh_query_topk)",
+)
+def ns_embed_lsh_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.rp_lsh_query_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, num_planes=16, bands=4
+    )
