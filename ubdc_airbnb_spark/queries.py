@@ -5362,3 +5362,89 @@ def ns_embed_lsh_query(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.rp_lsh_query_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, num_planes=16, bands=4
     )
+
+
+def _pagerank_iter_sql(prev: str, tag: str) -> str:
+    """One PageRank iteration in DuckDB SQL — integer-ppb contribution
+    sums, bit-exact replay of operators/graph.py pagerank."""
+    return f"""
+    c{tag} AS (
+      SELECT e.dst AS vertex,
+             CAST(SUM(CAST(floor((r.rank / d.outdeg) * 1e9) AS BIGINT)) AS BIGINT) AS in_ppb
+      FROM e JOIN {prev} r ON r.vertex = e.src
+             JOIN deg d ON d.src = e.src
+      GROUP BY e.dst),
+    r{tag} AS (
+      SELECT v.vertex,
+             ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
+               + 0.85 * (CAST(COALESCE(c.in_ppb, 0) AS DOUBLE) / 1e9) AS rank
+      FROM verts v LEFT JOIN c{tag} c ON c.vertex = v.vertex)"""
+
+
+@q(
+    "ns_graph_pagerank",
+    ("NS-graph", "J8", "A2"),
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    verts AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT vertex, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+    {_pagerank_iter_sql("r0", "1")},
+    {_pagerank_iter_sql("r1", "2")}
+    SELECT vertex, rank FROM r2
+    """,
+    "PageRank (2 iterations, d=0.85) over the customer→supplier "
+    "purchase graph (suppliers offset by 1e6 to disjoin the id spaces): "
+    "per iteration one src-key equi-join + one dst-key groupBy, both "
+    "map-side combinable; contributions quantized to integer ppb before "
+    "the destination sum so ranks are bit-identical across engines and "
+    "partition orders (operators/graph.py pagerank)",
+)
+def ns_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import graph
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+    )
+    return graph.pagerank(edges, "src", "dst", iterations=2, damping=0.85)
+
+
+@q(
+    "ns_scd2_intervals",
+    ("NS-lakehouse", "W2", "J11"),
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    versions AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM versions)
+    """,
+    "SCD type-2 dimension build from the append-only event log: "
+    "null-safe change detection collapses unchanged runs, lead() closes "
+    "each version's validity interval; both windows partition by the "
+    "entity key — per-key state, no global sort "
+    "(operators/scd.py scd2_intervals)",
+)
+def ns_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import scd
+
+    ev = load_table(spark, sf, "events")
+    return scd.scd2_intervals(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak="event_id"
+    )
