@@ -50,6 +50,10 @@ HEADLINE = [
     "ns_token_budget",
     "ns_dedup_sorted_neighborhood",
     "w6_batch_assign",
+    # round 3: new corpus-model heavyweights (bigram LM trains on the
+    # whole corpus; all-pairs cosine is the Σ df² inverted-index join)
+    "ns_bigram_lm",
+    "ns_tfidf_cosine_pairs",
 ]
 
 

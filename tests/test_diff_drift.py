@@ -1,0 +1,77 @@
+"""Snapshot-diff and histogram-drift operators vs explicit oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_snapshot_diff_statuses_and_columns(spark):
+    from ubdc_airbnb_spark.operators.diff import diff_summary, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0), (4, None, 4.0)],
+        "k long, a string, b double",
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "Y", 2.0), (4, None, 9.0), (5, "w", 5.0)],
+        "k long, a string, b double",
+    )
+    got = {r.k: (r.status, r.changed_cols) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: ("unchanged", ""),
+        2: ("changed", "a"),
+        3: ("removed", ""),
+        4: ("changed", "b"),  # NULL==NULL on a, b differs
+        5: ("added", ""),
+    }
+    summary = {
+        (r.status, r.changed_cols): r.n_rows
+        for r in diff_summary(snapshot_diff(old, new, ["k"])).collect()
+    }
+    assert summary == {
+        ("unchanged", ""): 1,
+        ("changed", "a"): 1,
+        ("changed", "b"): 1,
+        ("removed", ""): 1,
+        ("added", ""): 1,
+    }
+
+
+def test_snapshot_diff_null_to_value_is_change(spark):
+    from ubdc_airbnb_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, a string")
+    new = spark.createDataFrame([(1, "v")], "k long, a string")
+    [r] = snapshot_diff(old, new, ["k"]).collect()
+    assert (r.status, r.changed_cols) == ("changed", "a")
+
+
+def test_histogram_drift_python_oracle(spark):
+    from ubdc_airbnb_spark.operators.drift import histogram_drift
+
+    rows = [(i, float(i % 40)) for i in range(400)]  # uniform over [0,40)
+    df = spark.createDataFrame(rows, "id long, v double")
+    # slice a = ids < 200 shifted into the top tail
+    out = histogram_drift(
+        df.withColumn("v", F.when(F.col("id") < 200, F.col("v") + 100.0).otherwise(F.col("v"))),
+        F.col("v"),
+        F.col("id") < 200,
+        lo=0.0,
+        width=10.0,
+        bins=5,
+    ).collect()
+    got = {r.bin: (r.p_a, r.p_b, r.contrib) for r in out}
+    # slice a: all values >= 100 -> clamped to top bin 4; slice b: bins 0-3
+    assert got[4][0] == 1.0 and got[4][1] == 0.0 and got[4][2] == 1.0
+    for b in range(4):
+        assert got[b][0] == 0.0 and got[b][1] == 0.25 and got[b][2] == 0.25
+
+
+def test_histogram_drift_identical_slices_zero(spark):
+    from ubdc_airbnb_spark.operators.drift import histogram_drift
+
+    rows = [(i, float(i % 30)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = histogram_drift(df, F.col("v"), F.col("id") % 2 == 0, 0.0, 10.0, 3).collect()
+    assert all(r.contrib == 0.0 for r in out)
+    assert all(r.p_a == r.p_b for r in out)

@@ -517,3 +517,25 @@ def test_interval_join_plan_is_equi_join(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_upsert_parquet_recovers_interrupted_swap(spark, tmp_path):
+    """upsert_parquet must MERGE with state recovered from an interrupted
+    swap — never treat crash debris as 'first write' and drop history
+    (the jobs.py foreachBatch discipline, applied to the batch upsert)."""
+    from ubdc_airbnb_spark.operators.upsert import upsert_parquet
+
+    base = str(tmp_path / "t")
+    # crash state (b): the base dir is gone, old + fully-written tmp remain
+    spark.createDataFrame([(1, "old"), (2, "old")], "k long, v string").write.parquet(
+        base + ".__old__"
+    )
+    spark.createDataFrame([(1, "cur"), (2, "cur")], "k long, v string").write.parquet(
+        base + ".__tmp__"
+    )
+    upsert_parquet(
+        spark.createDataFrame([(2, "new"), (3, "new")], "k long, v string"), base, ["k"]
+    )
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    # tmp (the completed pre-crash state) was promoted, then merged
+    assert got == {1: "cur", 2: "new", 3: "new"}

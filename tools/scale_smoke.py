@@ -55,6 +55,12 @@ CHECK = [
     "ns_token_budget",
     "ns_dedup_sorted_neighborhood",
     "w6_batch_assign",
+    # round-3 corpus-model operators (corpus-wide joins/aggregates)
+    "ns_bigram_lm",
+    "ns_tfidf_cosine_pairs",
+    "ns_ngram_novelty",
+    "ns_graph_pagerank",
+    "ns_scd2_intervals",
 ]
 
 

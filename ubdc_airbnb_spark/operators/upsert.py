@@ -109,11 +109,14 @@ def upsert_parquet(
     import shutil
 
     spark = spark_df.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    # 'first write' only on a VERIFIED missing table (after repairing any
+    # interrupted swap) — a transient read error must re-raise, not
+    # silently replace the table with just this batch (the jobs.py
+    # foreach_batch_incremental_agg discipline, ADVICE r2).
+    if not recover_swap(path):
         spark_df.write.mode("overwrite").parquet(path)
         return
+    existing = spark.read.parquet(path)  # real errors re-raise
     merged = upsert(existing, spark_df, keys)
     _swap_write(merged, path)
 

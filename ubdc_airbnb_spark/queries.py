@@ -5448,3 +5448,92 @@ def ns_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     return scd.scd2_intervals(
         ev, ["user_id"], "ts", ["event_type"], tiebreak="event_id"
     )
+
+
+@q(
+    "ns_snapshot_diff",
+    ("NS-lakehouse", "J8", "U1"),
+    """
+    WITH o AS (
+      SELECT event_id, event_type, value FROM events WHERE event_id % 3 <> 0),
+    n AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN value + CAST(1.0 AS DOUBLE) ELSE value END AS value
+      FROM events WHERE event_id % 5 <> 0),
+    j AS (
+      SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+             o.event_id IS NOT NULL AS in_o, n.event_id IS NOT NULL AS in_n,
+             o.event_type IS DISTINCT FROM n.event_type AS d_type,
+             o.value IS DISTINCT FROM n.value AS d_value
+      FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+    SELECT event_id,
+           CASE WHEN NOT in_o THEN 'added'
+                WHEN NOT in_n THEN 'removed'
+                WHEN d_type OR d_value THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN in_o AND in_n AND (d_type OR d_value)
+                THEN array_to_string(list_filter(
+                       [CASE WHEN d_type THEN 'event_type' END,
+                        CASE WHEN d_value THEN 'value' END],
+                       x -> x IS NOT NULL), ',')
+                ELSE '' END AS changed_cols
+    FROM j
+    """,
+    "snapshot diff (data-regression / CDC extract): one full-outer "
+    "shuffle join on the key, null-safe per-column compare names the "
+    "changed columns — how a pipeline answers 'what did this change do "
+    "to the data' at 100 TB (operators/diff.py snapshot_diff)",
+)
+def ns_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import diff
+
+    ev = load_table(spark, sf, "events")
+    old = ev.filter(F.col("event_id") % 3 != 0).select("event_id", "event_type", "value")
+    new = ev.filter(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + F.lit(1.0))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return diff.snapshot_diff(old, new, ["event_id"], ["event_type", "value"])
+
+
+@q(
+    "ns_drift_histogram",
+    ("NS-quality", "A2"),
+    """
+    WITH binned AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             least(greatest(CAST(floor((value - CAST(0.0 AS DOUBLE))
+                                       / CAST(10.0 AS DOUBLE)) AS BIGINT), 0), 19) AS bin
+      FROM events),
+    c AS (SELECT grp, bin, COUNT(*) AS n FROM binned GROUP BY grp, bin),
+    t AS (SELECT grp, SUM(n) AS total FROM c GROUP BY grp),
+    p AS (SELECT c.grp, c.bin, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS p
+          FROM c JOIN t USING (grp)),
+    a AS (SELECT bin, p AS p_a FROM p WHERE grp = 'a'),
+    b AS (SELECT bin, p AS p_b FROM p WHERE grp = 'b'),
+    j AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+                 COALESCE(p_a, CAST(0.0 AS DOUBLE)) AS p_a,
+                 COALESCE(p_b, CAST(0.0 AS DOUBLE)) AS p_b
+          FROM a FULL OUTER JOIN b ON a.bin = b.bin)
+    SELECT bin, p_a, p_b,
+           CASE WHEN p_a + p_b > 0
+                THEN ((p_a - p_b) * (p_a - p_b)) / (p_a + p_b)
+                ELSE CAST(0.0 AS DOUBLE) END AS contrib
+    FROM j
+    """,
+    "distribution-drift monitor: χ²-style per-bin divergence of the "
+    "value histogram between two slices; groupBy key space is 2·bins so "
+    "the shuffle carries O(partitions·bins) rows at any input volume; "
+    "log-free arithmetic keeps it engine-bit-stable "
+    "(operators/drift.py histogram_drift)",
+)
+def ns_drift_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import drift
+
+    ev = load_table(spark, sf, "events")
+    return drift.histogram_drift(
+        ev, F.col("value"), F.col("user_id") % 2 == 0, lo=0.0, width=10.0, bins=20
+    )
