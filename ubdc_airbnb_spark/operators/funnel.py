@@ -1,0 +1,62 @@
+"""Ordered-funnel analysis — the event-sequence operator of product and
+pipeline analytics: per entity, how far through an ordered step sequence
+(view → click → purchase; crawl → parse → index) did it get, requiring
+each step to occur strictly after the chosen occurrence of the previous
+one.
+
+Semantics: greedy earliest-qualifying — step i's timestamp is the MIN
+event time of step i's type that is strictly later than step i-1's
+chosen time. Greedy-earliest is exact for reachability: taking the
+earliest possible previous step can only widen the window for the next
+one, so if any qualifying sequence exists the greedy one is found.
+
+Spark-first shape: one conditional aggregate per step — pass i filters
+the events to step i's type (a narrow predicate that prunes at the
+scan), joins the per-entity result of pass i-1 on the entity key, and
+MIN-aggregates. k steps → k slice-sized hash aggregations, each map-side
+combinable; no windows, no per-entity event collection (an entity with
+millions of events costs the same as one with ten), no UDF. The
+intermediate per-entity tables carry one row per entity that reached the
+step — monotonically shrinking down the funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Furthest-step funnel over ``steps`` (ordered).
+
+    Output: (entity_col, reached, t_0, …, t_{k-1}) where ``reached`` is
+    the number of completed steps and ``t_i`` the chosen timestamp of
+    step i (NULL past the drop-off point). Entities that never performed
+    step 0 are absent."""
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(entity_col)
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(cur.select(entity_col, f"t_{i - 1}"), entity_col)
+            .filter(F.col(ts_col) > F.col(f"t_{i - 1}"))
+            .groupBy(entity_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, entity_col, "left")
+    reached = sum(
+        (F.col(f"t_{i}").isNotNull().cast("long") for i in range(len(steps))),
+        F.lit(0).cast("long"),
+    )
+    return cur.select(
+        entity_col, reached.alias("reached"), *[f"t_{i}" for i in range(len(steps))]
+    )

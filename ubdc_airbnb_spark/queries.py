@@ -5537,3 +5537,73 @@ def ns_drift_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return drift.histogram_drift(
         ev, F.col("value"), F.col("user_id") % 2 == 0, lo=0.0, width=10.0, bins=20
     )
+
+
+@q(
+    "ns_event_funnel",
+    ("NS-analytics", "A2", "J8"),
+    """
+    WITH t0 AS (SELECT user_id, MIN(ts) AS t_0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t1 AS (SELECT e.user_id, MIN(e.ts) AS t_1
+           FROM events e JOIN t0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > t0.t_0
+           GROUP BY e.user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS t_2
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t1.t_1
+           GROUP BY e.user_id)
+    SELECT t0.user_id,
+           CAST(1 + (CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached,
+           t_0, t_1, t_2
+    FROM t0 LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+    """,
+    "ordered funnel view→click→purchase, greedy-earliest semantics "
+    "(exact for reachability): one conditional aggregate per step over "
+    "the step-type slice — k slice-sized map-side-combinable "
+    "aggregations, no windows, no per-entity event collection "
+    "(operators/funnel.py)",
+)
+def ns_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import funnel
+
+    ev = load_table(spark, sf, "events")
+    return funnel.funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@q(
+    "ns_group_ols",
+    ("NS-analytics", "A2"),
+    """
+    WITH pts AS (
+      SELECT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+                THEN (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM m
+    """,
+    "per-entity OLS trend (value vs day index): closed-form slope from "
+    "exact DECIMAL/integer moment sums in ONE grouped aggregate — "
+    "bit-stable across partitionings and engines, degenerate groups "
+    "yield NULL (operators/regress.py group_ols)",
+)
+def ns_group_ols(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import regress
+
+    ev = load_table(spark, sf, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01")))
+    return regress.group_ols(ev, ["user_id"], x, F.col("value"), y_scale=6)
