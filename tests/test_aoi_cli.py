@@ -310,3 +310,37 @@ def test_cron_matching_semantics():
     ]
     due = {d.job for d in due_jobs(rows, datetime(2024, 3, 1, 6, 0))}
     assert due == {"never_run"}  # daily already ran today; monthly's next fire is Mar 12
+
+
+def test_cli_sql_and_query(spark, tmp_path, capsys):
+    from ubdc_airbnb_spark import cli
+
+    rc = cli.main(
+        [
+            "sql",
+            "SELECT COUNT(*) AS n FROM orders",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    assert "1500" in capsys.readouterr().out
+
+    out = str(tmp_path / "q.parquet")
+    rc = cli.main(
+        [
+            "query",
+            "--name",
+            "a2_grouped_tally",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--output",
+            out,
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 5
+
+    rc = cli.main(["query", "--list"])
+    assert rc == 0
+    assert "ns_bigram_lm" in capsys.readouterr().out

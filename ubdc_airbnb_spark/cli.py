@@ -572,6 +572,60 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc Spark SQL over the standard tables: every parquet table in
+    --sf-dir registers as a temp view (plus any --view name=path extras),
+    the statement runs through the tuned session, and the result prints
+    (--limit) or lands in --output parquet/CSV. The 'switch from the
+    reference' escape hatch: any query not prebuilt in queries.py is one
+    SQL string away."""
+    from .sources.tables import TABLE_NAMES, load_table
+
+    spark = _spark()
+    for name in TABLE_NAMES:
+        try:
+            load_table(spark, args.sf_dir, name).createOrReplaceTempView(name)
+        except Exception:
+            continue  # partial table sets are fine for ad-hoc work
+    for spec in args.view or []:
+        name, _, path = spec.partition("=")
+        spark.read.parquet(path).createOrReplaceTempView(name)
+    df = spark.sql(args.statement)
+    if args.output:
+        writer = df.write.mode("overwrite")
+        if args.format == "csv":
+            writer.option("header", "true").csv(args.output)
+        else:
+            writer.parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Run one named registry query (queries.py) against --sf-dir; with
+    --list, print every registered name + note instead."""
+    from . import queries as q_mod
+
+    specs = {s.name: s for s in q_mod.registry()}
+    if args.list:
+        for s in specs.values():
+            print(f"{s.name:34s} {s.note or ','.join(s.ops)}")
+        return 0
+    if args.name not in specs:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = specs[args.name].spark(spark, args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ubdc-airbnb-spark")
     p.add_argument("--warehouse", default=os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ubdc_warehouse"))
@@ -657,6 +711,23 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--ts-col", default="created_at")
     e.add_argument("--since")
     e.set_defaults(fn=cmd_export_data)
+
+    sq = sub.add_parser("sql", help="ad-hoc Spark SQL over the registered tables")
+    sq.add_argument("statement")
+    sq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    sq.add_argument("--view", action="append", help="extra view as name=parquet_path")
+    sq.add_argument("--output")
+    sq.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.set_defaults(fn=cmd_sql)
+
+    qr = sub.add_parser("query", help="run a named registry query (or --list them)")
+    qr.add_argument("--name")
+    qr.add_argument("--list", action="store_true")
+    qr.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    qr.add_argument("--output")
+    qr.add_argument("--limit", type=int, default=20)
+    qr.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)
