@@ -116,20 +116,21 @@ def lsh_candidate_pairs(
     The cap costs one extra map-side-combinable count over the banded
     rows. Default ``None`` (off) — gate-parity behavior."""
     rows_per_band = num_perm // bands
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]
-                        )
-                    )
-                    for b in range(bands)
-                ]
+    # one SQL string, one parse: per-band md5 over its signature slice
+    # (the same single-parse discipline as the signature fold above —
+    # per-element Column construction costs ~100 py4j round-trips of
+    # pure driver latency)
+    band_sql = ",".join(
+        "md5(concat_ws(',',{}))".format(
+            ",".join(
+                f"cast(sig[{b * rows_per_band + r}] as string)"
+                for r in range(rows_per_band)
             )
-        ).alias("band_id", "band_key"),
+        )
+        for b in range(bands)
+    )
+    banded = sigs.selectExpr(
+        id_col, f"posexplode(array({band_sql})) AS (band_id, band_key)"
     )
     if max_bucket is not None:
         small = (
@@ -308,6 +309,7 @@ def sorted_neighborhood_pairs(
     sketch_col: str = "simhash",
     window: int = 3,
     max_hamming: int = 3,
+    size_of: DataFrame | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood candidate generation — the join-free
     alternative to banding: sort the corpus by its sketch value and
@@ -340,36 +342,31 @@ def sorted_neighborhood_pairs(
         order=[F.col(sketch_col), F.col(id_col)],
         bucket_key=F.col(sketch_col),
         window=window,
+        size_of=size_of,
     )
-    w = Window.partitionBy(bucket_col).orderBy(sketch_col, id_col)
-    lags = aug.select(
-        F.col(id_col),
-        F.col(sketch_col),
-        F.col(carry_col),
-        *[
-            F.lag(F.col(id_col), i).over(w).alias(f"prev_id_{i}")
-            for i in range(1, window + 1)
-        ],
-        *[
-            F.lag(F.col(sketch_col), i).over(w).alias(f"prev_sk_{i}")
-            for i in range(1, window + 1)
-        ],
+    # the whole sweep as two parsed statements (lag projection + pair
+    # extraction): the per-lag Column-chain equivalent costs ~100 py4j
+    # round-trips of pure driver latency per plan build
+    over = f"OVER (PARTITION BY {bucket_col} ORDER BY {sketch_col}, {id_col})"
+    lags = aug.selectExpr(
+        id_col,
+        sketch_col,
+        carry_col,
+        *[f"lag({id_col}, {i}) {over} AS prev_id_{i}" for i in range(1, window + 1)],
+        *[f"lag({sketch_col}, {i}) {over} AS prev_sk_{i}" for i in range(1, window + 1)],
     )
-    out = None
-    for i in range(1, window + 1):
-        ham = F.bit_count(
-            F.col(sketch_col).bitwiseXOR(F.col(f"prev_sk_{i}"))
-        )
-        pairs = lags.filter(
-            ~F.col(carry_col)
-            & F.col(f"prev_id_{i}").isNotNull()
-            & (ham <= max_hamming)
-        ).select(
-            F.least(F.col(id_col), F.col(f"prev_id_{i}")).alias("id_a"),
-            F.greatest(F.col(id_col), F.col(f"prev_id_{i}")).alias("id_b"),
-        )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+    cand = ",".join(
+        f"IF(prev_id_{i} IS NOT NULL"
+        f" AND bit_count({sketch_col} ^ prev_sk_{i}) <= {max_hamming},"
+        f" named_struct('id_a', least({id_col}, prev_id_{i}),"
+        f" 'id_b', greatest({id_col}, prev_id_{i})), NULL)"
+        for i in range(1, window + 1)
+    )
+    return (
+        lags.filter(f"NOT {carry_col}")
+        .selectExpr(f"inline(array_compact(array({cand})))")
+        .distinct()
+    )
 
 
 def canonical_per_cluster(

@@ -220,6 +220,7 @@ def neighborhood_with_carry(
     window: int,
     num_buckets: int = DEFAULT_BUCKETS,
     mode: str = "auto",
+    size_of: DataFrame | None = None,
 ) -> tuple[DataFrame, str, str]:
     """Prepare a sorted-neighborhood sweep without a global window: rows
     are range-bucketed, and each bucket's LAST ``window`` rows are also
@@ -238,7 +239,7 @@ def neighborhood_with_carry(
     its lag sweep partitioned by ``bucket_col`` ordered by ``order`` and
     filters output rows to ``carry_col == false``.
     """
-    if _go_single(df, mode):
+    if _go_single(df, mode, size_of):
         # single-partition plan: one constant bucket, no carries needed
         return (
             df.withColumn("__rb", F.lit(0)).withColumn("__carry", F.lit(False)),

