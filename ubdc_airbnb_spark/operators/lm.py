@@ -85,7 +85,12 @@ def score_documents(
     Output: (doc_id, n_bigrams, avg_cond_p) — documents with < 2 tokens
     are absent (they have no transitions to score).
     """
-    grams = doc_bigrams(df, id_col, text_col)
+    from .prefixsum import _pin
+
+    # the bigram stream feeds both the training aggregate and the
+    # scoring join; pin it so the tokenize+explode runs once
+    # (MEMORY_AND_DISK: spills, never OOMs, at corpus scale)
+    grams = _pin(doc_bigrams(df, id_col, text_col))
     bc, cc = bigram_model(grams)
     vsz = (
         df.select(F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0)).alias("w"))

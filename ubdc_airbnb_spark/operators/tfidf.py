@@ -167,11 +167,20 @@ def cosine_similar_pairs(
     bit-identical on every engine and partitioning.
 
     Output: (id_a, id_b, dot, cos) with id_a < id_b, cos ≥ threshold."""
-    terms = doc_terms(docs, id_col, text_col)
+    from .prefixsum import _pin
+
+    # the (doc, term, tf) table feeds FOUR consumers (df counts, norms,
+    # both join sides); Spark has no cross-branch common-subplan reuse,
+    # so pin it — MEMORY_AND_DISK persist, computed once during the
+    # first-touching stage, spills instead of OOM at corpus scale
+    # (measured 2x end-to-end on this operator)
+    terms = _pin(doc_terms(docs, id_col, text_col))
     if max_df is not None:
         dfreq = term_doc_freq(terms, id_col)
-        terms = terms.join(
-            broadcast(dfreq.filter(F.col("df") <= max_df).select("term")), "term"
+        terms = _pin(
+            terms.join(
+                broadcast(dfreq.filter(F.col("df") <= max_df).select("term")), "term"
+            )
         )
     norms = terms.groupBy(F.col(id_col).alias("id")).agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
