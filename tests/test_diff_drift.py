@@ -75,3 +75,38 @@ def test_histogram_drift_identical_slices_zero(spark):
     out = histogram_drift(df, F.col("v"), F.col("id") % 2 == 0, 0.0, 10.0, 3).collect()
     assert all(r.contrib == 0.0 for r in out)
     assert all(r.p_a == r.p_b for r in out)
+
+
+def test_harmonize_widens_and_nulls(spark):
+    import pytest
+
+    from ubdc_airbnb_spark.sources.harmonize import harmonize, merged_schema
+
+    a = spark.createDataFrame([(1, 2, 1.5)], "id int, v int, w float")
+    b = spark.createDataFrame([(2, 3)], "id long, extra long")
+    out = harmonize([a, b], source_col="drop_idx")
+    # id widens int->long across frames; w (single-frame) keeps its type
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "id:bigint", "v:int", "w:float", "extra:bigint", "drop_idx:int",
+    ]
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, 2, 1.5, None, 0), (2, None, None, 3, 1)]
+
+    # int vs float family widens to double
+    c = spark.createDataFrame([(1.0,)], "v double")
+    assert dict((n, d.simpleString()) for n, d in merged_schema([a, c]))["v"] == "double"
+
+    # non-widening conflict raises instead of corrupting
+    d = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(TypeError):
+        merged_schema([a, d])
+
+
+def test_harmonize_no_shuffle(spark):
+    from ubdc_airbnb_spark.sources.harmonize import harmonize
+
+    a = spark.createDataFrame([(1, 2)], "id int, v int")
+    b = spark.createDataFrame([(2, 3)], "id long, w long")
+    df = harmonize([a, b])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan and "Join" not in plan
