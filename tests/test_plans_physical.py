@@ -539,3 +539,29 @@ def test_perceptron_training_is_single_aggregate_per_iteration(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "partial_sum" in plan  # map-side combine confirmed
+
+
+def test_funnel_no_window_and_slice_pushdown(spark):
+    """The funnel must be conditional aggregates + joins — no Window —
+    and each step's type predicate must reach the scan."""
+    from ubdc_airbnb_spark.operators.funnel import funnel
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]))
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    # the step-type filters exist (pushed to scan for uncached parquet;
+    # cached tables filter at the InMemoryRelation boundary)
+    assert plan.count("view") >= 1 and plan.count("purchase") >= 1
+
+
+def test_snapshot_diff_single_outer_join(spark):
+    from ubdc_airbnb_spark.operators.diff import snapshot_diff
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "value")
+    plan = _plan(snapshot_diff(ev, ev.limit(500), ["event_id"]))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("FullOuter") == 1
+    assert "Window" not in plan

@@ -326,3 +326,62 @@ def test_recover_swap_states(spark, tmp_path):
 
     # genuinely missing
     assert not recover_swap(base)
+
+
+def test_streaming_drift_state_matches_batch_drift(spark, tmp_path):
+    """Continuous drift monitoring composes from existing pieces: bin the
+    stream (drift.bin_of), maintain per-(slice,bin) counts through
+    foreachBatch incremental state, and compute the drift report from the
+    STATE table — identical to the batch histogram_drift over everything
+    ingested. Histogram counts are a mergeable sketch; no new streaming
+    machinery is needed."""
+    from ubdc_airbnb_spark.operators import drift
+    from ubdc_airbnb_spark.operators.incremental import finalize
+
+    src = _events_dir(spark, tmp_path)
+    state = str(tmp_path / "drift_state")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("grp"),
+            drift.bin_of(F.col("value"), 0.0, 10.0, 20).alias("bin"),
+            F.lit(1.0).alias("one"),
+        )
+    )
+    jobs.foreach_batch_incremental_agg(stream, state, ["grp", "bin"], "one")
+
+    # drift report from the maintained state counts
+    counts = finalize(spark.read.parquet(state), ["grp", "bin"]).select(
+        "grp", "bin", F.col("cnt").alias("n")
+    )
+    totals = counts.groupBy("grp").agg(F.sum("n").alias("total"))
+    probs = counts.join(totals, "grp").select(
+        "grp", "bin", (F.col("n").cast("double") / F.col("total").cast("double")).alias("p")
+    )
+    a = probs.filter(F.col("grp") == "a").select("bin", F.col("p").alias("p_a"))
+    b = probs.filter(F.col("grp") == "b").select("bin", F.col("p").alias("p_b"))
+    from_state = {
+        (r.bin): (r.p_a, r.p_b)
+        for r in a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("p_a", F.lit(0.0)).alias("p_a"),
+            F.coalesce("p_b", F.lit(0.0)).alias("p_b"),
+        )
+        .collect()
+    }
+    batch = {
+        r.bin: (r.p_a, r.p_b)
+        for r in drift.histogram_drift(
+            spark.read.parquet(src),
+            F.col("value"),
+            F.col("user_id") % 2 == 0,
+            0.0,
+            10.0,
+            20,
+        ).collect()
+    }
+    assert from_state == batch
