@@ -1,0 +1,55 @@
+"""Persisted IVF index: build/load/query lifecycle, result parity with
+the inline operator, and the partition-pruning claim checked in the
+physical plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ubdc_airbnb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_index_query_matches_inline_ivf(spark, tmp_path):
+    from ubdc_airbnb_spark.operators import similarity
+    from ubdc_airbnb_spark.operators.ann_index import build_ivf_index, query_ivf_index
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    got = sorted(
+        map(tuple, query_ivf_index(spark, idx, queries, k=4, probes=2).collect())
+    )
+    cents = similarity.kmeans_centroids(emb, k=8, iters=2)
+    want = sorted(
+        map(tuple, similarity.ivf_topk(emb, queries, cents, k=4, probes=2).collect())
+    )
+    assert got == want  # deterministic training -> identical serving
+
+
+def test_index_probe_is_partition_pruned(spark, tmp_path):
+    """The probe scan must carry PartitionFilters on centroid_id — only
+    probed buckets are read from storage."""
+    from ubdc_airbnb_spark.operators.ann_index import build_ivf_index, query_ivf_index
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k=8, iters=1)
+    df = query_ivf_index(spark, idx, emb.filter(F.col("vec_id") < 2), k=3, probes=1)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("centroid_id" in l for l in scan_lines), scan_lines
+    assert "SortMergeJoin" not in plan  # query batch broadcasts
+
+
+def test_index_params_provenance(spark, tmp_path):
+    from ubdc_airbnb_spark.operators.ann_index import build_ivf_index
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k=8, iters=2)
+    [p] = spark.read.parquet(str(tmp_path / "ivf" / "params")).collect()
+    assert (p.k, p.iters, p.dim, p.n_vectors) == (8, 2, 64, emb.count())

@@ -1,0 +1,117 @@
+"""Persisted IVF index — the build-once / serve-many ANN lifecycle that
+inline `ivf_topk` (which trains and assigns per query) graduates into at
+production scale: train k-means centroids once, assign the corpus once,
+and lay the assignments out on disk PARTITIONED BY BUCKET so that a
+probe query reads ONLY its probed buckets from storage.
+
+That layout is the entire point: at 100 TB, `ivf_topk`'s hash join still
+scans the whole corpus to route it; the persisted index turns a probe
+into a partition-pruned scan — `centroid_id IN (probed...)` reaches the
+file listing (`PartitionFilters` in the plan, asserted in tests), so a
+16-probe query against a 4096-bucket index touches ~0.4% of the files.
+The serve path never shuffles the corpus: probed buckets stream through
+an exact-cosine rerank against the broadcast query batch.
+
+Index layout under ``path``:
+- ``centroids/``    — (centroid_id, centroid_vec): k rows.
+- ``assignments/``  — (vec_id, embedding) partitioned by centroid_id.
+- ``params/``       — 1-row provenance (k, iters, dim, n_vectors).
+
+Citations: reference has no ANN surface; training-data-pipeline
+extension (SURVEY §2.12, NS7/NS61 lineage).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .similarity import assign_ivf_buckets, centroid_probes, cosine, kmeans_centroids
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Train centroids (deterministic Lloyd, decimal-exact means) — or
+    take pre-supplied ones — and write the bucket-partitioned index."""
+    spark = vectors.sparkSession
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = assign_ivf_buckets(vectors, cents, id_col, vec_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "assignments"))
+    )
+    n = vectors.count()
+    dim = len(vectors.select(vec_col).first()[0])
+    spark.createDataFrame(
+        [(k, iters, dim, n)], "k int, iters int, dim int, n_vectors long"
+    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) — assignments carry the partition column
+    ``centroid_id`` back as a regular column."""
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = spark.read.parquet(os.path.join(path, "assignments"))
+    return cents, assigned
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Partition-pruned probe: assign the query batch to its ``probes``
+    nearest centroids (broadcast argmax — queries are batch-sized), read
+    ONLY those bucket partitions from the index, exact-cosine rerank.
+
+    Output: (query_id, neighbor_id, rank) — same contract as
+    ``similarity.ivf_topk``; identical results for identical centroids.
+    """
+    cents, assigned = load_ivf_index(spark, path)
+    q_assigned = (
+        assign_ivf_buckets(queries, cents, id_col, vec_col)
+        if probes == 1
+        else centroid_probes(queries, cents, probes, id_col, vec_col)
+    )
+    q = q_assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid_id",
+    )
+    probed = [r["centroid_id"] for r in q.select("centroid_id").distinct().collect()]
+    bucket = assigned.filter(F.col("centroid_id").isin(probed)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), "centroid_id"
+    )
+    scored = (
+        bucket.join(broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -2597,10 +2597,7 @@ def ns_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@q(
-    "ns_embed_ivf_topk",
-    ("NS-similarity",),
-    """
+_IVF_TOPK_SQL = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
     assigned AS (
@@ -2622,7 +2619,13 @@ def ns_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
       SELECT query_id, neighbor_id,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM s) WHERE rank <= 5
-    """,
+    """
+
+
+@q(
+    "ns_embed_ivf_topk",
+    ("NS-similarity",),
+    _IVF_TOPK_SQL,
     "IVF approximate top-k (centroids = 16 seed vectors, nearest-centroid "
     "bucketing, probe within bucket); oracle replays the assignment + "
     "bucket-ranked search in SQL; recall vs brute force asserted in tests",
@@ -5620,3 +5623,27 @@ def ns_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     x = F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01")))
     return regress.group_ols(ev, ["user_id"], x, F.col("value"), y_scale=6)
+
+
+@q(
+    "ns_embed_ivf_index",
+    ("NS-similarity", "NS-lakehouse"),
+    _IVF_TOPK_SQL,
+    "the persisted-index serve path (operators/ann_index.py): bucket-"
+    "partitioned on-disk IVF layout, probe reads ONLY its bucket "
+    "partitions (PartitionFilters plan-asserted in tests), exact-cosine "
+    "rerank against the broadcast query batch; same oracle as the inline "
+    "operator because serving an index and routing inline must agree",
+)
+def ns_embed_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from .operators import ann_index
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    ann_index.build_ivf_index(emb, path, centroids=centroids)
+    return ann_index.query_ivf_index(spark, path, emb.filter(F.col("vec_id") < 10), k=5)
