@@ -53,3 +53,30 @@ def test_index_params_provenance(spark, tmp_path):
     build_ivf_index(emb, idx, k=8, iters=2)
     [p] = spark.read.parquet(str(tmp_path / "ivf" / "params")).collect()
     assert (p.k, p.iters, p.dim, p.n_vectors) == (8, 2, 64, emb.count())
+
+
+def test_incremental_add_routes_and_serves(spark, tmp_path):
+    from ubdc_airbnb_spark.operators.ann_index import (
+        add_to_ivf_index,
+        build_ivf_index,
+        load_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, k=8, iters=1)
+    add_to_ivf_index(rest, idx)
+
+    _, assigned = load_ivf_index(spark, idx)
+    assert assigned.count() == emb.count()
+    [p] = spark.read.parquet(str(tmp_path / "ivf" / "params")).collect()
+    assert p.n_vectors == emb.count()
+
+    # appended vectors are reachable through the probe path
+    q = emb.filter(F.col("vec_id") < 2)
+    res = query_ivf_index(spark, idx, q, k=10, probes=8)  # probe all buckets
+    neigh = {r.neighbor_id for r in res.collect()}
+    assert any(n % 2 == 1 for n in neigh), "appended (odd) vectors never served"

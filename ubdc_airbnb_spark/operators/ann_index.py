@@ -115,3 +115,43 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def add_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a NEW batch to the existing
+    centroids and append it into the bucket partitions — no retraining,
+    no rewrite of existing buckets (parquet append creates new files
+    inside each touched partition directory only).
+
+    This is how a daily embedding drop joins a 100 TB index: the batch
+    routes via the same broadcast argmax as the original build, so
+    serving semantics are unchanged; drift is handled by re-running
+    ``build_ivf_index`` on a schedule (compare ``kmeans_inertia`` of old
+    vs fresh centroids to decide), not per batch. Update ``params`` last
+    so a crashed append under-counts rather than phantom-counts."""
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = assign_ivf_buckets(new_vectors, cents, id_col, vec_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "assignments"))
+    )
+    params_path = os.path.join(path, "params")
+    [p] = spark.read.parquet(params_path).collect()
+    n_new = new_vectors.count()
+    from .upsert import replace_parquet
+
+    replace_parquet(
+        spark.createDataFrame(
+            [(p.k, p.iters, p.dim, p.n_vectors + n_new)],
+            "k int, iters int, dim int, n_vectors long",
+        ),
+        params_path,
+    )
