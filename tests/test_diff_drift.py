@@ -110,3 +110,28 @@ def test_harmonize_no_shuffle(spark):
     df = harmonize([a, b])
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_snapshot_diff_random_vs_bruteforce(spark):
+    import random
+
+    from ubdc_airbnb_spark.operators.diff import snapshot_diff
+
+    rnd = random.Random(13)
+    old = {k: (rnd.choice(["a", "b", None]), rnd.randrange(5)) for k in range(60) if rnd.random() < 0.8}
+    new = {k: (rnd.choice(["a", "b", None]), rnd.randrange(5)) for k in range(60) if rnd.random() < 0.8}
+    o_df = spark.createDataFrame([(k, *v) for k, v in old.items()], "k long, s string, n long")
+    n_df = spark.createDataFrame([(k, *v) for k, v in new.items()], "k long, s string, n long")
+    got = {r.k: (r.status, r.changed_cols) for r in snapshot_diff(o_df, n_df, ["k"]).collect()}
+
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = ("added", "")
+        elif k not in new:
+            want[k] = ("removed", "")
+        else:
+            diffs = [c for c, (a, b) in zip(["n", "s"], [(old[k][1], new[k][1]), (old[k][0], new[k][0])]) if a != b]
+            diffs = sorted(diffs)
+            want[k] = ("changed", ",".join(diffs)) if diffs else ("unchanged", "")
+    assert got == want

@@ -78,3 +78,44 @@ def test_group_ols_partitioning_invariant(spark):
         map(tuple, group_ols(ev.repartition(17), ["user_id"], x, F.col("value")).collect())
     )
     assert a == b  # exact doubles: decimal moment sums are order-free
+
+
+def test_funnel_random_vs_bruteforce(spark):
+    """Seeded random event log vs a brute-force Python funnel."""
+    import random
+    from datetime import datetime, timedelta
+
+    rnd = random.Random(7)
+    steps = ["view", "click", "purchase"]
+    rows = []
+    base = datetime(2024, 1, 1)
+    for uid in range(40):
+        for _ in range(rnd.randrange(0, 12)):
+            rows.append(
+                (
+                    uid,
+                    base + timedelta(minutes=rnd.randrange(0, 500)),
+                    rnd.choice(steps + ["error", "signup"]),
+                )
+            )
+    from ubdc_airbnb_spark.operators.funnel import funnel
+
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.user_id: (r.reached, r.t_0, r.t_1, r.t_2)
+        for r in funnel(ev, "user_id", "ts", "event_type", steps).collect()
+    }
+
+    want = {}
+    for uid in {r[0] for r in rows}:
+        mine = [(ts, et) for u, ts, et in rows if u == uid]
+        t_prev, times = None, []
+        for step in steps:
+            cand = [ts for ts, et in mine if et == step and (t_prev is None or ts > t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            times.append(t_prev)
+        if times:
+            want[uid] = (len(times), *(times + [None] * (3 - len(times))))
+    assert got == want
