@@ -61,3 +61,43 @@ def test_frame_sample_slices_and_digests(spark):
             fr = b[r.frame_idx * 64 : (r.frame_idx + 1) * 64]
             assert r.n_frame_bytes == len(fr)
             assert r.frame_digest == hashlib.md5(fr).hexdigest()
+
+
+def test_resize_pool_matches_numpy_oracle(spark):
+    """Explicit-bytes oracle: pool a known 9-byte 'image' (w=3,h=3) and a
+    padded 5-byte one; non-ASCII bytes exercise the binary path the SQL
+    replay (ASCII corpus) can't."""
+    import math
+
+    import numpy as np
+
+    from ubdc_airbnb_spark.multimodal.binary_ops import resize_pool
+
+    payloads = {1: bytes(range(9)), 2: bytes([250, 251, 252, 253, 254]), 3: b""}
+    media = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()], "media_id long, content binary"
+    )
+    got = {
+        (r.media_id, r.cell_r, r.cell_c): r.mean_px
+        for r in resize_pool(media, k=2).collect()
+    }
+
+    want = {}
+    for mid, b in payloads.items():
+        n = len(b)
+        if n == 0:
+            continue  # empty media contributes nothing
+        w = math.isqrt(n - 1) + 1
+        h = -(-n // w)
+        px = np.zeros(w * h, dtype=np.int64)
+        px[:n] = np.frombuffer(b, dtype=np.uint8)
+        grid = px.reshape(h, w)
+        for cr in range(2):
+            rows = [r for r in range(h) if (r * 2) // h == cr]
+            for cc in range(2):
+                cols = [c for c in range(w) if (c * 2) // w == cc]
+                if rows and cols:
+                    cell = grid[np.ix_(rows, cols)]
+                    want[(mid, cr, cc)] = int(cell.sum()) // cell.size
+    assert got == want
+    assert all(k[0] != 3 for k in got)  # empty media absent

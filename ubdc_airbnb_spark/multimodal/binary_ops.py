@@ -162,3 +162,73 @@ def decode_fake(media: DataFrame, batch_size: int = 256) -> DataFrame:
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.select("media_id", "content").mapInPandas(_decode, FEATURE_SCHEMA)
+
+
+POOL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("cell_r", T.IntegerType(), False),
+        T.StructField("cell_c", T.IntegerType(), False),
+        T.StructField("mean_px", T.LongType(), True),
+    ]
+)
+
+
+def resize_pool(media: DataFrame, k: int = 4, batch_size: int = 256) -> DataFrame:
+    """Image RESIZE stage (average-pool to a k×k grid) with the decode
+    step replaced by the disclosed deterministic byte interpretation:
+    content bytes laid out row-major as a w×h "image" with
+    ``w = ceil(sqrt(n))``, ``h = ceil(n/w)``, zero-padded to w·h. Pixel
+    (r, c) pools into cell ``(r·k div h, c·k div w)``; the cell value is
+    ``floor(sum/count)`` over the padded cell — all integer arithmetic,
+    so the kernel is bit-replayable in SQL (gate ``mm_resize_pool``).
+
+    The Spark-side plumbing is the production shape: Arrow-batched
+    ``mapInPandas``, numpy vectorized pooling inside the batch, binary
+    column consumed inside the stage and never shuffled — swap the byte
+    interpretation for a PIL decode and this IS the thumbnail stage.
+    Output: (media_id, cell_r, cell_c, mean_px), k² rows per media row.
+    """
+    import math
+
+    import numpy as np
+
+    def _pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rs, cs, ms = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                n = len(b)
+                if n == 0:
+                    continue
+                w = math.isqrt(n - 1) + 1 if n > 0 else 1  # ceil(sqrt(n))
+                h = -(-n // w)
+                px = np.zeros(w * h, dtype=np.int64)
+                px[:n] = np.frombuffer(b, dtype=np.uint8)
+                grid = px.reshape(h, w)
+                rows = (np.arange(h) * k) // h
+                cols = (np.arange(w) * k) // w
+                for cr in range(k):
+                    rsel = grid[rows == cr]
+                    if rsel.size == 0:
+                        continue
+                    for cc in range(k):
+                        cell = rsel[:, cols == cc]
+                        if cell.size == 0:
+                            continue
+                        ids.append(mid)
+                        rs.append(cr)
+                        cs.append(cc)
+                        ms.append(int(cell.sum()) // cell.size)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "cell_r": pd.array(rs, dtype="int32"),
+                    "cell_c": pd.array(cs, dtype="int32"),
+                    "mean_px": pd.array(ms, dtype="int64"),
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.select("media_id", "content").mapInPandas(_pool, POOL_SCHEMA)

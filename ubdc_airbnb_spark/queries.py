@@ -5647,3 +5647,45 @@ def ns_embed_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="ivf_idx_")
     ann_index.build_ivf_index(emb, path, centroids=centroids)
     return ann_index.query_ivf_index(spark, path, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@q(
+    "mm_resize_pool",
+    ("NS-multimodal",),
+    """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) AS w
+      FROM documents WHERE length(text) > 0),
+    dims AS (SELECT doc_id, text, n, w, (n + w - 1) // w AS h FROM base),
+    pos AS (
+      SELECT doc_id, text, n, w, h, unnest(range(0, w * h)) AS p FROM dims),
+    px AS (
+      SELECT doc_id, w, h, p,
+             CASE WHEN p < n THEN ascii(substr(text, CAST(p + 1 AS INTEGER), 1))
+                  ELSE 0 END AS byte
+      FROM pos),
+    cells AS (
+      SELECT doc_id,
+             ((p // w) * 4) // h AS cr,
+             ((p % w) * 4) // w AS cc,
+             byte
+      FROM px)
+    SELECT doc_id AS media_id,
+           CAST(cr AS INTEGER) AS cell_r,
+           CAST(cc AS INTEGER) AS cell_c,
+           CAST(SUM(byte) // COUNT(*) AS BIGINT) AS mean_px
+    FROM cells GROUP BY doc_id, cr, cc
+    """,
+    "the multimodal RESIZE stage (average-pool to 4x4) with the decode "
+    "replaced by the disclosed byte-grid interpretation: numpy block "
+    "pooling inside Arrow-batched mapInPandas, binary consumed in-stage "
+    "and never shuffled; integer-exact kernel, bit-replayed in SQL "
+    "(multimodal/binary_ops.py resize_pool)",
+)
+def mm_resize_pool(spark: SparkSession, sf: str) -> DataFrame:
+    from .multimodal.binary_ops import attach_binary, resize_pool
+
+    docs = load_table(spark, sf, "documents")
+    media = attach_binary(docs, "doc_id", "text", media_type="text/plain")
+    return resize_pool(media, k=4)
