@@ -172,3 +172,21 @@ def test_token_budget_maximal_prefix(spark):
     # qualities are non-increasing (highest-quality docs first)
     quals = [r.quality for r in rows]
     assert quals == sorted(quals, reverse=True)
+
+
+def test_lang_id_ngram_real_sentences(spark):
+    """The trigram classifier must identify genuine language text — the
+    discriminativeness check the synthetic corpus (whose lang label is
+    independent of its text) cannot provide."""
+    from ubdc_airbnb_spark.functions.textstats import lang_id_ngram
+
+    sents = [
+        ("en", "the quick brown fox jumps over the lazy dog and it is nothing special to think about"),
+        ("de", "der schnelle braune fuchs springt über den faulen hund und ist nicht besonders wichtig"),
+        ("fr", "le renard brun rapide saute par dessus le chien paresseux et ce n'est pas très spécial"),
+        ("es", "el rápido zorro marrón salta sobre el perro perezoso y no es nada especial para pensar"),
+        ("und", "zzz qqq 12345"),
+    ]
+    df = spark.createDataFrame(sents, "lang string, text string")
+    got = {r.lang: r.p for r in df.select("lang", lang_id_ngram("text").alias("p")).collect()}
+    assert got == {l: l for l, _ in sents}

@@ -199,3 +199,37 @@ def is_mojibake_suspect(col: Column | str, threshold: float = 0.3) -> Column:
     return (
         nonascii.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
     ) > threshold
+
+
+#: Character-trigram profiles per language (space-padded word-boundary
+#: grams — the cavnar-trenkle-style n-gram signal; tiny fixed profiles
+#: kept SQL-expressible so the oracle replays the classification).
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", " an", "and", "nd ", " is", "is ", " it"),
+    "de": ("sch", "ich", "cht", "der", "und", "ein", "übe", "ber", "nde", " un"),
+    "fr": (" le", "le ", "eux", "aut", "par", "ess", " ce", "n'e", "ui ", "trè"),
+    "es": ("el ", " el", "rro", "alt", "ada", "esp", "ido", "oso", "ara", " pa"),
+}
+
+
+def trigram_hits(col: Column | str, lang: str) -> Column:
+    """Occurrences of the language's profile trigrams in the space-padded
+    lowercased text — counts every occurrence (not distinct), the
+    Cavnar-Trenkle frequency signal."""
+    padded = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    grams = char_ngrams(padded, 3)
+    profile = F.array(*[F.lit(g) for g in LANG_TRIGRAMS[lang]])
+    return F.size(F.filter(grams, lambda g: F.array_contains(profile, g)))
+
+
+def lang_id_ngram(col: Column | str) -> Column:
+    """Character-n-gram language ID: argmax of per-language profile-hit
+    counts; ties and zero evidence → 'und'. The word-free twin of
+    ``lang_id`` — robust to unsegmented text (no whitespace needed),
+    which is exactly where the stopword heuristic fails."""
+    counts = {lang: trigram_hits(col, lang) for lang in LANG_TRIGRAMS}
+    best = F.greatest(*counts.values())
+    result = F.lit("und")
+    for lang in reversed(list(LANG_TRIGRAMS)):
+        result = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result

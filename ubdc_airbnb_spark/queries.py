@@ -5689,3 +5689,40 @@ def mm_resize_pool(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     media = attach_binary(docs, "doc_id", "text", media_type="text/plain")
     return resize_pool(media, k=4)
+
+
+def _trigram_cnt_sql(lang: str) -> str:
+    from .functions.textstats import LANG_TRIGRAMS
+
+    arr = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in LANG_TRIGRAMS[lang]) + "]"
+    return f"len(list_filter(grams, g -> list_contains({arr}, g)))"
+
+
+@q(
+    "ns_lang_id_ngram",
+    ("NS-text",),
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, length(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3)) AS grams
+      FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents))
+    SELECT doc_id, lang,
+           CASE WHEN {_trigram_cnt_sql('en')} = best AND best > 0 THEN 'en'
+                WHEN {_trigram_cnt_sql('de')} = best AND best > 0 THEN 'de'
+                WHEN {_trigram_cnt_sql('fr')} = best AND best > 0 THEN 'fr'
+                WHEN {_trigram_cnt_sql('es')} = best AND best > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+    FROM (
+      SELECT doc_id, lang, grams,
+             greatest({_trigram_cnt_sql('en')}, {_trigram_cnt_sql('de')},
+                      {_trigram_cnt_sql('fr')}, {_trigram_cnt_sql('es')}) AS best
+      FROM g)
+    """,
+    "character-n-gram language ID (Cavnar-Trenkle-style trigram-profile "
+    "hit counts, argmax with fixed tie order) — the word-free twin of "
+    "the stopword lang-ID, robust to unsegmented text; pure narrow "
+    "expressions (functions/textstats.py lang_id_ngram)",
+)
+def ns_lang_id_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", "lang", textstats.lang_id_ngram("text").alias("pred_lang"))
