@@ -61,6 +61,11 @@ CHECK = [
     "ns_ngram_novelty",
     "ns_graph_pagerank",
     "ns_scd2_intervals",
+    "ns_event_funnel",
+    "ns_group_ols",
+    "ns_snapshot_diff",
+    "ns_drift_histogram",
+    "mm_resize_pool",
 ]
 
 

@@ -100,6 +100,22 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _spread(media: DataFrame) -> DataFrame:
+    """Size-aware parallelism guard for the CPU-heavy kernel stages: a
+    corpus that arrives in fewer partitions than cores (one fat parquet
+    file, a single-row-group drop) would run the whole decode in one
+    task. Round-robin repartition to the session's parallelism — one
+    shuffle of the payload bytes, the standard price of parallelizing a
+    decode; inputs already split wider pass through untouched. Caught
+    empirically by tools/scale_smoke.py (10x replica arrives as ONE
+    row-group -> one task doing 800k kernels)."""
+    cores = media.sparkSession.sparkContext.defaultParallelism
+    sel = media.select("media_id", "content")
+    if sel.rdd.getNumPartitions() < cores:
+        return sel.repartition(cores)
+    return sel
+
+
 def frame_sample(
     media: DataFrame, frame_bytes: int = 64, every: int = 2, batch_size: int = 256
 ) -> DataFrame:
@@ -134,7 +150,7 @@ def frame_sample(
 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return media.select("media_id", "content").mapInPandas(_frames, FRAME_SCHEMA)
+    return _spread(media).mapInPandas(_frames, FRAME_SCHEMA)
 
 
 def decode_fake(media: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -161,7 +177,7 @@ def decode_fake(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return media.select("media_id", "content").mapInPandas(_decode, FEATURE_SCHEMA)
+    return _spread(media).mapInPandas(_decode, FEATURE_SCHEMA)
 
 
 POOL_SCHEMA = T.StructType(
@@ -231,4 +247,4 @@ def resize_pool(media: DataFrame, k: int = 4, batch_size: int = 256) -> DataFram
 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return media.select("media_id", "content").mapInPandas(_pool, POOL_SCHEMA)
+    return _spread(media).mapInPandas(_pool, POOL_SCHEMA)
