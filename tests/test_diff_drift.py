@@ -135,3 +135,14 @@ def test_snapshot_diff_random_vs_bruteforce(spark):
             diffs = sorted(diffs)
             want[k] = ("changed", ",".join(diffs)) if diffs else ("unchanged", "")
     assert got == want
+
+
+def test_histogram_drift_null_values_are_a_bin(spark):
+    """A null-rate shift between slices must register as drift (bin -1),
+    not split into unjoinable NULL-bin rows."""
+    from ubdc_airbnb_spark.operators.drift import histogram_drift
+
+    rows = [(i, None if i < 50 else float(i % 30)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r.bin: (r.p_a, r.p_b) for r in histogram_drift(df, F.col("v"), F.col("id") < 50, 0.0, 10.0, 3).collect()}
+    assert out[-1] == (1.0, 0.0)  # slice a is all-null; one row, fully joined

@@ -30,9 +30,13 @@ from pyspark.sql.functions import broadcast
 def bin_of(value: Column, lo: float, width: float, bins: int) -> Column:
     """Fixed-width bin id with edge clamping: values below ``lo`` land in
     bin 0, values beyond the top edge in ``bins-1`` — drift in the tails
-    still registers instead of being dropped."""
+    still registers instead of being dropped. NULL values get bin -1 (a
+    first-class bucket: a null-rate shift IS distribution drift; leaving
+    them as NULL bins would split into unjoinable rows in the full-outer
+    compare and double-count their mass)."""
     raw = F.floor((value - F.lit(float(lo))) / F.lit(float(width))).cast("long")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return F.when(value.isNull(), F.lit(-1)).otherwise(clamped)
 
 
 def histogram_drift(
