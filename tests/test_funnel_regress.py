@@ -119,3 +119,30 @@ def test_funnel_random_vs_bruteforce(spark):
         if times:
             want[uid] = (len(times), *(times + [None] * (3 - len(times))))
     assert got == want
+
+
+def test_cohort_retention_python_oracle(spark):
+    from datetime import datetime, timedelta
+
+    from ubdc_airbnb_spark.operators.funnel import cohort_retention
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # cohort 0: users 1,2 start week 0; user 1 returns weeks 1 and 2; 2 never
+    rows += [(1, base), (1, base + timedelta(days=8)), (1, base + timedelta(days=15))]
+    rows += [(2, base + timedelta(days=2))]
+    # cohort 1: user 3 starts week 1, returns week 3
+    rows += [(3, base + timedelta(days=9)), (3, base + timedelta(days=22))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_period, r.period_offset): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(ev, "user_id", "ts", period_days=7).collect()
+    }
+    w0 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days // 7
+    assert got == {
+        (w0, 0): (2, 2, 1.0),
+        (w0, 1): (1, 2, 0.5),
+        (w0, 2): (1, 2, 0.5),
+        (w0 + 1, 0): (1, 1, 1.0),
+        (w0 + 1, 2): (1, 1, 1.0),
+    }

@@ -60,3 +60,42 @@ def funnel(
     return cur.select(
         entity_col, reached.alias("reached"), *[f"t_{i}" for i in range(len(steps))]
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: entities grouped by the period of their
+    FIRST event (the cohort); for each later period offset, how many of
+    the cohort were active. The standard product/ops view of "do users
+    come back", and for a crawl pipeline "do sources keep producing".
+
+    Spark-first shape: one groupBy(entity) MIN to elect cohorts, an
+    equi-join back on the entity key, then one distinct + groupBy on
+    (cohort, offset) — all hash-shuffles on high-cardinality or tiny
+    keys, no windows. Period arithmetic is integer floor-division on
+    epoch days, so engines agree bit-for-bit.
+
+    Output: (cohort_period, period_offset, n_active, n_cohort,
+    retention) with retention = n_active/n_cohort as double."""
+    days = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    ev = events.select(F.col(entity_col).alias("ent"), (days / period_days).cast("long").alias("period"))
+    first = ev.groupBy("ent").agg(F.min("period").alias("cohort_period"))
+    sizes = first.groupBy("cohort_period").agg(F.count(F.lit(1)).alias("n_cohort"))
+    active = (
+        ev.join(first, "ent")
+        .select("ent", "cohort_period", (F.col("period") - F.col("cohort_period")).alias("period_offset"))
+        .distinct()
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return active.join(sizes, "cohort_period").select(
+        "cohort_period",
+        "period_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias("retention"),
+    )

@@ -5726,3 +5726,37 @@ def _trigram_cnt_sql(lang: str) -> str:
 def ns_lang_id_ngram(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", "lang", textstats.lang_id_ngram("text").alias("pred_lang"))
+
+
+@q(
+    "ns_cohort_retention",
+    ("NS-analytics", "A2", "C1"),
+    """
+    WITH ev AS (
+      SELECT user_id AS ent,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS period
+      FROM events),
+    first AS (SELECT ent, MIN(period) AS cohort_period FROM ev GROUP BY ent),
+    sizes AS (SELECT cohort_period, COUNT(*) AS n_cohort FROM first GROUP BY cohort_period),
+    active AS (
+      SELECT cohort_period, period_offset, COUNT(*) AS n_active FROM (
+        SELECT DISTINCT ev.ent, f.cohort_period, ev.period - f.cohort_period AS period_offset
+        FROM ev JOIN first f USING (ent))
+      GROUP BY cohort_period, period_offset)
+    SELECT a.cohort_period, a.period_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_cohort AS BIGINT) AS n_cohort,
+           CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+    FROM active a JOIN sizes USING (cohort_period)
+    """,
+    "cohort retention matrix (7-day periods): first-event cohort "
+    "election + per-(cohort, offset) distinct-active counts — two "
+    "hash-key aggregates and one entity-key join, no windows; integer "
+    "epoch-day arithmetic keeps engines bit-identical "
+    "(operators/funnel.py cohort_retention)",
+)
+def ns_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import funnel
+
+    ev = load_table(spark, sf, "events")
+    return funnel.cohort_retention(ev, "user_id", "ts", period_days=7)
