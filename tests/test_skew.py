@@ -95,3 +95,19 @@ def test_salted_join_matches_plain_join(spark, skewed):
         .agg(F.sum("payload").alias("s"))
     )
     assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_key_skew_report_detects_hot_key(spark):
+    from ubdc_airbnb_spark.operators.skew import key_skew_report
+
+    rows = [(1,)] * 90 + [(k,) for k in range(2, 12)]  # key 1 is 90x hotter
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_report(df, "k", top=3).collect()
+    assert [r.key for r in out] == ["1", "10", "11"]
+    top = out[0]
+    assert top.cnt == 90 and abs(top.share - 0.9) < 1e-12
+    # imbalance = max / mean = 90 / (100/11)
+    assert abs(top.imbalance - 90 / (100 / 11)) < 1e-9
+    # plan: the top-k must be TakeOrdered, not a global sort
+    plan = key_skew_report(df, "k", top=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
@@ -75,3 +75,46 @@ def salted_agg(
     salt = (md5_long(salt_src, salt="skew") % fanout).alias("__salt")
     partial = df.groupBy(*keys, salt).agg(*[a.partial for a in aggs])
     return partial.groupBy(*keys).agg(*[a.merge for a in aggs])
+
+
+def key_skew_report(
+    df: DataFrame,
+    key: Column | str,
+    top: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic — the measurement that decides
+    whether a key needs `salted_join`/`salted_agg` and with what salt
+    factor: per hot key its row count and share, plus the global
+    imbalance ratio (hottest count / mean count) every row carries.
+
+    One map-side-combinable groupBy over the key, then a TakeOrdered
+    top-k and a single-row stats aggregate joined back by broadcast —
+    the key-count table is distinct-key-sized, never row-sized, and the
+    top-k never sorts it globally (TakeOrderedAndProject).
+
+    Output: (key, cnt, share, imbalance, rank), rank ≤ ``top`` by
+    (cnt DESC, key)."""
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.select(k.cast("string").alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+        F.max("cnt").alias("__maxcnt"),
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return (
+        topk.join(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__total").cast("double")).alias("share"),
+            (
+                F.col("__maxcnt").cast("double")
+                / (F.col("__total").cast("double") / F.col("__nkeys").cast("double"))
+            ).alias("imbalance"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )

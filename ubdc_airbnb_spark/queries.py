@@ -5760,3 +5760,34 @@ def ns_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     return funnel.cohort_retention(ev, "user_id", "ts", period_days=7)
+
+
+@q(
+    "ns_key_skew_report",
+    ("NS-ops", "A2", "W1"),
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS nkeys, MAX(cnt) AS maxcnt FROM counts),
+    topk AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+      FROM counts)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(maxcnt AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(nkeys AS DOUBLE)) AS imbalance,
+           CAST(rank AS BIGINT) AS rank
+    FROM topk CROSS JOIN stats
+    WHERE rank <= 10
+    """,
+    "join-key skew diagnostic: top-10 hottest keys with share + global "
+    "imbalance ratio — the measurement that decides salted_join/agg "
+    "fanout; key-count table is distinct-key-sized, top-k is "
+    "TakeOrderedAndProject, stats attach by broadcast "
+    "(operators/skew.py key_skew_report)",
+)
+def ns_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.skew import key_skew_report
+
+    ev = load_table(spark, sf, "events")
+    return key_skew_report(ev, "user_id", top=10)
