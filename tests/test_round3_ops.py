@@ -113,3 +113,22 @@ def test_lsh_viral_bucket_cap(spark):
     # and the dropped cluster is exactly what the O(B) exact pass resolves
     ex = exact_duplicates(docs, "doc_id", "text").filter(F.col("n_docs") > 1).collect()
     assert len(ex) == 1 and ex[0].n_docs == 40 and ex[0].keep_id == 0
+
+
+def test_temperature_mix_boosts_small_sources(spark):
+    """α=0.5 sampling must pick a HIGHER rate for a small source than a
+    large one, and the realized counts must track rate·n."""
+    from ubdc_airbnb_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(df, "src", "doc_id", target_fraction=0.5)
+    rates = {r.src: r.rate_ppm for r in out.select("src", "rate_ppm").distinct().collect()}
+    # proportional-to-sqrt: rate ∝ sqrt(n)/n, so small/big = (20/400)/(30/900) = 1.5
+    assert abs(rates["small"] / rates["big"] - 1.5) < 1e-5
+    picked = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+    for src, n in (("big", 900), ("small", 400)):
+        assert abs(picked[src] - n * rates[src] / 1e6) < 0.15 * n  # hash-uniformity tolerance
+    # determinism across partitionings
+    again = temperature_mix(df.repartition(7), "src", "doc_id", target_fraction=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())

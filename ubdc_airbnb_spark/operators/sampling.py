@@ -148,3 +148,56 @@ def deterministic_shuffle(
         .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
         .drop("__h")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_fraction: float = 0.5,
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-resampled corpus mix (the mBERT/XLM α-sampling trick
+    at α = 0.5): groups are sampled with probability proportional to
+    √n_g instead of n_g, boosting small sources and damping huge ones —
+    the standard fix for a corpus where one crawl dominates.
+
+        rate_g = min(1, T·√n_g / (n_g · Σ_h √n_h / N))   with T = target_fraction·N
+
+    α is FIXED at 0.5 deliberately: pow(x, 0.5) is IEEE-exact sqrt, so
+    every rate is a deterministic double of exact integer operands and
+    the oracle replays it bit-for-bit; arbitrary α needs exp/ln (libm,
+    ulp-divergent across engines). Rates quantize to integer ppm and
+    select by salted-hash bucket — the same deterministic device as
+    `sample_fraction`, so the pick is stable across runs/partitionings.
+
+    One count aggregate (group-sized), rates broadcast back, narrow
+    filter. Output: the sampled rows + their group's rate_ppm."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # Σ√n as an integer-ppb sum: each √n quantizes to floor(√n·1e9)
+    # before summing, so the total is exact int64 arithmetic — a raw
+    # double sum would depend on partition/engine combine order at the
+    # last ulp, which floor-ppm rate boundaries would amplify
+    tot = counts.agg(
+        F.sum("__n").alias("__total"),
+        F.sum(
+            F.floor(F.sqrt(F.col("__n").cast("double")) * F.lit(1e9)).cast("long")
+        ).alias("__sumsqrt_ppb"),
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.lit(_M).cast("long"),
+            F.floor(
+                F.lit(float(target_fraction))
+                * F.col("__total").cast("double")
+                * F.sqrt(F.col("__n").cast("double"))
+                / (F.col("__n").cast("double") * (F.col("__sumsqrt_ppb").cast("double") / F.lit(1e9)))
+                * F.lit(float(_M))
+            ).cast("long"),
+        ).alias("rate_ppm"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_bucket(F.col(id_col).cast("string"), salt) < F.col("rate_ppm"))
+    )

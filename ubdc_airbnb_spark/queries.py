@@ -5791,3 +5791,38 @@ def ns_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     return key_skew_report(ev, "user_id", top=10)
+
+
+@q(
+    "ns_temperature_mix",
+    ("NS-sampling", "A2"),
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS total,
+                   SUM(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT)) AS sumsqrt_ppb
+            FROM counts),
+    rates AS (
+      SELECT source,
+             least(CAST(1000000 AS BIGINT),
+                   CAST(floor(0.5 * CAST(total AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * (CAST(sumsqrt_ppb AS DOUBLE) / 1e9))
+                              * 1000000.0) AS BIGINT)) AS rate_ppm
+      FROM counts CROSS JOIN tot)
+    SELECT d.doc_id, d.source, r.rate_ppm
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(d.doc_id AS VARCHAR) || '#tempmix'), 1, 15)) AS BIGINT)
+          % 1000000 < r.rate_ppm
+    """,
+    "temperature-resampled corpus mix (mBERT/XLM α-sampling, α=0.5): "
+    "per-source rates ∝ √n boost small sources; α fixed at 0.5 so the "
+    "rate math is IEEE-exact sqrt (arbitrary α needs ulp-divergent "
+    "exp/ln); Σ√n summed as integer ppb, selection by salted hash "
+    "bucket (operators/sampling.py temperature_mix)",
+)
+def ns_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.temperature_mix(docs, "source", "doc_id", target_fraction=0.5).select(
+        "doc_id", "source", "rate_ppm"
+    )
