@@ -146,3 +146,30 @@ def test_histogram_drift_null_values_are_a_bin(spark):
     df = spark.createDataFrame(rows, "id long, v double")
     out = {r.bin: (r.p_a, r.p_b) for r in histogram_drift(df, F.col("v"), F.col("id") < 50, 0.0, 10.0, 3).collect()}
     assert out[-1] == (1.0, 0.0)  # slice a is all-null; one row, fully joined
+
+
+def test_rate_anomaly_flags_spike_day(spark):
+    from datetime import datetime, timedelta
+
+    from ubdc_airbnb_spark.operators.drift import rate_anomaly
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: 2 events/day for 20 days, then one 40-event spike day
+    for d in range(20):
+        rows += [(1, base + timedelta(days=d, hours=h)) for h in (1, 2)]
+    rows += [(1, base + timedelta(days=20, minutes=m)) for m in range(40)]
+    # user 2: perfectly flat -> never anomalous
+    for d in range(10):
+        rows += [(2, base + timedelta(days=d))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.user_id, r.day): r.anomaly for r in rate_anomaly(ev, "user_id", "ts").collect()}
+    assert out[(1, "2024-01-21")] is True
+    assert all(not v for k, v in out.items() if k != (1, "2024-01-21"))
+
+    # python-oracle spot check of the flag math for user 1
+    import statistics
+    counts = [2] * 20 + [40]
+    mean = statistics.fmean(counts)
+    pstd = statistics.pstdev(counts)
+    assert abs(40 - mean) > 3 * pstd  # the spike really is >3 sigma

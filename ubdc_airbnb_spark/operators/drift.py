@@ -73,3 +73,47 @@ def histogram_drift(
     return j.withColumn(
         "contrib", F.when(s > 0, (d * d) / s).otherwise(F.lit(0.0))
     )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Per-entity event-rate anomaly days: flag days whose event count
+    sits more than ``sigma`` standard deviations from the entity's own
+    daily mean — the volume-spike/outage detector of a continuously-fed
+    pipeline (a crawler gone hot, a source gone dark-then-flooding).
+
+    Exact arithmetic end-to-end: daily counts are integers, per-entity
+    moment sums (Σc, Σc²) are exact int64, and mean/variance/threshold
+    are IEEE-exact ops of those integers — deterministic across engines
+    and partitionings with no quantization plumbing. The σ compare
+    clears denominators — ``(c·n − Σc)² > σ²·(n·Σc² − (Σc)²)`` — so no
+    square root is computed; the squares are taken in double space
+    (exact below 2^53, which int64 squaring would overflow first).
+
+    Two map-side-combinable aggregates (entity-day, then entity) and one
+    broadcast-size join back per entity. Entities with a single active
+    day have zero variance and are never flagged (their only day IS the
+    mean). Output: (entity, day 'yyyy-MM-dd', c, mean_c, anomaly)."""
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+    daily = events.groupBy(F.col(entity_col).alias("ent"), day).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = daily.groupBy("ent").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    j = daily.join(stats, "ent")
+    dev = (F.col("c") * F.col("n") - F.col("sc")).cast("double")  # n·(c - mean)
+    var_n2 = (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")).cast("double")
+    return j.select(
+        F.col("ent").alias(entity_col),
+        "day",
+        "c",
+        (F.col("sc").cast("double") / F.col("n").cast("double")).alias("mean_c"),
+        (dev * dev > F.lit(float(sigma) * float(sigma)) * var_n2).alias("anomaly"),
+    )

@@ -5826,3 +5826,31 @@ def ns_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.temperature_mix(docs, "source", "doc_id", target_fraction=0.5).select(
         "doc_id", "source", "rate_ppm"
     )
+
+
+@q(
+    "ns_rate_anomaly",
+    ("NS-quality", "A2", "C1"),
+    """
+    WITH daily AS (
+      SELECT user_id AS ent, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT ent, COUNT(*) AS n, SUM(c) AS sc, SUM(c * c) AS scc
+      FROM daily GROUP BY ent)
+    SELECT d.ent AS user_id, d.day, CAST(d.c AS BIGINT) AS c,
+           CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+           (CAST(d.c * n - sc AS DOUBLE) * CAST(d.c * n - sc AS DOUBLE)
+              > 9.0 * CAST(n * scc - sc * sc AS DOUBLE)) AS anomaly
+    FROM daily d JOIN stats USING (ent)
+    """,
+    "per-entity event-rate anomaly days (|c - mean| > 3σ of the "
+    "entity's own daily distribution): two map-side-combinable "
+    "aggregates, denominator-cleared integer compare in double space — "
+    "no sqrt, engine-bit-stable (operators/drift.py rate_anomaly)",
+)
+def ns_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.drift import rate_anomaly
+
+    ev = load_table(spark, sf, "events")
+    return rate_anomaly(ev, "user_id", "ts", sigma=3.0)
