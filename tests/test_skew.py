@@ -111,3 +111,15 @@ def test_key_skew_report_detects_hot_key(spark):
     # plan: the top-k must be TakeOrdered, not a global sort
     plan = key_skew_report(df, "k", top=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_join_size_estimate_matches_actual_join(spark):
+    from ubdc_airbnb_spark.operators.skew import join_size_estimate
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 3, 3]], "k long")
+    b = spark.createDataFrame([(k,) for k in [1, 1, 2, 4]], "k long")
+    [r] = join_size_estimate(a, b, "k").collect()
+    actual = a.join(b, "k").count()
+    assert r.join_rows == actual == 3 * 2 + 1 * 1
+    assert r.n_matching_keys == 2
+    assert (r.max_key_rows, r.max_key) == (6, "1")

@@ -118,3 +118,36 @@ def key_skew_report(
             F.row_number().over(w).cast("long").alias("rank"),
         )
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: Column | str,
+    key_b: Column | str | None = None,
+) -> DataFrame:
+    """Exact inner-equi-join output cardinality WITHOUT running the join:
+    |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), computed from the two per-key count
+    tables joined on the key. The planning probe that decides broadcast
+    vs shuffle vs salted BEFORE committing a cluster to a blowup — the
+    count tables are distinct-key-sized, so the probe costs two map-side
+    aggregates and one key join however large the fact tables are.
+
+    Also reports the single hottest key's contribution: a join whose
+    size is fine in total but 90% one key still needs `salted_join`.
+
+    Output (1 row): (join_rows, n_matching_keys, max_key_rows,
+    max_key): the estimated-join row count is EXACT (it is the identity
+    above, not an estimate) for inner equi-joins without nulls."""
+    ka = F.col(key_a) if isinstance(key_a, str) else key_a
+    kb_src = key_b if key_b is not None else key_a
+    kb = F.col(kb_src) if isinstance(kb_src, str) else kb_src
+    ca = a.select(ka.cast("string").alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    cb = b.select(kb.cast("string").alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    per_key = ca.join(cb, "k").select("k", (F.col("na") * F.col("nb")).alias("rows"))
+    return per_key.agg(
+        F.sum("rows").alias("join_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max("rows").alias("max_key_rows"),
+        F.max(F.struct(F.col("rows"), F.col("k")))["k"].alias("max_key"),
+    )

@@ -5854,3 +5854,30 @@ def ns_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     return rate_anomaly(ev, "user_id", "ts", sigma=3.0)
+
+
+@q(
+    "ns_join_size_probe",
+    ("NS-ops", "A2", "J8"),
+    """
+    WITH ca AS (SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS na FROM orders GROUP BY 1),
+    cb AS (SELECT CAST(c_custkey AS VARCHAR) AS k, COUNT(*) AS nb FROM customer GROUP BY 1),
+    pk AS (SELECT ca.k, na * nb AS rows FROM ca JOIN cb USING (k))
+    SELECT CAST(SUM(rows) AS BIGINT) AS join_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+           CAST(MAX(rows) AS BIGINT) AS max_key_rows,
+           (SELECT k FROM pk ORDER BY rows DESC, k DESC LIMIT 1) AS max_key
+    FROM pk
+    """,
+    "exact join-cardinality probe |A⋈B| = Σ cnt_A(k)·cnt_B(k) from "
+    "distinct-key-sized count tables — the pre-flight check that picks "
+    "broadcast/shuffle/salted before committing the cluster; also "
+    "surfaces the hottest key's share (operators/skew.py "
+    "join_size_estimate)",
+)
+def ns_join_size_probe(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.skew import join_size_estimate
+
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    return join_size_estimate(orders, customer, "o_custkey", "c_custkey")
