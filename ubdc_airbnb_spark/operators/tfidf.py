@@ -205,3 +205,60 @@ def cosine_similar_pairs(
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "dot", "cos")
     )
+
+
+def trending_terms(
+    docs: DataFrame,
+    period: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 10,
+    min_count: int = 3,
+) -> DataFrame:
+    """Week-over-week term momentum — the "what changed in this crawl
+    slice" report: per period, term occurrence counts; momentum of term
+    t in period p is
+
+        (cnt_p − cnt_{p−1}) / (cnt_{p−1} + 1)
+
+    (+1-smoothed so new terms rank by absolute growth instead of ∞).
+    Top movers per period by (momentum DESC, term) — rising boilerplate,
+    spam bursts and topic shifts surface before any quality metric moves.
+
+    Shape: one explode+groupBy on (period, term) — map-side combined —
+    then a self-join on the term at adjacent periods (equi-join on
+    (term, period−1)) and a per-period top-k window over candidate
+    movers only (terms with cnt ≥ min_count — the window input is
+    filtered before ranking). Momentum is a fixed-order rational of two
+    int64 counts: engine-bit-stable.
+
+    Output: (period, term, cnt, prev_cnt, momentum, rank ≤ top)."""
+    terms = (
+        docs.select(period.alias("period"), F.explode(words(text_col)).alias("term"))
+        .withColumn("term", F.lower(F.col("term")))
+        .groupBy("period", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    prev = terms.select(
+        (F.col("period") + 1).alias("period"),
+        F.col("term"),
+        F.col("cnt").alias("prev_cnt"),
+    )
+    from pyspark.sql import Window
+
+    j = (
+        terms.join(prev, ["period", "term"], "left")
+        .withColumn("prev_cnt", F.coalesce(F.col("prev_cnt"), F.lit(0)))
+        .filter(F.col("cnt") >= min_count)
+        .withColumn(
+            "momentum",
+            (F.col("cnt") - F.col("prev_cnt")).cast("double")
+            / (F.col("prev_cnt") + F.lit(1)).cast("double"),
+        )
+    )
+    w = Window.partitionBy("period").orderBy(F.desc("momentum"), F.col("term"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+        .select("period", "term", "cnt", "prev_cnt", "momentum", "rank")
+    )

@@ -5881,3 +5881,81 @@ def ns_join_size_probe(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     customer = load_table(spark, sf, "customer")
     return join_size_estimate(orders, customer, "o_custkey", "c_custkey")
+
+
+@q(
+    "ns_trending_terms",
+    ("NS-text", "A2", "W1"),
+    r"""
+    WITH terms AS (
+      SELECT period, lower(term) AS term, COUNT(*) AS cnt FROM (
+        SELECT doc_id // 100 AS period,
+               unnest(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS term
+        FROM documents)
+      GROUP BY period, lower(term)),
+    j AS (
+      SELECT t.period, t.term, t.cnt, COALESCE(p.cnt, 0) AS prev_cnt
+      FROM terms t LEFT JOIN terms p
+        ON p.term = t.term AND p.period = t.period - 1
+      WHERE t.cnt >= 3),
+    r AS (
+      SELECT period, term, cnt, prev_cnt,
+             CAST(cnt - prev_cnt AS DOUBLE) / CAST(prev_cnt + 1 AS DOUBLE) AS momentum,
+             row_number() OVER (
+               PARTITION BY period
+               ORDER BY CAST(cnt - prev_cnt AS DOUBLE) / CAST(prev_cnt + 1 AS DOUBLE) DESC, term
+             ) AS rank
+      FROM j)
+    SELECT period, term, CAST(cnt AS BIGINT) AS cnt,
+           CAST(prev_cnt AS BIGINT) AS prev_cnt, momentum,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+    "period-over-period term momentum (+1-smoothed growth, top-10 per "
+    "period): one (period, term) count aggregate + adjacent-period "
+    "equi-join + per-period top-k over min-count movers — the 'what "
+    "changed in this crawl slice' report "
+    "(operators/tfidf.py trending_terms)",
+)
+def ns_trending_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import tfidf
+
+    docs = load_table(spark, sf, "documents")
+    period = F.floor(F.col("doc_id") / F.lit(100)).cast("long")
+    return tfidf.trending_terms(docs, period, top=10, min_count=3)
+
+
+@q(
+    "ns_dupe_rate_by_source",
+    ("NS-dedup", "A2"),
+    """
+    WITH d AS (SELECT doc_id, source, MD5(text) AS dg FROM documents),
+    g AS (SELECT dg, MIN(doc_id) AS keep_id, COUNT(*) AS n FROM d GROUP BY dg)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n > 1 AND doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+           CAST(SUM(CASE WHEN n > 1 AND doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dupe_rate
+    FROM d JOIN g USING (dg)
+    GROUP BY source
+    """,
+    "per-source exact-duplicate rate (non-canonical copies / docs) — "
+    "the source-quality scoreboard a crawl operator watches; composes "
+    "exact_duplicates' digest groupBy with a source rollup, two "
+    "map-side-combined aggregates (operators/dedup.py exact_duplicates)",
+)
+def ns_dupe_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", "source", F.md5("text").alias("dg"))
+    g = dedup.exact_duplicates(docs, "doc_id", "text").select(
+        F.col("digest").alias("dg"), "keep_id", F.col("n_docs").alias("n")
+    )
+    is_dupe = ((F.col("n") > 1) & (F.col("doc_id") != F.col("keep_id"))).cast("long")
+    return (
+        d.join(g, "dg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dupe).alias("n_dupes"),
+            (F.sum(is_dupe).cast("double") / F.count(F.lit(1)).cast("double")).alias("dupe_rate"),
+        )
+    )
