@@ -5959,3 +5959,43 @@ def ns_dupe_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum(is_dupe).cast("double") / F.count(F.lit(1)).cast("double")).alias("dupe_rate"),
         )
     )
+
+
+@q(
+    "ns_source_balance_gini",
+    ("NS-quality", "A2"),
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    s AS (SELECT COUNT(*) AS k, SUM(n) AS total FROM c),
+    pair_abs AS (
+      SELECT SUM(abs(a.n - b.n)) AS sum_abs
+      FROM c a CROSS JOIN c b)
+    SELECT CAST(k AS BIGINT) AS n_sources,
+           CAST(total AS BIGINT) AS n_docs,
+           CAST(sum_abs AS DOUBLE) / (2.0 * CAST(k AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+    FROM s CROSS JOIN pair_abs
+    """,
+    "corpus source-balance Gini (0 = perfectly even, →1 = one source "
+    "dominates): pairwise |n_i−n_j| over the SOURCE-COUNT table (k² "
+    "pairs of a tiny table, the fact table aggregates once) — the "
+    "single-number diversity gate a mixing step is tuned against; "
+    "integer-exact sums, one final IEEE division",
+)
+def ns_source_balance_gini(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    s = c.agg(F.count(F.lit(1)).alias("k"), F.sum("n").alias("total"))
+    a = c.select(F.col("n").alias("na"))
+    b = c.select(F.col("n").alias("nb"))
+    pair_abs = a.crossJoin(b).agg(F.sum(F.abs(F.col("na") - F.col("nb"))).alias("sum_abs"))
+    return (
+        s.crossJoin(pair_abs)
+        .select(
+            F.col("k").alias("n_sources"),
+            F.col("total").alias("n_docs"),
+            (
+                F.col("sum_abs").cast("double")
+                / (F.lit(2.0) * F.col("k").cast("double") * F.col("total").cast("double"))
+            ).alias("gini"),
+        )
+    )
