@@ -344,3 +344,22 @@ def test_cli_sql_and_query(spark, tmp_path, capsys):
     rc = cli.main(["query", "--list"])
     assert rc == 0
     assert "ns_bigram_lm" in capsys.readouterr().out
+
+
+def test_cli_report(spark, capsys):
+    from ubdc_airbnb_spark import cli
+
+    rc = cli.main(
+        [
+            "report",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--only",
+            "ns_source_balance_gini",
+            "--limit",
+            "2",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ns_source_balance_gini" in out and "gini" in out

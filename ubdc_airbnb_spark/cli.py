@@ -626,6 +626,37 @@ def cmd_query(args) -> int:
     return 0
 
 
+#: the operational health dashboard: every report query the `report`
+#: command runs, in print order
+_REPORT_QUERIES = [
+    "ns_profile_orders",
+    "ns_key_skew_report",
+    "ns_join_size_probe",
+    "ns_dupe_rate_by_source",
+    "ns_source_balance_gini",
+    "ns_drift_histogram",
+    "ns_rate_anomaly",
+    "ns_embed_health",
+]
+
+
+def cmd_report(args) -> int:
+    """Run the operational-report query family (profiling, skew, join
+    sizing, dup rates, balance, drift, anomalies, embedding health) and
+    print each result — the one-command health check of a corpus drop."""
+    from . import queries as q_mod
+
+    specs = {s.name: s for s in q_mod.registry()}
+    spark = _spark()
+    for name in args.only or _REPORT_QUERIES:
+        print(f"== {name} ==")
+        df = specs[name].spark(spark, args.sf_dir)
+        if name == "ns_rate_anomaly":  # full table is day-grained; show flags
+            df = df.filter("anomaly")
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ubdc-airbnb-spark")
     p.add_argument("--warehouse", default=os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ubdc_warehouse"))
@@ -728,6 +759,12 @@ def main(argv: list[str] | None = None) -> int:
     qr.add_argument("--output")
     qr.add_argument("--limit", type=int, default=20)
     qr.set_defaults(fn=cmd_query)
+
+    rp = sub.add_parser("report", help="run the operational health-report query family")
+    rp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    rp.add_argument("--only", action="append", help="run only this report query (repeatable)")
+    rp.add_argument("--limit", type=int, default=20)
+    rp.set_defaults(fn=cmd_report)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -49,3 +49,44 @@ def profile_table(df: DataFrame, cols: list[str] | None = None, b: int = 12) -> 
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def embedding_health(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding health report — the pre-ANN sanity gate:
+    a collapsed dimension (variance ≈ 0), a dead dimension (mean and
+    variance 0) or a runaway one (variance orders above its peers) all
+    break IVF/LSH bucket balance long before they break recall metrics,
+    and are invisible in any per-vector view.
+
+    One posexplode (narrow) + one groupBy on the dimension index —
+    ``dim``-way keys, fully map-side combined; the report is dim-sized.
+
+    Determinism: each component quantizes to integer ppm
+    (``floor(x·1e6)`` of the float→double-exact value), so Σx and Σx²
+    are exact integer sums (Σx² through DECIMAL(38) — it exceeds int64
+    at corpus scale); mean and variance are IEEE-exact ops of those
+    integers. The 1e-6 quantization is far below any health threshold.
+
+    Output: (pos, n, mean, var) per dimension."""
+    ppm = F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long")
+    exploded = vectors.select(F.posexplode(vec_col).alias("pos", "x")).select(
+        "pos", ppm.alias("xq")
+    )
+    g = exploded.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+    )
+    mean = (F.col("sx").cast("double") / F.lit(1e6)) / F.col("n").cast("double")
+    # var = E[x²] − E[x]²  over the ppm-quantized values
+    ex2 = (F.col("sxx") / F.lit(1e12)) / F.col("n").cast("double")
+    return g.select(
+        "pos",
+        "n",
+        mean.alias("mean"),
+        (ex2 - mean * mean).alias("var"),
+    )

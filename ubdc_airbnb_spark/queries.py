@@ -5999,3 +5999,36 @@ def ns_source_balance_gini(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+@q(
+    "ns_embed_health",
+    ("NS-similarity", "A2"),
+    """
+    WITH e AS (
+      SELECT pos - 1 AS pos, CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+      FROM (SELECT unnest(embedding) AS x,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)),
+    g AS (
+      SELECT pos, COUNT(*) AS n, SUM(xq) AS sx,
+             CAST(SUM(xq * xq) AS DOUBLE) AS sxx
+      FROM e GROUP BY pos)
+    SELECT CAST(pos AS INTEGER) AS pos, CAST(n AS BIGINT) AS n,
+           (CAST(sx AS DOUBLE) / 1e6) / CAST(n AS DOUBLE) AS mean,
+           (sxx / 1e12) / CAST(n AS DOUBLE)
+             - ((CAST(sx AS DOUBLE) / 1e6) / CAST(n AS DOUBLE))
+               * ((CAST(sx AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)) AS var
+    FROM g
+    """,
+    "per-dimension embedding health (mean/variance per dim): the "
+    "pre-ANN gate that catches collapsed/dead/runaway dimensions that "
+    "break IVF/LSH bucket balance; dim-way groupBy, integer-ppm exact "
+    "moments (Σx² through DECIMAL/HUGEINT) "
+    "(operators/profile.py embedding_health)",
+)
+def ns_embed_health(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profile import embedding_health
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_health(emb)
