@@ -706,3 +706,36 @@ def rp_lsh_query_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def embedding_outliers(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual outlier gate: vectors whose cosine to their OWN (nearest)
+    centroid falls below ``threshold`` sit in no real cluster — noise,
+    corrupted encodes, or poisoning attempts — and should be quarantined
+    before they smear IVF bucket boundaries or surface as spurious ANN
+    neighbors.
+
+    Same physical shape as `assign_ivf_buckets` (broadcast argmax — the
+    corpus never shuffles) plus a narrow flag column; the cosine to the
+    nearest centroid is already computed by the assignment, so the gate
+    is free on top of an index build.
+
+    Output: (vec_id, centroid_id, cos, outlier)."""
+    scored = vectors.join(broadcast(centroids)).withColumn(
+        "cos", cosine(F.col(vec_col), F.col("centroid_vec"))
+    )
+    best = first_row_per_key(
+        scored, [id_col], [F.col("cos").desc(), F.col("centroid_id").asc()]
+    )
+    return best.select(
+        id_col,
+        "centroid_id",
+        "cos",
+        (F.col("cos") < F.lit(float(threshold))).alias("outlier"),
+    )

@@ -6032,3 +6032,36 @@ def ns_embed_health(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     return embedding_health(emb)
+
+
+@q(
+    "ns_embed_outliers",
+    ("NS-similarity",),
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, centroid_id, cos FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               list_dot_product(v.e, cent.ce)
+                 / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) AS cos,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, cent.ce)
+                          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                          cent.centroid_id) AS rn
+        FROM v, cent) WHERE rn = 1)
+    SELECT vec_id, centroid_id, cos, cos < 0.2 AS outlier
+    FROM assigned
+    """,
+    "residual outlier gate: vectors whose cosine to their nearest "
+    "centroid < 0.2 belong to no real cluster (noise/corruption/"
+    "poisoning) — free on top of the IVF assignment's broadcast argmax, "
+    "corpus never shuffles (operators/similarity.py embedding_outliers)",
+)
+def ns_embed_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return similarity.embedding_outliers(emb, centroids, threshold=0.2)
