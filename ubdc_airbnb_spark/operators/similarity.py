@@ -739,3 +739,46 @@ def embedding_outliers(
         "cos",
         (F.col("cos") < F.lit(float(threshold))).alias("outlier"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    const: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ANN rankers — the standard hybrid-
+    retrieval combiner (Cormack et al.): each input ranking contributes
+    ``1/(const + rank)`` and candidates are re-ranked by the sum, so
+    methods with incomparable scores (IVF cosine vs LSH bucket order vs
+    BM25) fuse without calibration, and a candidate surfaced by several
+    independent rankers beats a single ranker's top hit.
+
+    Inputs are (query_id, neighbor_id, rank) frames; missing membership
+    contributes 0 (COALESCE over the outer join, a fixed-order double
+    sum of ≤len(rankings) terms — deterministic). Joins are equi-joins
+    on (query, neighbor); per-query re-rank windows are k·len-bounded.
+
+    Output: (query_id, neighbor_id, score, rank ≤ k)."""
+    fused = None
+    for i, r in enumerate(rankings):
+        part = r.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").alias(f"__r{i}"),
+        )
+        fused = part if fused is None else fused.join(
+            part, ["query_id", "neighbor_id"], "full_outer"
+        )
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(const) + F.col(f"__r{i}")).cast("double"), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        fused.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -6065,3 +6065,86 @@ def ns_embed_outliers(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     return similarity.embedding_outliers(emb, centroids, threshold=0.2)
+
+
+@q(
+    "ns_rank_fusion",
+    ("NS-similarity",),
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, cent.ce)
+                          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                          cent.centroid_id) AS rn
+        FROM v, cent) WHERE rn = 1),
+    qp AS (
+      SELECT vec_id AS query_id, e AS qv, centroid_id FROM (
+        SELECT v.vec_id, v.e, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, cent.ce)
+                          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                          cent.centroid_id) AS rn
+        FROM v, cent WHERE v.vec_id < 8) WHERE rn <= 2),
+    ivf AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM (SELECT q.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(q.qv, a.e)
+                       / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.e, a.e))) AS cos
+              FROM qp q JOIN assigned a
+                ON q.centroid_id = a.centroid_id AND q.query_id <> a.vec_id))
+      WHERE rank <= 10),
+    s AS (SELECT vec_id, {{sig}} AS sig FROM v),
+    bnd AS (SELECT vec_id, i AS band_id, substr(sig, CAST(i * 4 + 1 AS INTEGER), 4) AS band_key
+            FROM s, generate_series(0, 3) t(i)),
+    lcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM bnd q JOIN bnd c
+                ON q.band_id = c.band_id AND q.band_key = c.band_key AND q.vec_id <> c.vec_id
+              WHERE q.vec_id < 8),
+    lsh AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM (SELECT query_id, neighbor_id,
+                     {{dqc}} / (sqrt({{dqq}}) * sqrt({{dcc}})) AS cos
+              FROM lcand
+              JOIN v vq ON vq.vec_id = query_id
+              JOIN v vc ON vc.vec_id = neighbor_id))
+      WHERE rank <= 10),
+    f AS (
+      SELECT COALESCE(i.query_id, l.query_id) AS query_id,
+             COALESCE(i.neighbor_id, l.neighbor_id) AS neighbor_id,
+             COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + i.rank AS DOUBLE), CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.rank AS DOUBLE), CAST(0.0 AS DOUBLE)) AS score
+      FROM ivf i FULL OUTER JOIN lsh l
+        ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id)
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM f) WHERE rank <= 5
+    """.format(sig=_rp_sig_sql(), dqc=_rp_fold_dot_sql('vq.e', 'vc.e'),
+               dqq=_rp_fold_dot_sql('vq.e', 'vq.e'), dcc=_rp_fold_dot_sql('vc.e', 'vc.e')),
+    "reciprocal-rank fusion of two independent ANN rankers (multi-probe "
+    "IVF + RP-LSH query serving, k=10 each → RRF 1/(60+rank) → top-5): "
+    "the calibration-free hybrid-retrieval combiner; candidates found "
+    "by both rankers outrank single-ranker hits "
+    "(operators/similarity.py rrf_fuse)",
+)
+def ns_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q_set = emb.filter(F.col("vec_id") < 8)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    ivf = similarity.ivf_topk(emb, q_set, centroids, k=10, probes=2)
+    lsh = similarity.rp_lsh_query_topk(emb, q_set, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    return similarity.rrf_fuse([ivf, lsh], k=5, const=60)
