@@ -80,3 +80,25 @@ def test_incremental_add_routes_and_serves(spark, tmp_path):
     res = query_ivf_index(spark, idx, q, k=10, probes=8)  # probe all buckets
     neigh = {r.neighbor_id for r in res.collect()}
     assert any(n % 2 == 1 for n in neigh), "appended (odd) vectors never served"
+
+
+def test_rrf_fuse_python_oracle(spark):
+    from ubdc_airbnb_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, neighbor_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    got = {(r.neighbor_id): (r.score, r.rank) for r in rrf_fuse([r1, r2], k=4).collect()}
+    want_scores = {
+        10: 1.0 / 61,
+        11: 1.0 / 62 + 1.0 / 61,  # surfaced by BOTH rankers -> wins
+        12: 1.0 / 63,
+        13: 1.0 / 62,
+    }
+    order = sorted(want_scores, key=lambda n: (-want_scores[n], n))
+    for rank, n in enumerate(order, 1):
+        assert got[n] == (want_scores[n], rank)
+    assert order[0] == 11
