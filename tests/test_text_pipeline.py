@@ -190,3 +190,26 @@ def test_lang_id_ngram_real_sentences(spark):
     df = spark.createDataFrame(sents, "lang string, text string")
     got = {r.lang: r.p for r in df.select("lang", lang_id_ngram("text").alias("p")).collect()}
     assert got == {l: l for l, _ in sents}
+
+
+def test_bm25_ranking_sanity(spark):
+    """More query-term occurrences in a shorter doc must outrank fewer in
+    a longer one; docs without any query term are absent."""
+    from ubdc_airbnb_spark.operators.tfidf import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark fast"),
+            (2, "spark " + "filler " * 50),
+            (3, "nothing relevant here"),
+            (4, "spark join"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["spark", "join"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids
+    assert ids[0] == 4 or ids[0] == 1  # both strong; doc 2 (diluted) must be last
+    assert ids[-1] == 2
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))

@@ -262,3 +262,65 @@ def trending_terms(
         .filter(F.col("rank") <= top)
         .select("period", "term", "cnt", "prev_cnt", "momentum", "rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval — the lexical ranker that completes the
+    hybrid stack (dense ANN + `rrf_fuse`):
+
+        score(d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)     (Lucene form)
+
+    Physical shape: (doc, term, tf) rows filtered to the query terms at
+    the scan (an IN over a literal list — the inverted-index probe), doc
+    lengths from one groupBy, query-term dfs from a broadcast-size
+    aggregate; scoring touches only docs containing ≥1 query term.
+
+    Determinism: ln() is libm (ulp-divergent across engines), so each
+    term contribution quantizes to integer micro-units
+    (``floor(c·1e6)``) before the per-doc sum — the same absorb-the-ulp
+    device as `top_terms`' 6-dp rounding, and the sum itself becomes
+    exact int64. Output: (id, score, rank ≤ k), ties broken by id."""
+    from pyspark.sql import Window
+
+    from .prefixsum import _pin
+
+    terms = _pin(doc_terms(docs, id_col, text_col))
+    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    tot = dl.agg(F.sum("dl").alias("toktot"), F.count(F.lit(1)).alias("n_docs"))
+    qt = [t.lower() for t in query_terms]
+    qterms = terms.filter(F.col("term").isin(qt))
+    dfreq = qterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qterms.join(broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .join(broadcast(tot))
+    )
+    avgdl = F.col("toktot").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    contrib_u = F.floor(idf * tfn * F.lit(1e6)).cast("long")
+    agg = scored.groupBy(id_col).agg(F.sum(contrib_u).alias("score_u"))
+    w = Window.orderBy(F.desc("score_u"), F.col(id_col))
+    return (
+        agg.orderBy(F.desc("score_u"), F.col(id_col))
+        .limit(k)
+        .withColumn("score", F.col("score_u").cast("double") / F.lit(1e6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(id_col, "score", "rank")
+    )

@@ -6148,3 +6148,51 @@ def ns_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
         "query_id", "neighbor_id", "rank"
     )
     return similarity.rrf_fuse([ivf, lsh], k=5, const=60)
+
+
+@q(
+    "ns_bm25_topk",
+    ("NS-text", "W1"),
+    r"""
+    WITH terms AS (
+      SELECT doc_id, lower(term) AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS term
+        FROM documents)
+      GROUP BY doc_id, lower(term)),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM terms GROUP BY doc_id),
+    tot AS (SELECT SUM(dl) AS toktot, COUNT(*) AS n_docs FROM dl),
+    qt AS (SELECT * FROM terms WHERE term IN ('spark', 'join', 'window')),
+    dfq AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY term),
+    sc AS (
+      SELECT q.doc_id,
+             CAST(SUM(CAST(floor(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (CAST(tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE)
+                          / (CAST(toktot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+               * 1e6) AS BIGINT)) AS BIGINT) AS score_u
+      FROM qt q
+      JOIN dfq USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN tot
+      GROUP BY q.doc_id)
+    SELECT doc_id, CAST(score_u AS DOUBLE) / 1e6 AS score,
+           CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
+    FROM sc ORDER BY score_u DESC, doc_id LIMIT 10
+    """,
+    "BM25 keyword retrieval (Lucene idf, k1=1.2 b=0.75, query "
+    "'spark join window', top-10): the lexical ranker completing the "
+    "hybrid stack with dense ANN + RRF; inverted-index probe filters at "
+    "the scan, per-term contributions quantized to integer micro-units "
+    "so the libm ln() ulp cannot leak into the per-doc sum "
+    "(operators/tfidf.py bm25_topk)",
+)
+def ns_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import tfidf
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf.bm25_topk(docs, ["spark", "join", "window"], k=10)
