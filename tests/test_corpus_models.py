@@ -137,3 +137,23 @@ def test_ngram_novelty_first_occurrence_semantics(spark):
         2: (2, 0, 0.0),
         3: (4, 3, 0.75),
     }
+
+
+def test_collocations_lift_oracle(spark):
+    """A bound phrase (always-adjacent pair) must top free-floating
+    words; lift values check against hand-computed contingency."""
+    from ubdc_airbnb_spark.operators.lm import collocations
+
+    # "san francisco" always adjacent (6x); "the" floats everywhere
+    docs = spark.createDataFrame(
+        [(i, "the city of san francisco is the place in san francisco bay") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = {r.bigram: (r.c12, r.c1, r.c2, r.lift, r.rank) for r in collocations(docs, min_count=3, top=50).collect()}
+    assert "san francisco" in out
+    c12, c1, c2, lift, rank = out["san francisco"]
+    assert (c12, c1, c2) == (6, 6, 6)
+    # N = bigrams per doc (11) * 3 docs
+    assert lift == (6 * 33) / (6 * 6)
+    best = [bg for bg, v in out.items() if v[4] == 1]
+    assert best and out[best[0]][3] == max(v[3] for v in out.values())

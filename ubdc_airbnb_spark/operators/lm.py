@@ -119,3 +119,63 @@ def score_documents(
             / F.col("n_bigrams").cast("double")
         ).alias("avg_cond_p"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Collocation mining — statistically-bound phrases ("new york",
+    "machine learning") by association lift over the corpus bigram
+    model:
+
+        lift(w1,w2) = c12 · N / (c1 · c2)
+
+    with N the total bigram count and c1/c2 the first-/second-position
+    marginals of the same bigram distribution (a proper contingency
+    table). Lift is the exponentiated PMI, ranked identically to PMI
+    (ln is monotone) while staying pure rational arithmetic on integer
+    counts — exact, engine-bit-stable, no libm. Phrases feed the
+    tokenizer (merge into single tokens), dedup shingling, and
+    boilerplate analysis.
+
+    Reuses the bigram/unigram aggregates of `bigram_model` (two
+    map-side-combined groupBys over one exploded stream); the candidate
+    table is distinct-bigram-sized, the min-count filter prunes it
+    before the top-k (TakeOrdered on lift).
+
+    Output: (bigram, c12, c1, c2, lift, rank ≤ top), ties by bigram."""
+    from pyspark.sql import Window
+
+    from .prefixsum import _pin
+
+    grams = _pin(doc_bigrams(df, id_col, text_col))
+    bc, cc = bigram_model(grams)
+    n_bigrams = grams.count()
+    c1 = cc.select(F.col("w1"), F.col("c1"))
+    c2 = (
+        bc.groupBy(F.substring_index("bigram", " ", -1).alias("w2"))
+        .agg(F.sum("c12").alias("c2"))
+    )
+    cand = (
+        bc.filter(F.col("c12") >= min_count)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .withColumn(
+            "lift",
+            (F.col("c12") * F.lit(int(n_bigrams))).cast("double")
+            / (F.col("c1") * F.col("c2")).cast("double"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.col("bigram"))
+    return (
+        cand.orderBy(F.desc("lift"), F.col("bigram"))
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("bigram", "c12", "c1", "c2", "lift", "rank")
+    )

@@ -6196,3 +6196,44 @@ def ns_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return tfidf.bm25_topk(docs, ["spark", "join", "window"], k=10)
+
+
+@q(
+    "ns_collocations",
+    ("NS-text", "A2", "W1"),
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS ws
+      FROM documents),
+    db AS (
+      SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM toks WHERE len(ws) >= 2),
+    bc AS (SELECT bigram, COUNT(*) AS c12 FROM db GROUP BY bigram),
+    nb AS (SELECT SUM(c12) AS n FROM bc),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+    c2 AS (SELECT split_part(bigram, ' ', -1) AS w2, SUM(c12) AS c2 FROM bc GROUP BY 1),
+    cand AS (
+      SELECT bigram, c12, c1.c1, c2.c2,
+             CAST(c12 * n AS DOUBLE) / CAST(c1.c1 * c2.c2 AS DOUBLE) AS lift
+      FROM bc
+      JOIN c1 ON split_part(bigram, ' ', 1) = c1.w1
+      JOIN c2 ON split_part(bigram, ' ', -1) = c2.w2
+      CROSS JOIN nb
+      WHERE c12 >= 5)
+    SELECT bigram, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+           CAST(c2 AS BIGINT) AS c2, lift,
+           CAST(row_number() OVER (ORDER BY lift DESC, bigram) AS BIGINT) AS rank
+    FROM cand ORDER BY lift DESC, bigram LIMIT 20
+    """,
+    "collocation mining: top-20 bound phrases by association lift "
+    "c12·N/(c1·c2) over the bigram contingency (exponentiated PMI — "
+    "same ranking, no libm ln); candidate table is distinct-bigram-"
+    "sized, min-count pruned before the top-k "
+    "(operators/lm.py collocations)",
+)
+def ns_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import lm
+
+    docs = load_table(spark, sf, "documents")
+    return lm.collocations(docs, "doc_id", "text", min_count=5, top=20)
