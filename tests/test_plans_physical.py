@@ -565,3 +565,26 @@ def test_snapshot_diff_single_outer_join(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("FullOuter") == 1
     assert "Window" not in plan
+
+
+def test_bm25_probe_filters_at_source_and_takeordered(spark):
+    """BM25: the query-term IN filter must prune before any aggregation,
+    and the top-k must be TakeOrdered (never a global sort of the
+    score table)."""
+    from ubdc_airbnb_spark.operators.tfidf import bm25_topk
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(bm25_topk(docs, ["spark", "join"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
+
+
+def test_collocations_topk_is_take_ordered(spark):
+    from ubdc_airbnb_spark.operators.lm import collocations
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(collocations(docs, min_count=3, top=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
