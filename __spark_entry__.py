@@ -39,8 +39,6 @@ _SLOW = frozenset(
         "ns_embed_topk",
         "ns_embed_ivf_topk",
         "ns_embed_ivf_multiprobe",
-        "ns_dedup_apply",
-        "ns_dedup_exact",
         "ns_embed_rp_lsh",
         "ns_embed_pq_topk",
         "ns_embed_pq_rerank",

@@ -34,9 +34,12 @@ def test_queries_ordered_for_driver_certification():
     window = names[: min(50, n_uncert)]
     assert all(n not in done for n in window)
     # and no heavyweight eats the driver's time budget while cheap
-    # uncertified queries remain
-    if n_uncert >= 50:
-        assert all(n not in entry_mod._SLOW for n in window)
+    # uncertified queries remain: the slow-free prefix is bounded by how
+    # many cheap uncertified queries exist, not by the window size (the
+    # driver's own artifact drop can leave fewer than 50 cheap ones)
+    n_cheap_uncert = sum(1 for n in names if n not in done and n not in entry_mod._SLOW)
+    cheap_window = names[: min(50, n_cheap_uncert)]
+    assert all(n not in entry_mod._SLOW for n in cheap_window)
 
 
 def test_entry_flagship(spark):
