@@ -158,6 +158,12 @@ def main() -> None:
         total += timings[name]
         exec_timings[name] = round(ebest, 3)
         exec_total += exec_timings[name]
+        # drop this query's operator pins before the next query starts:
+        # a 25-query session otherwise accumulates dead cache entries
+        # that compete with the warm table cache for storage memory
+        from ubdc_airbnb_spark.operators.prefixsum import release_pins
+
+        release_pins()
 
     print(
         json.dumps(

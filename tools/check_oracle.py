@@ -38,6 +38,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
+    from ubdc_airbnb_spark.operators.prefixsum import release_pins
     from ubdc_airbnb_spark.session import get_spark
 
     spark = get_spark("oracle-check")
@@ -61,6 +62,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            release_pins()  # 173-query session: hold one query's pins max
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             n_rowsonly += 1

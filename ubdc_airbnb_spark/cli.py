@@ -645,6 +645,7 @@ def cmd_report(args) -> int:
     sizing, dup rates, balance, drift, anomalies, embedding health) and
     print each result — the one-command health check of a corpus drop."""
     from . import queries as q_mod
+    from .operators.prefixsum import release_pins
 
     specs = {s.name: s for s in q_mod.registry()}
     spark = _spark()
@@ -654,6 +655,7 @@ def cmd_report(args) -> int:
         if name == "ns_rate_anomaly":  # full table is day-grained; show flags
             df = df.filter("anomaly")
         df.show(args.limit, truncate=False)
+        release_pins()  # one query's pins at a time; no session-long churn
     return 0
 
 

@@ -77,6 +77,14 @@ def _go_single(df: DataFrame, mode: str, size_of: DataFrame | None = None) -> bo
     return est is not None and est <= SINGLE_PARTITION_MAX_BYTES
 
 
+#: live pin handles, keyed by (session id, semantic plan hash) so a
+#: re-entry with the SAME logical plan (a re-run of the same query in
+#: one session, or an operator pinning a plan that is already pinned)
+#: reuses the existing handle instead of asking the CacheManager to
+#: cache already-cached data. release_pins() drains it.
+_PINNED: dict[tuple[int, int], DataFrame] = {}
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """Persist the operator input (MEMORY_AND_DISK) — every two-pass
     algorithm here reads its input 3-4 times (boundary sketch, bucket
@@ -85,10 +93,46 @@ def _pin(df: DataFrame) -> DataFrame:
     corpus). Callers pass NARROW projections by contract (a handful of
     numeric/sketch columns), so the pinned footprint is a small multiple
     of the key width, spilling to executor-local disk past memory — the
-    standard shape for multi-pass jobs."""
+    standard shape for multi-pass jobs.
+
+    Pins are registered (deduped by semantic plan hash) and live until
+    ``release_pins()`` — long sessions (the 173-query gate, cmd_report)
+    MUST call it after each query's terminal action or dead cache
+    entries accumulate and compete with live pins for storage memory."""
     from pyspark.storagelevel import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:
+        key = None
+    if key is not None:
+        cached = _PINNED.get(key)
+        if cached is not None:
+            try:
+                if cached.sameSemantics(df):
+                    return cached
+            except Exception:
+                pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if key is not None:
+        _PINNED[key] = df
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every live ``_pin`` handle (non-blocking) and clear the
+    registry; returns how many were released. Call after the terminal
+    action of a query — the gate runner, bench harness, and report CLI
+    all do, so a multi-query session holds at most one query's pins."""
+    n = 0
+    for df in _PINNED.values():
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    _PINNED.clear()
+    return n
 
 
 def range_boundaries(
