@@ -119,6 +119,26 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
     )
 
 
+def test_nondyadic_threshold_no_int64_overflow(spark):
+    """threshold=0.3 via float.as_integer_ratio() has den ≈ 1.8e16, so a
+    pair sharing ≥512 grams overflowed inter*den in int64 and silently
+    dropped out under non-ANSI Spark; the Fraction-based ratio keeps the
+    products small and exact."""
+    from ubdc_airbnb_spark.operators.dedup import (
+        _threshold_ratio,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    assert _threshold_ratio(0.3) == (3, 10)
+    assert _threshold_ratio(0.5) == (1, 2)
+    big = " ".join(f"tok{i}" for i in range(700))  # 698 shared word 3-grams
+    docs = spark.createDataFrame([(1, big), (2, big)], "doc_id long, text string")
+    got = ngram_containment_pairs(docs, "doc_id", "text", ngram=3, threshold=0.3).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in got] == [(1, 2, 1.0)]
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.3).count() == 1
+
+
 def test_ngram_novelty_first_occurrence_semantics(spark):
     from ubdc_airbnb_spark.operators.curation import ngram_novelty
 

@@ -146,3 +146,24 @@ def test_cohort_retention_python_oracle(spark):
         (w0 + 1, 0): (1, 1, 1.0),
         (w0 + 1, 2): (1, 1, 1.0),
     }
+
+
+def test_cohort_retention_pre_epoch_floor_division(spark):
+    """Pre-1970 timestamps have negative epoch days: the period must be
+    floor(days / period_days) (// semantics, matching the oracle), not
+    double-division truncated toward zero."""
+    from datetime import datetime, timedelta
+
+    from ubdc_airbnb_spark.operators.funnel import cohort_retention
+
+    base = datetime(1969, 12, 25)  # epoch day -7 .. -1 span
+    ev = spark.createDataFrame(
+        [(1, base), (1, base + timedelta(days=10))], "user_id long, ts timestamp"
+    )
+    got = {
+        (r.cohort_period, r.period_offset): r.n_active
+        for r in cohort_retention(ev, "user_id", "ts", period_days=7).collect()
+    }
+    d0 = (base - datetime(1970, 1, 1)).days
+    d1 = d0 + 10
+    assert got == {(d0 // 7, 0): 1, (d0 // 7, d1 // 7 - d0 // 7): 1}

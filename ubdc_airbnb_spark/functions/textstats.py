@@ -224,9 +224,11 @@ def trigram_hits(col: Column | str, lang: str) -> Column:
 
 def lang_id_ngram(col: Column | str) -> Column:
     """Character-n-gram language ID: argmax of per-language profile-hit
-    counts; ties and zero evidence → 'und'. The word-free twin of
-    ``lang_id`` — robust to unsegmented text (no whitespace needed),
-    which is exactly where the stopword heuristic fails."""
+    counts; ties break to the first language in ``LANG_TRIGRAMS`` order
+    (en, de, fr, es — fixed, so engines agree); only zero evidence →
+    'und'. The word-free twin of ``lang_id`` — robust to unsegmented
+    text (no whitespace needed), which is exactly where the stopword
+    heuristic fails."""
     counts = {lang: trigram_hits(col, lang) for lang in LANG_TRIGRAMS}
     best = F.greatest(*counts.values())
     result = F.lit("und")

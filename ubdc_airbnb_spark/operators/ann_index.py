@@ -59,7 +59,12 @@ def build_ivf_index(
         .parquet(os.path.join(path, "assignments"))
     )
     n = vectors.count()
-    dim = len(vectors.select(vec_col).first()[0])
+    first = vectors.select(vec_col).first()
+    dim = len(first[0]) if first is not None and first[0] is not None else 0
+    # params record the index as BUILT: pre-supplied centroids override the
+    # k/iters arguments (no training ran), so k = actual bucket count
+    if centroids is not None:
+        k, iters = cents.count(), 0
     spark.createDataFrame(
         [(k, iters, dim, n)], "k int, iters int, dim int, n_vectors long"
     ).write.mode("overwrite").parquet(os.path.join(path, "params"))

@@ -21,8 +21,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fractions import Fraction
+
 from ..functions.hashing import md5_long
 from ..functions.textstats import char_ngrams, word_ngrams, words
+
+
+def _threshold_ratio(threshold: float) -> tuple[int, int]:
+    """Small exact num/den for the integer cross-multiplied threshold
+    compare. ``float.as_integer_ratio()`` yields denominators up to
+    ~2^52 for non-dyadic thresholds (0.3 → 5404319552844595/2^54), so
+    ``inter * den`` overflows int64 once a pair shares ≥512 grams and
+    silently wraps under non-ANSI Spark. ``limit_denominator(10**6)``
+    keeps den ≤ 1e6 (exact for every decimal the API will ever see, and
+    within 1e-12 otherwise), bounding the product at ~1e6·n_grams —
+    int64-safe past 10^12 shared grams."""
+    frac = Fraction(threshold).limit_denominator(10**6)
+    return frac.numerator, frac.denominator
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -235,7 +250,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
-    num, den = threshold.as_integer_ratio()
+    num, den = _threshold_ratio(threshold)
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -285,7 +300,7 @@ def ngram_containment_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
-    num, den = threshold.as_integer_ratio()
+    num, den = _threshold_ratio(threshold)
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")

@@ -82,7 +82,12 @@ def cohort_retention(
     Output: (cohort_period, period_offset, n_active, n_cohort,
     retention) with retention = n_active/n_cohort as double."""
     days = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
-    ev = events.select(F.col(entity_col).alias("ent"), (days / period_days).cast("long").alias("period"))
+    ev = events.select(
+        F.col(entity_col).alias("ent"),
+        # floor, not truncate-toward-zero: pre-1970 timestamps have
+        # negative epoch days and must round down to match // semantics
+        F.floor(days / period_days).cast("long").alias("period"),
+    )
     first = ev.groupBy("ent").agg(F.min("period").alias("cohort_period"))
     sizes = first.groupBy("cohort_period").agg(F.count(F.lit(1)).alias("n_cohort"))
     active = (

@@ -162,7 +162,9 @@ def temperature_mix(
     √n_g instead of n_g, boosting small sources and damping huge ones —
     the standard fix for a corpus where one crawl dominates.
 
-        rate_g = min(1, T·√n_g / (n_g · Σ_h √n_h / N))   with T = target_fraction·N
+        rate_g = min(1, target_fraction·N·√n_g / (n_g · Σ_h √n_h))
+
+    which sums to target_fraction·N expected rows across groups.
 
     α is FIXED at 0.5 deliberately: pow(x, 0.5) is IEEE-exact sqrt, so
     every rate is a deterministic double of exact integer operands and
