@@ -34,11 +34,76 @@ def test_decode_fake_deterministic_features(spark):
     assert feats1[0] == expected
 
 
-def test_decode_real_is_stubbed(spark):
-    docs = load_table(spark, SF, "documents").limit(1)
-    media = binary_ops.attach_binary(docs, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        binary_ops.decode_real(media)
+def test_png_roundtrip_every_filter_and_channel():
+    """Encoder applies the requested filter per scanline; decoder must
+    undo all five to round-trip. Pixel pattern has sharp gradients in
+    both axes so each filter's prediction is non-trivial."""
+    from ubdc_airbnb_spark.multimodal.png import decode_png, encode_png
+
+    for channels in (1, 2, 3, 4):
+        for base_filter in range(5):
+            w, h = 7, 6
+            px = bytes((x * 37 + 11 * (x // (w * channels)) + 5) % 256 for x in range(w * h * channels))
+            data = encode_png(px, w, h, channels, lambda y: (base_filter + y) % 5)
+            assert decode_png(data) == (w, h, channels, px)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from ubdc_airbnb_spark.multimodal.png import PNG_SIGNATURE, _chunk, decode_png, encode_png
+
+    good = encode_png(bytes(range(12)), 4, 3, 1)
+    # flip one IDAT byte -> CRC mismatch must raise, never wrong pixels
+    idat_at = good.index(b"IDAT") + 4
+    bad = bytearray(good)
+    bad[idat_at] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF" + good)
+    # 16-bit depth and palette color are out of profile: fail closed
+    for depth, color in ((16, 0), (8, 3)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+        blob = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+            + _chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="unsupported"):
+            decode_png(blob)
+
+
+def test_decode_png_stats_stage_matches_python_oracle(spark):
+    """The distributed decode stage on generated fixtures == a driver-side
+    replay of formula -> encode -> decode -> stats."""
+    from ubdc_airbnb_spark.multimodal.binary_ops import decode_png_stats, synthetic_png_media
+    from ubdc_airbnb_spark.multimodal.png import decode_png, encode_png
+
+    ids = spark.range(0, 40).selectExpr("id as doc_id")
+    got = {
+        r.media_id: (r.width, r.height, r.channels, r.n_px, r.px_sum, r.px_wsum, r.px_min, r.px_max)
+        for r in decode_png_stats(synthetic_png_media(ids)).collect()
+    }
+    assert len(got) == 40
+    for did in range(40):
+        w, h = 4 + did % 9, 3 + did % 7
+        c = (1, 3, 4)[did % 3]
+        px = bytes((did * 31 + i * 7) % 256 for i in range(w * h * c))
+        rw, rh, rc, rpx = decode_png(encode_png(px, w, h, c, lambda y: (did + y) % 5))
+        assert (rw, rh, rc, rpx) == (w, h, c, px)
+        vals = list(px)
+        assert got[did] == (
+            w, h, c, len(vals),
+            sum(vals),
+            sum((i + 1) * v for i, v in enumerate(vals)),
+            min(vals),
+            max(vals),
+        )
 
 
 def test_frame_sample_slices_and_digests(spark):

@@ -2,12 +2,13 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The decode step itself is STUBBED — no image/audio libraries exist in
-this container — behind ``decode_real`` (raises NotImplementedError) and
-``decode_fake`` (deterministic bytes-derived features). Everything
-Spark-side is real and tested: schema, batch shapes, partition sizing,
-UDF signatures — swap ``_extract_features`` for a PIL/librosa call and
-the pipeline is production-shaped.
+Image decode is REAL: ``decode_png_stats`` runs a pure-stdlib PNG
+decoder (``png.py`` — zlib inflate, chunk CRCs, all five scanline
+filters) inside the Arrow-batched stage, oracle-gated by
+``mm_decode_png``. Audio/video decode still uses the disclosed
+deterministic doubles (``decode_fake`` / ``frame_sample`` — no
+ffmpeg/librosa in this container); everything Spark-side around them is
+real and tested: schema, batch shapes, partition sizing, UDF signatures.
 
 Scale notes: binary payloads dominate row size, so the stage
 repartitions by a size-aware key before ``mapInPandas`` and bounds Arrow
@@ -70,12 +71,94 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str 
     )
 
 
-def decode_real(media: DataFrame) -> DataFrame:
-    """Real decode stage — requires PIL/ffmpeg/librosa, absent here."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; use decode_fake for the deterministic test double"
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_wsum", T.LongType(), True),
+        T.StructField("px_min", T.LongType(), True),
+        T.StructField("px_max", T.LongType(), True),
+    ]
+)
+
+
+def decode_png_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """REAL image decode stage — pure-stdlib PNG (zlib inflate, chunk CRC
+    verification, all five scanline unfilters; see ``png.decode_png``) in
+    the same Arrow-batched ``mapInPandas`` plumbing as the other kernels.
+    Per image it emits dimensions plus pixel stats (sum, position-weighted
+    sum Σ(i+1)·px[i], min, max) — the position weighting makes the output
+    sensitive to every byte AND its location, so the ``mm_decode_png``
+    oracle replay proves a bit-exact decode, not just a plausible one.
+    Binary stays inside the stage; downstream shuffles 9 longs per image,
+    never payloads. A malformed payload raises (fail-closed: a silently
+    misdecoded image poisons training features)."""
+    import numpy as np
+
+    from .png import decode_png
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in PNG_STATS_SCHEMA.fieldNames()}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, c, px = decode_png(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["n_px"].append(arr.size)
+                out["px_sum"].append(int(arr.sum()))
+                out["px_wsum"].append(int((arr * (np.arange(arr.size) + 1)).sum()))
+                out["px_min"].append(int(arr.min()))
+                out["px_max"].append(int(arr.max()))
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return _spread(media).mapInPandas(_decode, PNG_STATS_SCHEMA)
+
+
+def synthetic_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG fixture stage: for each id, ENCODE a real PNG
+    whose geometry, channel count, pixel bytes, and per-row filter type
+    are all fixed formulas of the id —
+
+        w = 4 + id % 9,  h = 3 + id % 7,
+        channels = (1, 3, 4)[id % 3],
+        px[i] = (id·31 + i·7) % 256,
+        row filter = (id + row) % 5
+
+    so across a corpus slice every unfilter path is exercised, and an
+    oracle can replay the expected pixel stats from the formula alone
+    (the gate never trusts the encoder and decoder to agree by shared
+    bug: DuckDB computes the stats from the closed form). Output rows
+    match the ``attach_binary`` media contract."""
+    from .png import encode_png
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + did % 9, 3 + did % 7
+                c = (1, 3, 4)[did % 3]
+                px = bytes((did * 31 + i * 7) % 256 for i in range(w * h * c))
+                ids_.append(did)
+                blobs.append(encode_png(px, w, h, c, lambda y, d=did: (d + y) % 5))
+            yield pd.DataFrame({"media_id": pd.array(ids_, dtype="int64"), "content": blobs})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
     )
+    return ids.select(F.col(id_col)).mapInPandas(_make, schema)
 
 
 def _extract_features(content: bytes, dims: int = 8) -> tuple[list[float], int, int]:

@@ -6237,3 +6237,46 @@ def ns_collocations(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return lm.collocations(docs, "doc_id", "text", min_count=5, top=20)
+
+
+@q(
+    "mm_decode_png",
+    ("NS-multimodal",),
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 9 AS w,
+             3 + doc_id % 7 AS h,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, c, unnest(generate_series(0, w * h * c - 1)) AS i
+      FROM dims),
+    v AS (
+      SELECT doc_id, w, h, c, i, (doc_id * 31 + i * 7) % 256 AS p FROM px)
+    SELECT doc_id AS media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(c) AS BIGINT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS px_sum,
+           CAST(SUM((i + 1) * p) AS BIGINT) AS px_wsum,
+           CAST(MIN(p) AS BIGINT) AS px_min,
+           CAST(MAX(p) AS BIGINT) AS px_max
+    FROM v GROUP BY doc_id
+    """,
+    "REAL image decode, oracle-gated end to end: a fixture stage ENCODEs "
+    "a spec-valid PNG per doc (geometry/channels/pixels/per-row filter "
+    "type all closed-form in doc_id, so all five scanline filters occur "
+    "across the corpus), the decode stage zlib-inflates, CRC-checks and "
+    "unfilters it (pure-stdlib multimodal/png.py — no PIL), and emits "
+    "per-image pixel stats incl. the position-weighted sum sum((i+1)*px) "
+    "that only a bit-exact decode reproduces; the oracle replays the "
+    "stats from the pixel formula alone, independent of both codec "
+    "halves (binary never leaves the mapInPandas stages)",
+)
+def mm_decode_png(spark: SparkSession, sf: str) -> DataFrame:
+    from .multimodal.binary_ops import decode_png_stats, synthetic_png_media
+
+    docs = load_table(spark, sf, "documents")
+    return decode_png_stats(synthetic_png_media(docs))
