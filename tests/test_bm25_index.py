@@ -1,0 +1,64 @@
+"""Persisted BM25 inverted index: result parity with the inline ranker,
+partition pruning in the probe plan, and the bucket-hash portability
+contract (driver-side Python replay == Spark-side md5 bucket)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ubdc_airbnb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+QUERY = ["spark", "join", "window"]
+
+
+def test_index_query_matches_inline_bm25(spark, tmp_path):
+    from ubdc_airbnb_spark.operators.tfidf import bm25_topk, build_bm25_index, query_bm25_index
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(docs, idx, n_buckets=8)
+    got = [tuple(r) for r in query_bm25_index(spark, idx, QUERY, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, QUERY, k=10).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_bm25_probe_is_partition_pruned(spark, tmp_path):
+    """The postings scan must carry PartitionFilters on term_bucket —
+    only the query terms' buckets are read from storage."""
+    from ubdc_airbnb_spark.operators.tfidf import build_bm25_index, query_bm25_index
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(docs, idx, n_buckets=8)
+    df = query_bm25_index(spark, idx, QUERY, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("term_bucket" in l for l in scan_lines), scan_lines
+    # the term IN probe reaches the row groups inside those partitions
+    assert any("term" in l for l in plan.splitlines() if "PushedFilters" in l)
+
+
+def test_bucket_hash_replay_matches_spark(spark):
+    from ubdc_airbnb_spark.operators.tfidf import _py_term_bucket, term_bucket
+
+    terms = ["spark", "join", "window", "the", "Straße", "日本語"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r.term: r.b
+        for r in df.select("term", term_bucket(F.col("term"), 64).alias("b")).collect()
+    }
+    assert got == {t: _py_term_bucket(t, 64) for t in terms}
+
+
+def test_index_params_and_crash_contract(spark, tmp_path):
+    from ubdc_airbnb_spark.operators.tfidf import build_bm25_index, doc_terms
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(docs, idx, n_buckets=8)
+    [p] = spark.read.parquet(idx + "/params").collect()
+    terms = doc_terms(docs, "doc_id", "text")
+    assert p.n_buckets == 8
+    assert p.n_docs == terms.select("doc_id").distinct().count()
+    assert p.toktot == terms.agg(F.sum("tf")).collect()[0][0]

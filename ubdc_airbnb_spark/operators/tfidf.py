@@ -289,8 +289,6 @@ def bm25_topk(
     (``floor(c·1e6)``) before the per-doc sum — the same absorb-the-ulp
     device as `top_terms`' 6-dp rounding, and the sum itself becomes
     exact int64. Output: (id, score, rank ≤ k), ties broken by id."""
-    from pyspark.sql import Window
-
     from .prefixsum import _pin
 
     terms = _pin(doc_terms(docs, id_col, text_col))
@@ -299,6 +297,25 @@ def bm25_topk(
     qt = [t.lower() for t in query_terms]
     qterms = terms.filter(F.col("term").isin(qt))
     dfreq = qterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _bm25_rank(qterms, dfreq, dl, tot, id_col, k, k1, b)
+
+
+def _bm25_rank(
+    qterms: DataFrame,
+    dfreq: DataFrame,
+    dl: DataFrame,
+    tot: DataFrame,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scoring tail (inline `bm25_topk` and the persisted
+    `query_bm25_index` MUST produce identical rankings, so they share
+    this code path): Lucene idf, micro-unit quantized contributions,
+    top-k after limit, ties broken by id."""
+    from pyspark.sql import Window
+
     scored = (
         qterms.join(broadcast(dfreq), "term")
         .join(dl, id_col)
@@ -324,3 +341,102 @@ def bm25_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select(id_col, "score", "rank")
     )
+
+
+def term_bucket(term: F.Column, n_buckets: int) -> F.Column:
+    """Partition key for the persisted inverted index: 60-bit md5 of the
+    term mod ``n_buckets`` — portable (Python replays it driver-side to
+    compute which partitions a query probes, so pruning never depends on
+    a Spark-internal hash)."""
+    from ..functions.hashing import md5_long
+
+    return (md5_long(term) % n_buckets).cast("int")
+
+
+def _py_term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side replay of :func:`term_bucket` (same md5-60bit mod)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Build-once inverted-index layout for BM25 serve-many (the NS76
+    persisted-IVF pattern applied to lexical retrieval — the inline
+    ``bm25_topk`` re-derives (doc, term, tf) from raw text on EVERY
+    query, which is one full corpus tokenization per query at 100 TB):
+
+    - ``postings/`` — (term, doc_id, tf) parquet, partitioned by
+      ``term_bucket = md5_60bit(term) % n_buckets``: a query touches only
+      its terms' bucket partitions (PartitionFilters, plan-asserted).
+    - ``doclen/``   — (doc_id, dl) for the length normalization.
+    - ``params/``   — (n_docs, toktot, n_buckets): the corpus constants
+      every scoring formula needs, collected once at build time.
+
+    ``n_buckets`` sizes partitions, not correctness: at corpus scale set
+    it so each bucket is a few hundred MB (vocabulary hashes uniformly —
+    only stopword terms skew WITHIN a bucket, and those rows are exactly
+    what a query's ``term IN`` filter discards at the scan)."""
+    import os
+
+    from .prefixsum import _pin
+
+    terms = _pin(doc_terms(docs, id_col, text_col))
+    (
+        terms.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    # params last: a crashed build leaves no readable index, never a
+    # wrong-constant one (same crash contract as ann_index)
+    tot = dl.agg(
+        F.sum("dl").cast("long").alias("toktot"), F.count(F.lit(1)).alias("n_docs")
+    ).collect()[0]
+    docs.sparkSession.createDataFrame(
+        [(tot.n_docs, tot.toktot, n_buckets)],
+        "n_docs long, toktot long, n_buckets int",
+    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
+
+
+def query_bm25_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partition-pruned BM25 probe against a ``build_bm25_index`` layout:
+    the driver computes the query terms' bucket ids (portable md5 replay),
+    the postings scan reads ONLY those partitions (term IN pushes to the
+    row groups inside them), document frequencies come from the pruned
+    slice, and the scoring tail is byte-identical to ``bm25_topk`` —
+    identical rankings by construction, minus the per-query corpus
+    tokenization."""
+    import os
+
+    [p] = spark.read.parquet(os.path.join(path, "params")).collect()
+    qt = sorted({t.lower() for t in query_terms})
+    buckets = sorted({_py_term_bucket(t, p.n_buckets) for t in qt})
+    qterms = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(qt))
+        .select(id_col, "term", "tf")
+    )
+    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    dfreq = qterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tot = spark.createDataFrame(
+        [(p.toktot, p.n_docs)], "toktot long, n_docs long"
+    )
+    return _bm25_rank(qterms, dfreq, dl, tot, id_col, k, k1, b)

@@ -6150,10 +6150,7 @@ def ns_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.rrf_fuse([ivf, lsh], k=5, const=60)
 
 
-@q(
-    "ns_bm25_topk",
-    ("NS-text", "W1"),
-    r"""
+_BM25_SQL = r"""
     WITH terms AS (
       SELECT doc_id, lower(term) AS term, COUNT(*) AS tf FROM (
         SELECT doc_id,
@@ -6183,7 +6180,13 @@ def ns_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, CAST(score_u AS DOUBLE) / 1e6 AS score,
            CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
     FROM sc ORDER BY score_u DESC, doc_id LIMIT 10
-    """,
+    """
+
+
+@q(
+    "ns_bm25_topk",
+    ("NS-text", "W1"),
+    _BM25_SQL,
     "BM25 keyword retrieval (Lucene idf, k1=1.2 b=0.75, query "
     "'spark join window', top-10): the lexical ranker completing the "
     "hybrid stack with dense ANN + RRF; inverted-index probe filters at "
@@ -6196,6 +6199,29 @@ def ns_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return tfidf.bm25_topk(docs, ["spark", "join", "window"], k=10)
+
+
+@q(
+    "ns_bm25_index",
+    ("NS-text", "NS-lakehouse", "W1"),
+    _BM25_SQL,
+    "BM25 serve-many: build-once inverted-index layout (postings "
+    "partitioned by md5-bucket of the term, doc-length + corpus-stats "
+    "sidecars), probe = partition-pruned postings scan (PartitionFilters "
+    "plan-asserted in tests) + the SAME scoring tail as the inline "
+    "ranker — identical oracle because an index probe and a full "
+    "recompute must agree (operators/tfidf.py build/query_bm25_index; "
+    "pattern lineage operators/ann_index.py:35)",
+)
+def ns_bm25_index(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from .operators import tfidf
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_idx_")
+    tfidf.build_bm25_index(docs, path, n_buckets=16)
+    return tfidf.query_bm25_index(spark, path, ["spark", "join", "window"], k=10)
 
 
 @q(
