@@ -20,6 +20,7 @@ def _spec(name):
 
 
 def test_pin_dedupes_same_plan(spark):
+    release_pins()  # other tests' operators may have left session pins
     df = spark.range(100).selectExpr("id", "id * 2 as v")
     a = _pin(df)
     b = _pin(spark.range(100).selectExpr("id", "id * 2 as v"))
@@ -30,6 +31,7 @@ def test_pin_dedupes_same_plan(spark):
 
 
 def test_gate_queries_release_all_pins(spark):
+    release_pins()
     before = _persistent_rdd_count(spark)
     any_pinned = False
     # ns_bm25_topk / ns_token_budget pin unconditionally; the prefix-sum
