@@ -385,3 +385,54 @@ def test_streaming_drift_state_matches_batch_drift(spark, tmp_path):
         ).collect()
     }
     assert from_state == batch
+
+
+def test_foreach_batch_drift_state_matches_batch(spark, tmp_path):
+    """Monitoring-family streaming twin: incrementally maintained
+    (grp, bin) counts finalize to the exact batch histogram_drift."""
+    from ubdc_airbnb_spark.operators.drift import histogram_drift
+
+    src = _events_dir(spark, tmp_path)
+    state = str(tmp_path / "drift_state")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_drift_state(
+        stream, state, F.col("value"), F.col("user_id") % 2 == 0, lo=0.0, width=10.0, bins=20
+    )
+    got = sorted(tuple(r) for r in jobs.drift_state_report(spark, state).collect())
+    want = sorted(
+        tuple(r)
+        for r in histogram_drift(
+            spark.read.parquet(src),
+            F.col("value"),
+            F.col("user_id") % 2 == 0,
+            lo=0.0,
+            width=10.0,
+            bins=20,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_foreach_batch_rate_state_matches_batch(spark, tmp_path):
+    from ubdc_airbnb_spark.operators.drift import rate_anomaly
+
+    src = _events_dir(spark, tmp_path)
+    state = str(tmp_path / "rate_state")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_rate_state(stream, state, "user_id", "ts")
+    got = sorted(
+        tuple(r) for r in jobs.rate_state_report(spark, state, "user_id").collect()
+    )
+    want = sorted(
+        tuple(r) for r in rate_anomaly(spark.read.parquet(src), "user_id", "ts").collect()
+    )
+    assert got == want and len(got) > 0
+    assert any(r[-1] for r in got) or True  # flags are data-dependent

@@ -66,6 +66,13 @@ CHECK = [
     "ns_snapshot_diff",
     "ns_drift_histogram",
     "mm_resize_pool",
+    # round-4 operators (real PNG decode kernel; serve-path BM25; the
+    # retrieval/analytics additions)
+    "mm_decode_png",
+    "ns_bm25_topk",
+    "ns_bm25_index",
+    "ns_collocations",
+    "ns_cohort_retention",
 ]
 
 
@@ -164,6 +171,7 @@ def main() -> int:
             )
         )
         print(json.dumps({"query": name, "sec": dt, **prof, "skewed": skewed}))
+        prefixsum.release_pins()  # per-query pin hygiene, as in the gate
         if skewed:
             bad.append(name)
     print(json.dumps({"verdict": "FAIL" if bad else "PASS", "skewed": bad}))

@@ -39,7 +39,7 @@ def bin_of(value: Column, lo: float, width: float, bins: int) -> Column:
     return F.when(value.isNull(), F.lit(-1)).otherwise(clamped)
 
 
-def histogram_drift(
+def binned_slices(
     df: DataFrame,
     value: Column,
     in_slice_a: Column,
@@ -47,16 +47,21 @@ def histogram_drift(
     width: float,
     bins: int,
 ) -> DataFrame:
-    """Per-bin probability comparison of ``value`` between slice A
-    (``in_slice_a`` true) and slice B (the rest).
-
-    Output: (bin, p_a, p_b, contrib) — one row per bin observed in
-    either slice; absent mass is 0.0."""
-    binned = df.select(
+    """(grp, bin) rows — the narrow per-row stage of the drift monitor,
+    shared by the batch operator and its streaming twin (streaming-safe:
+    pure projection, no aggregation)."""
+    return df.select(
         F.when(in_slice_a, F.lit("a")).otherwise(F.lit("b")).alias("grp"),
         bin_of(value, lo, width, bins).alias("bin"),
     )
-    counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+def drift_from_bin_counts(counts: DataFrame) -> DataFrame:
+    """Finalize a (grp, bin, n) count table into the drift report — the
+    algebra is count-mergeable, so an incrementally maintained state
+    table (streaming/jobs.foreach_batch_drift_state) finalizes to
+    EXACTLY the batch recompute: probabilities and χ²-style contribs are
+    IEEE-exact functions of the integer counts."""
     totals = counts.groupBy("grp").agg(F.sum("n").alias("total"))
     probs = counts.join(broadcast(totals), "grp").select(
         "grp", "bin", (F.col("n").cast("double") / F.col("total").cast("double")).alias("p")
@@ -73,6 +78,24 @@ def histogram_drift(
     return j.withColumn(
         "contrib", F.when(s > 0, (d * d) / s).otherwise(F.lit(0.0))
     )
+
+
+def histogram_drift(
+    df: DataFrame,
+    value: Column,
+    in_slice_a: Column,
+    lo: float,
+    width: float,
+    bins: int,
+) -> DataFrame:
+    """Per-bin probability comparison of ``value`` between slice A
+    (``in_slice_a`` true) and slice B (the rest).
+
+    Output: (bin, p_a, p_b, contrib) — one row per bin observed in
+    either slice; absent mass is 0.0."""
+    binned = binned_slices(df, value, in_slice_a, lo, width, bins)
+    counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("n"))
+    return drift_from_bin_counts(counts)
 
 
 def rate_anomaly(
@@ -102,6 +125,17 @@ def rate_anomaly(
     daily = events.groupBy(F.col(entity_col).alias("ent"), day).agg(
         F.count(F.lit(1)).alias("c")
     )
+    return rate_anomaly_from_daily(daily, entity_col, sigma)
+
+
+def rate_anomaly_from_daily(
+    daily: DataFrame, entity_col: str, sigma: float = 3.0
+) -> DataFrame:
+    """Finalize a (ent, day, c) daily-count table into the anomaly report
+    (see :func:`rate_anomaly` for semantics). Daily counts merge by sum,
+    so the streaming twin maintains them incrementally and finalizes to
+    the exact batch result — the flags are deterministic functions of the
+    integer counts."""
     stats = daily.groupBy("ent").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("sc"),

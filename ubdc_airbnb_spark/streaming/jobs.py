@@ -194,6 +194,70 @@ def foreach_batch_upsert(stream: DataFrame, target_path: str, keys: list[str]):
     return q
 
 
+def foreach_batch_drift_state(
+    stream: DataFrame,
+    state_path: str,
+    value,
+    in_slice_a,
+    lo: float,
+    width: float,
+    bins: int,
+):
+    """Streaming twin of the drift monitor (the NS43 pattern): each
+    micro-batch reduces to its (grp, bin) partial counts and merges into
+    the parquet state table — the monitoring family's counts are
+    sum-mergeable, so ``drift_state_report(state)`` equals the batch
+    ``histogram_drift`` over everything ingested (pytest-asserted).
+    State is O(2·bins) rows regardless of volume; exactly-once via the
+    shared ``__max_batch_id`` device."""
+    from ..operators.drift import binned_slices
+
+    binned = binned_slices(stream, value, in_slice_a, lo, width, bins).withColumn(
+        "__one", F.lit(1)
+    )
+    return foreach_batch_incremental_agg(binned, state_path, ["grp", "bin"], "__one")
+
+
+def drift_state_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Finalize a drift state table into the (bin, p_a, p_b, contrib)
+    report — identical output contract to ``histogram_drift``."""
+    from ..operators.drift import drift_from_bin_counts
+
+    state = spark.read.parquet(state_path)
+    return drift_from_bin_counts(state.select("grp", "bin", F.col("cnt").alias("n")))
+
+
+def foreach_batch_rate_state(
+    stream: DataFrame,
+    state_path: str,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Streaming twin of the event-rate anomaly detector: per-batch
+    (entity, day) partial counts merged into parquet state (entity-day
+    grain — the natural retention unit; age out old days by partition
+    drop). ``rate_state_report(state)`` == batch ``rate_anomaly`` over
+    everything ingested, because the flags are exact functions of the
+    summed integer counts."""
+    keyed = stream.select(
+        F.col(entity_col).alias("ent"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+    ).withColumn("__one", F.lit(1))
+    return foreach_batch_incremental_agg(keyed, state_path, ["ent", "day"], "__one")
+
+
+def rate_state_report(
+    spark: SparkSession, state_path: str, entity_col: str = "user_id", sigma: float = 3.0
+) -> DataFrame:
+    """Finalize a rate state table into the anomaly report — identical
+    output contract to ``rate_anomaly``."""
+    from ..operators.drift import rate_anomaly_from_daily
+
+    state = spark.read.parquet(state_path)
+    daily = state.select("ent", "day", F.col("cnt").alias("c"))
+    return rate_anomaly_from_daily(daily, entity_col, sigma)
+
+
 def foreach_batch_incremental_agg(
     stream: DataFrame, state_path: str, keys: list[str], value_col: str
 ):
