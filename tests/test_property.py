@@ -342,3 +342,22 @@ def test_incremental_merge_matches_naive(spark, a_vals, b_vals):
     assert row.sum_value == sum(allv)
     assert row.min_value == min(allv)
     assert row.max_value == max(allv)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=10, max_size=10),
+)
+@settings(max_examples=150, deadline=None)
+def test_png_roundtrip_property(w, h, channels, seed, filters):
+    """decode(encode(px)) == px for arbitrary geometry, channel count,
+    pixel content, and per-row filter choice (all five unfilter paths)."""
+    from ubdc_airbnb_spark.multimodal.png import decode_png, encode_png
+
+    n = w * h * channels
+    px = bytes((seed * 2654435761 + i * 40503 + (i * i) % 251) % 256 for i in range(n))
+    data = encode_png(px, w, h, channels, lambda y: filters[y % 10])
+    assert decode_png(data) == (w, h, channels, px)
