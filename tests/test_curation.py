@@ -36,3 +36,23 @@ def test_ngram_overlap_plan_broadcasts(spark):
     plan = ngram_overlap(train, eval_df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_weights_separate_target_from_rest(spark):
+    """The point of the scorer: documents from the target slice (en) must
+    average a higher importance weight than the rest."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.curation import dsir_weights
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    w = dsir_weights(docs, F.col("lang") == "en")
+    j = w.join(docs.select("doc_id", "lang"), "doc_id")
+    avg = {
+        r.grp: r.m
+        for r in j.groupBy((F.col("lang") == "en").alias("grp"))
+        .agg(F.avg(F.col("weight") / F.col("n_tokens")).alias("m"))
+        .collect()
+    }
+    assert avg[True] > avg[False]

@@ -235,3 +235,78 @@ def ngram_novelty(
             F.col("n_novel").cast("double") / F.col("n_distinct_grams").cast("double"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    docs: DataFrame,
+    in_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Data-selection importance weights (the hashed-n-gram DSIR recipe,
+    Xie et al. 2023): score every document by the log-likelihood ratio of
+    a TARGET unigram model (documents where ``in_target``) vs the RAW
+    corpus model, over hashed token buckets —
+
+        w(d) = Σ_tok  ln p_t(bucket(tok)) − ln p_r(bucket(tok))
+
+    with add-1 smoothing in a fixed ``buckets``-sized hash space. High
+    weight ⇒ the document "looks like" the target slice; resample the
+    raw corpus ∝ exp(w) (or top-quantile cut) to shift a 100 TB crawl
+    toward a curated distribution without training a classifier.
+
+    Spark shape: tokens bucket via the portable md5-60bit hash (narrow),
+    per-(doc,bucket) tf counts partial-aggregate map-side, the two model
+    count tables are ≤ ``buckets`` rows (broadcast), scalar totals
+    broadcast — ONE shuffle of (doc, bucket) rows regardless of corpus
+    size, and the bucket space caps model memory exactly as in the paper.
+
+    Determinism: the two smoothed probabilities fold into ONE ln of a
+    ratio of IEEE-exact doubles, quantized to integer micro-units before
+    the per-doc sum (the BM25 absorb-the-ulp device), so the weight is
+    bit-stable across engines and partitionings.
+
+    Output: (id_col, weight double, n_tokens long) — docs with ≥1 token.
+    """
+    from ..functions.hashing import md5_long
+
+    toks = docs.select(
+        F.col(id_col), in_target.alias("__tgt"), F.explode(words(text_col)).alias("__w")
+    ).select(
+        id_col, "__tgt", (md5_long(F.lower(F.col("__w"))) % buckets).alias("b")
+    )
+    db = toks.groupBy(id_col, "__tgt", "b").agg(F.count(F.lit(1)).alias("tf"))
+    raw = db.groupBy("b").agg(F.sum("tf").alias("cr"))
+    tgt = db.filter(F.col("__tgt")).groupBy("b").agg(F.sum("tf").alias("ct"))
+    tots = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("tt"))
+    )
+    bd = float(buckets)
+    num = (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") * (
+        F.col("tr").cast("double") + F.lit(bd)
+    )
+    den = (F.col("cr") + 1).cast("double") * (F.col("tt").cast("double") + F.lit(bd))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .join(F.broadcast(tots))
+        .select("b", F.floor(F.log(num / den) * F.lit(1e6)).cast("long").alias("lr_u"))
+    )
+    return (
+        db.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("lr_u")).alias("w_u"),
+            F.sum("tf").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            (F.col("w_u").cast("double") / F.lit(1e6)).alias("weight"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

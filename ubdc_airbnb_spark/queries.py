@@ -6306,3 +6306,46 @@ def mm_decode_png(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return decode_png_stats(synthetic_png_media(docs))
+
+
+@q(
+    "ns_dsir_weights",
+    ("NS-curation", "A2"),
+    r"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS w
+      FROM documents),
+    tb AS (
+      SELECT doc_id, tgt,
+             CAST(CONCAT('0x', SUBSTR(MD5(lower(w)), 1, 15)) AS BIGINT) % 1024 AS b
+      FROM toks),
+    db AS (SELECT doc_id, tgt, b, COUNT(*) AS tf FROM tb GROUP BY 1, 2, 3),
+    raw AS (SELECT b, SUM(tf) AS cr FROM db GROUP BY b),
+    tgtc AS (SELECT b, SUM(tf) AS ct FROM db WHERE tgt GROUP BY b),
+    tots AS (SELECT (SELECT SUM(cr) FROM raw) AS tr, (SELECT SUM(ct) FROM tgtc) AS tt),
+    lr AS (
+      SELECT raw.b,
+             CAST(floor(ln(
+               (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * (CAST(tr AS DOUBLE) + 1024.0))
+               / (CAST(cr + 1 AS DOUBLE) * (CAST(tt AS DOUBLE) + 1024.0))
+             ) * 1e6) AS BIGINT) AS lr_u
+      FROM raw LEFT JOIN tgtc USING (b) CROSS JOIN tots)
+    SELECT doc_id,
+           CAST(SUM(tf * lr_u) AS DOUBLE) / 1e6 AS weight,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens
+    FROM db JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+    "DSIR importance-resampling weights (hashed-unigram target-vs-raw "
+    "log-likelihood ratio, target = lang='en', 1024 buckets, add-1 "
+    "smoothing): the published data-selection scorer as ONE (doc,bucket) "
+    "shuffle + two broadcast bucket models; the two smoothed probs fold "
+    "into one ln of an exact-double ratio quantized to micro-units, so "
+    "the oracle replays bit-for-bit (operators/curation.py dsir_weights)",
+)
+def ns_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents")
+    return curation.dsir_weights(docs, F.col("lang") == "en", buckets=1024)
