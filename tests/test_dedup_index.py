@@ -1,0 +1,69 @@
+"""Persisted LSH dedup index: parity with in-session banding, partition
+pruning in the probe plan, incremental append lifecycle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ubdc_airbnb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_index_probe_matches_in_session_banding(spark, tmp_path):
+    from ubdc_airbnb_spark.operators import dedup
+    from ubdc_airbnb_spark.operators.dedup_index import build_lsh_index, query_lsh_index
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") < 40)
+    new = docs.filter(F.col("doc_id") >= 40)
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(corpus, idx, n_buckets=8)
+    got = {(r.corpus_id, r.new_id) for r in query_lsh_index(spark, idx, new).collect()}
+
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", 16, 3, "word")
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+    want = {
+        (r.id_a, r.id_b)
+        for r in pairs.collect()
+        if r.id_a < 40 <= r.id_b
+    } | {
+        (r.id_b, r.id_a)
+        for r in pairs.collect()
+        if r.id_b < 40 <= r.id_a
+    }
+    assert got == want
+
+
+def test_lsh_probe_is_partition_pruned(spark, tmp_path):
+    from ubdc_airbnb_spark.operators.dedup_index import build_lsh_index, query_lsh_index
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(docs.filter(F.col("doc_id") < 40), idx, n_buckets=8)
+    df = query_lsh_index(spark, idx, docs.filter(F.col("doc_id") == 41))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("key_bucket" in l for l in scan_lines), scan_lines
+
+
+def test_add_to_index_makes_batch_discoverable(spark, tmp_path):
+    from ubdc_airbnb_spark.operators.dedup_index import (
+        add_to_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") < 30)
+    batch1 = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(corpus, idx, n_buckets=8)
+    add_to_lsh_index(batch1, idx)
+    # an exact duplicate of a batch1 doc must now collide with it
+    dup = batch1.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    dup_id = dup.collect()[0].doc_id
+    got = {(r.corpus_id, r.new_id) for r in query_lsh_index(spark, idx, dup).collect()}
+    assert (dup_id - 100000, dup_id) in got

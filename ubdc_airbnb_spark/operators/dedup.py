@@ -105,6 +105,29 @@ def minhash_signatures(
     return base.select(F.col(id_col), F.expr(f"array({terms})").alias("sig"))
 
 
+def banded_signatures(
+    sigs: DataFrame, id_col: str, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band_id, band_key) rows — the LSH banding stage, shared by
+    the in-session candidate join and the persisted dedup index. One SQL
+    string, one parse: per-band md5 over its signature slice (the same
+    single-parse discipline as the signature fold — per-element Column
+    construction costs ~100 py4j round-trips of pure driver latency)."""
+    rows_per_band = num_perm // bands
+    band_sql = ",".join(
+        "md5(concat_ws(',',{}))".format(
+            ",".join(
+                f"cast(sig[{b * rows_per_band + r}] as string)"
+                for r in range(rows_per_band)
+            )
+        )
+        for b in range(bands)
+    )
+    return sigs.selectExpr(
+        id_col, f"posexplode(array({band_sql})) AS (band_id, band_key)"
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -130,23 +153,7 @@ def lsh_candidate_pairs(
     so the composition loses no coverage the cheap paths don't recover.
     The cap costs one extra map-side-combinable count over the banded
     rows. Default ``None`` (off) — gate-parity behavior."""
-    rows_per_band = num_perm // bands
-    # one SQL string, one parse: per-band md5 over its signature slice
-    # (the same single-parse discipline as the signature fold above —
-    # per-element Column construction costs ~100 py4j round-trips of
-    # pure driver latency)
-    band_sql = ",".join(
-        "md5(concat_ws(',',{}))".format(
-            ",".join(
-                f"cast(sig[{b * rows_per_band + r}] as string)"
-                for r in range(rows_per_band)
-            )
-        )
-        for b in range(bands)
-    )
-    banded = sigs.selectExpr(
-        id_col, f"posexplode(array({band_sql})) AS (band_id, band_key)"
-    )
+    banded = banded_signatures(sigs, id_col, num_perm, bands)
     if max_bucket is not None:
         small = (
             banded.groupBy("band_id", "band_key")

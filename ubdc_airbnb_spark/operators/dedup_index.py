@@ -1,0 +1,131 @@
+"""Persisted MinHash-LSH dedup index: build the corpus banding ONCE,
+then screen every incoming drop against it with a partition-pruned probe
+— the `ann_index.py` / `tfidf.build_bm25_index` serve-many pattern
+applied to near-duplicate detection.
+
+Why this exists at 100 TB: in-session `lsh_candidate_pairs` re-shingles
+and re-hashes the ENTIRE corpus per run; a daily-drop pipeline needs the
+corpus side amortized. Layout:
+
+- ``banded/``  — (doc_id, band_id, band_key) parquet, partitioned by
+  ``key_bucket = md5_60bit(band_key) % n_buckets`` (the portable bucket
+  hash — the probe replays it for pruning).
+- ``params/``  — (num_perm, bands, ngram, shingle, n_buckets): the probe
+  MUST shingle/hash the new batch with the index's own constants or the
+  band keys are meaningless; recording them makes the index
+  self-describing.
+
+A probe of a small batch touches only its band keys' bucket partitions
+(PartitionFilters, plan-asserted); the candidate join shuffles on
+(band_id, band_key) only — Σ|bucket|² cost, never all-pairs. New batches
+join the corpus via ``add_to_lsh_index`` (parquet append into touched
+partitions only, params untouched — banding constants never change after
+build).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from .dedup import banded_signatures, minhash_signatures
+
+
+def _key_bucket(n_buckets: int) -> F.Column:
+    return (md5_long(F.col("band_key")) % n_buckets).cast("int")
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    shingle: str = "word",
+    n_buckets: int = 64,
+) -> None:
+    """Shingle+MinHash+band the corpus once and persist the banded rows
+    bucket-partitioned. Params written LAST (crash leaves no readable
+    index, never a half-described one)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, ngram, shingle)
+    banded = banded_signatures(sigs, id_col, num_perm, bands)
+    (
+        banded.withColumn("key_bucket", _key_bucket(n_buckets))
+        .repartition("key_bucket")
+        .write.mode("overwrite")
+        .partitionBy("key_bucket")
+        .parquet(os.path.join(path, "banded"))
+    )
+    docs.sparkSession.createDataFrame(
+        [(num_perm, bands, ngram, shingle, n_buckets)],
+        "num_perm int, bands int, ngram int, shingle string, n_buckets int",
+    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
+
+
+def query_lsh_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Screen a new batch against the index: band the batch with the
+    index's own constants, read ONLY the bucket partitions its band keys
+    hash into, equi-join on (band_id, band_key).
+
+    The bucket-id collect is bounded by ``n_buckets`` (not batch size),
+    so the driver round-trip is O(1). Output: (corpus_id, new_id)
+    distinct candidate pairs — feed them to ``ngram_jaccard_pairs``-style
+    verification exactly as with in-session LSH."""
+    [p] = spark.read.parquet(os.path.join(path, "params")).collect()
+    sigs = minhash_signatures(
+        new_docs, id_col, text_col, p.num_perm, p.ngram, p.shingle
+    )
+    nb = banded_signatures(sigs, id_col, p.num_perm, p.bands).withColumn(
+        "key_bucket", _key_bucket(p.n_buckets)
+    )
+    buckets = [
+        r.key_bucket for r in nb.select("key_bucket").distinct().collect()
+    ]  # ≤ n_buckets rows by construction
+    corpus = spark.read.parquet(os.path.join(path, "banded")).filter(
+        F.col("key_bucket").isin(buckets)
+    )
+    new_side = nb.select(
+        F.col(id_col).alias("new_id"), "band_id", "band_key"
+    )
+    return (
+        corpus.select(F.col(id_col).alias("corpus_id"), "band_id", "band_key")
+        .join(new_side, ["band_id", "band_key"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+
+
+def add_to_lsh_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a screened batch into the corpus index: band it with the
+    index's constants and parquet-append into the touched bucket
+    partitions only — no rewrite of existing buckets, params unchanged
+    (banding constants are fixed at build)."""
+    spark = new_docs.sparkSession
+    [p] = spark.read.parquet(os.path.join(path, "params")).collect()
+    sigs = minhash_signatures(
+        new_docs, id_col, text_col, p.num_perm, p.ngram, p.shingle
+    )
+    banded = banded_signatures(sigs, id_col, p.num_perm, p.bands)
+    (
+        banded.withColumn("key_bucket", _key_bucket(p.n_buckets))
+        .repartition("key_bucket")
+        .write.mode("append")
+        .partitionBy("key_bucket")
+        .parquet(os.path.join(path, "banded"))
+    )

@@ -6349,3 +6349,42 @@ def ns_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return curation.dsir_weights(docs, F.col("lang") == "en", buckets=1024)
+
+
+def _lsh_index_oracle_sql(split_at: int = 400) -> str:
+    """The persisted-index probe's oracle: the SAME seeded MinHash+band
+    replay as ``_minhash_oracle_sql``, with the pair join restricted to
+    corpus (< split_at) x new batch (>= split_at) — serving an index and
+    banding in-session must agree."""
+    base = _minhash_oracle_sql(16, 4)
+    head = base[: base.rindex("SELECT DISTINCT")]
+    return head + f"""SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < {split_at} AND b.doc_id >= {split_at}
+    """
+
+
+@q(
+    "ns_dedup_lsh_index",
+    ("NS-dedup", "NS-lakehouse"),
+    _lsh_index_oracle_sql(400),
+    "dedup serve-many: the corpus MinHash banding persisted ONCE "
+    "(bucket-partitioned by the portable band-key hash, self-describing "
+    "params), a new drop screened against it via a partition-pruned "
+    "probe + (band_id, band_key) equi-join — the ann_index/bm25_index "
+    "pattern applied to near-dup detection; identical oracle to the "
+    "in-session bander restricted to corpus x new pairs "
+    "(operators/dedup_index.py)",
+)
+def ns_dedup_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from .operators import dedup_index
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new_batch = docs.filter(F.col("doc_id") >= 400)
+    path = tempfile.mkdtemp(prefix="lsh_idx_")
+    dedup_index.build_lsh_index(corpus, path, n_buckets=16)
+    return dedup_index.query_lsh_index(spark, path, new_batch)
