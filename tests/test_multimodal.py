@@ -166,3 +166,56 @@ def test_resize_pool_matches_numpy_oracle(spark):
                     want[(mid, cr, cc)] = int(cell.sum()) // cell.size
     assert got == want
     assert all(k[0] != 3 for k in got)  # empty media absent
+
+
+def test_wav_roundtrip_and_rejection():
+    import struct
+
+    import pytest as _pytest
+
+    from ubdc_airbnb_spark.multimodal.wav import decode_wav, encode_wav
+
+    for bits, ch, rate in ((8, 1, 8000), (8, 2, 11000), (16, 1, 16000), (16, 2, 44100)):
+        n = 30 * ch
+        samples = (
+            [(i * 7) % 256 for i in range(n)]
+            if bits == 8
+            else [((i * 7919) % 4001) - 2000 for i in range(n)]
+        )
+        got = decode_wav(encode_wav(samples, rate, ch, bits))
+        assert got == (rate, ch, bits, samples)
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    # float PCM (tag 3) is out of profile: fail closed
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    blob = (
+        b"RIFF" + struct.pack("<I", 28 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError, match="format tag"):
+        decode_wav(blob)
+
+
+def test_decode_wav_stats_stage_matches_python_oracle(spark):
+    from ubdc_airbnb_spark.multimodal.binary_ops import decode_wav_stats, synthetic_wav_media
+
+    ids = spark.range(0, 30).selectExpr("id as doc_id")
+    got = {
+        r.media_id: (r.sample_rate, r.channels, r.bits, r.n_samples, r.s_sum, r.s_wsum, r.s_min, r.s_max)
+        for r in decode_wav_stats(synthetic_wav_media(ids)).collect()
+    }
+    for did in range(30):
+        rate, ch = 8000 + 1000 * (did % 5), 1 + did % 2
+        bits = 8 if did % 3 == 0 else 16
+        n = (20 + did % 16) * ch
+        s = (
+            [(did * 17 + i * 13) % 256 for i in range(n)]
+            if bits == 8
+            else [((did * 17 + i * 13) % 4001) - 2000 for i in range(n)]
+        )
+        assert got[did] == (
+            rate, ch, bits, n, sum(s),
+            sum((i + 1) * v for i, v in enumerate(s)),
+            min(s), max(s),
+        )

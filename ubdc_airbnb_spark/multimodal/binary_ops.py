@@ -123,6 +123,94 @@ def decode_png_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
     return _spread(media).mapInPandas(_decode, PNG_STATS_SCHEMA)
 
 
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("bits", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("s_sum", T.LongType(), True),
+        T.StructField("s_wsum", T.LongType(), True),
+        T.StructField("s_min", T.LongType(), True),
+        T.StructField("s_max", T.LongType(), True),
+    ]
+)
+
+
+def decode_wav_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """REAL audio decode stage — pure-stdlib PCM WAV (RIFF chunk parsing,
+    8/16-bit samples; see ``wav.decode_wav``) in the same Arrow-batched
+    ``mapInPandas`` plumbing as the PNG kernel. Emits per-clip format
+    fields plus sample stats including the position-weighted sum
+    Σ(i+1)·s[i], so the ``mm_decode_wav`` oracle replay proves a
+    bit-exact decode. Fail-closed on malformed/compressed payloads."""
+    import numpy as np
+
+    from .wav import decode_wav
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in WAV_STATS_SCHEMA.fieldNames()}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, ch, bits, samples = decode_wav(bytes(content))
+                arr = np.asarray(samples, dtype=np.int64)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["bits"].append(bits)
+                out["n_samples"].append(arr.size)
+                out["s_sum"].append(int(arr.sum()))
+                out["s_wsum"].append(int((arr * (np.arange(arr.size) + 1)).sum()))
+                out["s_min"].append(int(arr.min()))
+                out["s_max"].append(int(arr.max()))
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return _spread(media).mapInPandas(_decode, WAV_STATS_SCHEMA)
+
+
+def synthetic_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV fixture stage: per id, ENCODE a spec-valid PCM
+    WAV whose format and samples are closed-form in the id —
+
+        rate = 8000 + 1000·(id % 5),  channels = 1 + id % 2,
+        bits = 8 if id % 3 == 0 else 16,
+        n_samples = (20 + id % 16) · channels,
+        s[i] = (id·17 + i·13) % 256            (8-bit)
+               ((id·17 + i·13) % 4001) − 2000  (16-bit, signed)
+
+    so the oracle replays the expected stats from the formula alone —
+    the gate never trusts encoder and decoder to agree by shared bug."""
+    from .wav import encode_wav
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                rate = 8000 + 1000 * (did % 5)
+                ch = 1 + did % 2
+                bits = 8 if did % 3 == 0 else 16
+                n = (20 + did % 16) * ch
+                if bits == 8:
+                    samples = [(did * 17 + i * 13) % 256 for i in range(n)]
+                else:
+                    samples = [((did * 17 + i * 13) % 4001) - 2000 for i in range(n)]
+                ids_.append(did)
+                blobs.append(encode_wav(samples, rate, ch, bits))
+            yield pd.DataFrame({"media_id": pd.array(ids_, dtype="int64"), "content": blobs})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    return ids.select(F.col(id_col)).mapInPandas(_make, schema)
+
+
 def synthetic_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic PNG fixture stage: for each id, ENCODE a real PNG
     whose geometry, channel count, pixel bytes, and per-row filter type

@@ -6388,3 +6388,49 @@ def ns_dedup_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="lsh_idx_")
     dedup_index.build_lsh_index(corpus, path, n_buckets=16)
     return dedup_index.query_lsh_index(spark, path, new_batch)
+
+
+@q(
+    "mm_decode_wav",
+    ("NS-multimodal",),
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             8000 + 1000 * (doc_id % 5) AS rate,
+             1 + doc_id % 2 AS ch,
+             CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+             (20 + doc_id % 16) * (1 + doc_id % 2) AS n
+      FROM documents),
+    pos AS (SELECT doc_id, rate, ch, bits, n,
+                   unnest(generate_series(0, n - 1)) AS i
+            FROM dims),
+    v AS (
+      SELECT doc_id, rate, ch, bits, i,
+             CASE WHEN bits = 8 THEN (doc_id * 17 + i * 13) % 256
+                  ELSE ((doc_id * 17 + i * 13) % 4001) - 2000 END AS s
+      FROM pos)
+    SELECT doc_id AS media_id,
+           CAST(MAX(rate) AS BIGINT) AS sample_rate,
+           CAST(MAX(ch) AS BIGINT) AS channels,
+           CAST(MAX(bits) AS BIGINT) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS s_sum,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS s_wsum,
+           CAST(MIN(s) AS BIGINT) AS s_min,
+           CAST(MAX(s) AS BIGINT) AS s_max
+    FROM v GROUP BY doc_id
+    """,
+    "REAL audio decode, oracle-gated end to end: a fixture stage ENCODEs "
+    "a spec-valid PCM WAV per doc (rate/channels/bit-depth/samples all "
+    "closed-form in doc_id, both 8- and 16-bit paths exercised), the "
+    "decode stage parses the RIFF chunks and unpacks samples "
+    "(pure-stdlib multimodal/wav.py — no librosa/ffmpeg) and emits "
+    "per-clip stats incl. the position-weighted sum only a bit-exact "
+    "decode reproduces; the oracle replays the stats from the sample "
+    "formula, independent of both codec halves",
+)
+def mm_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
+    from .multimodal.binary_ops import decode_wav_stats, synthetic_wav_media
+
+    docs = load_table(spark, sf, "documents")
+    return decode_wav_stats(synthetic_wav_media(docs))
