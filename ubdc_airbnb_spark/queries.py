@@ -6434,3 +6434,54 @@ def mm_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return decode_wav_stats(synthetic_wav_media(docs))
+
+
+@q(
+    "ns_bpe_pair_counts",
+    ("NS-tokenizer", "A2", "W1"),
+    r"""
+    WITH wf AS (
+      SELECT lower(w) AS word, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS w
+        FROM documents)
+      GROUP BY lower(w)),
+    syms AS (
+      SELECT word, freq,
+             list_append(
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, CAST(i AS INTEGER), 1)),
+               '</w>') AS s
+      FROM wf),
+    pairs AS (
+      SELECT s[CAST(i AS INTEGER)] AS left_sym,
+             s[CAST(i + 1 AS INTEGER)] AS right_sym, freq
+      FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i FROM syms)),
+    pc AS (SELECT left_sym, right_sym, SUM(freq) AS cnt FROM pairs GROUP BY 1, 2)
+    SELECT left_sym, right_sym, CAST(cnt AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, left_sym, right_sym) AS BIGINT) AS rank
+    FROM pc ORDER BY cnt DESC, left_sym, right_sym LIMIT 20
+    """,
+    "BPE training's inner statistic (Sennrich 2016): adjacent-symbol "
+    "pair counts weighted by word frequency over the initial char+'</w>' "
+    "symbolization — computed on the VOCAB-SIZED word table (the corpus "
+    "is touched once for the word counts), pair generation in codegen, "
+    "one pair-key shuffle; top-20 with full tiebreak "
+    "(operators/bpe.py pair_counts)",
+)
+def ns_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import bpe
+
+    docs = load_table(spark, sf, "documents")
+    pc = bpe.pair_counts(bpe.initial_symbols(bpe.word_frequencies(docs, "doc_id", "text")))
+    w = Window.orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+    return (
+        pc.orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("cnt").cast("long").alias("cnt"),
+            "rank",
+        )
+    )
