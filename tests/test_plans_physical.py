@@ -588,3 +588,46 @@ def test_collocations_topk_is_take_ordered(spark):
     plan = _plan(collocations(docs, min_count=3, top=10))
     assert "TakeOrderedAndProject" in plan
     assert "Cartesian" not in plan
+
+
+def test_dsir_bucket_models_broadcast(spark):
+    """DSIR's two unigram-model tables (≤ buckets rows) must broadcast
+    back to the (doc, bucket) stream — the big side never sort-merges."""
+    from ubdc_airbnb_spark.operators.curation import dsir_weights
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan(dsir_weights(docs, F.col("lang") == "en", buckets=256))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pair_counts_single_pair_shuffle(spark):
+    """BPE pair counts: the pair explode stays narrow; the only wide op
+    is the pair-key hash aggregate (map-side combined), so exactly the
+    exchanges of word-count + pair-count — never a join."""
+    from ubdc_airbnb_spark.operators import bpe
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan(bpe.pair_counts(bpe.initial_symbols(bpe.word_frequencies(docs, "doc_id", "text"))))
+    assert "Join" not in plan
+    # tree nodes render as "Exchange (n)"; map-side combine means exactly
+    # two: the word-count shuffle and the pair-count shuffle
+    assert plan.count("Exchange (") <= 2, plan.count("Exchange (")
+
+
+def test_lsh_index_probe_no_corpus_wide_shuffle(spark, tmp_path):
+    """The dedup-index probe joins banded corpus rows to the batch on
+    (band_id, band_key); the corpus side must arrive partition-pruned
+    (asserted in test_dedup_index) and the plan must not re-shuffle the
+    corpus on anything except the band key."""
+    from ubdc_airbnb_spark.operators.dedup_index import build_lsh_index, query_lsh_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(docs.filter(F.col("doc_id") < 40), idx, n_buckets=8)
+    plan = _plan(query_lsh_index(spark, idx, docs.filter(F.col("doc_id") >= 40)))
+    assert "band_key" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
