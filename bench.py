@@ -54,6 +54,12 @@ HEADLINE = [
     # whole corpus; all-pairs cosine is the Σ df² inverted-index join)
     "ns_bigram_lm",
     "ns_tfidf_cosine_pairs",
+    # round 4: the real PNG decode kernel (Arrow-batched pure-Python
+    # unfilter — the honest cost of stdlib decode), DSIR scoring, and
+    # BPE's inner pair-count statistic
+    "mm_decode_png",
+    "ns_dsir_weights",
+    "ns_bpe_pair_counts",
 ]
 
 

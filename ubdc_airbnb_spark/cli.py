@@ -659,6 +659,71 @@ def cmd_report(args) -> int:
     return 0
 
 
+def _docs_from(args, spark):
+    from .sources.tables import load_table
+
+    return (
+        spark.read.parquet(args.input)
+        if getattr(args, "input", None)
+        else load_table(spark, args.sf_dir, "documents")
+    )
+
+
+def cmd_train_bpe(args) -> int:
+    """Learn a BPE merge table from the corpus word frequencies and write
+    it as parquet — the tokenizer artifact `apply_bpe` replays."""
+    from .operators import bpe
+
+    spark = _spark()
+    merges = bpe.bpe_train(
+        _docs_from(args, spark), n_merges=args.merges, min_count=args.min_count
+    )
+    merges.orderBy("step").write.mode("overwrite").parquet(args.output)
+    n = merges.count()
+    print(f"learned {n} merges -> {args.output}")
+    return 0
+
+
+def cmd_screen_drop(args) -> int:
+    """Near-duplicate screening of an incoming drop against the persisted
+    LSH index: optional build, probe, optional fold-in."""
+    from .operators import dedup_index
+
+    spark = _spark()
+    if args.build:
+        dedup_index.build_lsh_index(spark.read.parquet(args.build), args.index)
+        print(f"built index at {args.index}")
+    drop = spark.read.parquet(args.drop)
+    pairs = dedup_index.query_lsh_index(spark, args.index, drop)
+    if args.output:
+        pairs.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        pairs.show(args.limit, truncate=False)
+    if args.add:
+        dedup_index.add_to_lsh_index(drop, args.index)
+        print("drop folded into index")
+    return 0
+
+
+def cmd_dsir_score(args) -> int:
+    """DSIR importance weights of every document against a target slice
+    given as a boolean SQL expression (e.g. "lang = 'en'")."""
+    from pyspark.sql import functions as F
+
+    from .operators.curation import dsir_weights
+
+    spark = _spark()
+    docs = _docs_from(args, spark)
+    w = dsir_weights(docs, F.expr(args.target_sql), buckets=args.buckets)
+    if args.output:
+        w.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        w.orderBy(F.desc("weight")).show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ubdc-airbnb-spark")
     p.add_argument("--warehouse", default=os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ubdc_warehouse"))
@@ -767,6 +832,32 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--only", action="append", help="run only this report query (repeatable)")
     rp.add_argument("--limit", type=int, default=20)
     rp.set_defaults(fn=cmd_report)
+
+    tb = sub.add_parser("train-bpe", help="learn BPE merges from a corpus")
+    tb.add_argument("--input", default=None, help="parquet docs dir (default: --sf-dir documents table)")
+    tb.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    tb.add_argument("--merges", type=int, default=64)
+    tb.add_argument("--min-count", type=int, default=2)
+    tb.add_argument("--output", required=True, help="parquet dir for the merge table")
+    tb.set_defaults(fn=cmd_train_bpe)
+
+    sd = sub.add_parser("screen-drop", help="screen a new document drop against a persisted LSH dedup index")
+    sd.add_argument("--index", required=True, help="dedup index path (built with --build)")
+    sd.add_argument("--build", default=None, help="build the index from this corpus parquet first")
+    sd.add_argument("--drop", required=True, help="parquet dir of the incoming documents")
+    sd.add_argument("--add", action="store_true", help="fold the screened drop into the index afterwards")
+    sd.add_argument("--output", default=None, help="write candidate pairs parquet instead of printing")
+    sd.add_argument("--limit", type=int, default=20)
+    sd.set_defaults(fn=cmd_screen_drop)
+
+    ds = sub.add_parser("dsir-score", help="DSIR importance weights against a target slice")
+    ds.add_argument("--input", default=None, help="parquet docs dir (default: --sf-dir documents table)")
+    ds.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ds.add_argument("--target-sql", default="lang = 'en'", help="boolean SQL expression defining the target slice")
+    ds.add_argument("--buckets", type=int, default=1024)
+    ds.add_argument("--output", default=None)
+    ds.add_argument("--limit", type=int, default=20)
+    ds.set_defaults(fn=cmd_dsir_score)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -275,27 +275,38 @@ def dsir_weights(
     Output: (id_col, weight double, n_tokens long) — docs with ≥1 token.
     """
     from ..functions.hashing import md5_long
+    from .prefixsum import _pin
 
-    toks = docs.select(
-        F.col(id_col), in_target.alias("__tgt"), F.explode(words(text_col)).alias("__w")
-    ).select(
-        id_col, "__tgt", (md5_long(F.lower(F.col("__w"))) % buckets).alias("b")
+    # tf per (doc, word) FIRST (map-side combined), md5 only on the
+    # combined rows: one hash per distinct word per doc, not per token
+    # occurrence — ~tokens/vocab fewer md5 kernels (measured 2x e2e)
+    wt = (
+        docs.select(
+            F.col(id_col), in_target.alias("__tgt"), F.explode(words(text_col)).alias("__w")
+        )
+        .groupBy(id_col, "__tgt", F.lower(F.col("__w")).alias("__word"))
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    db = toks.groupBy(id_col, "__tgt", "b").agg(F.count(F.lit(1)).alias("tf"))
-    raw = db.groupBy("b").agg(F.sum("tf").alias("cr"))
-    tgt = db.filter(F.col("__tgt")).groupBy("b").agg(F.sum("tf").alias("ct"))
-    tots = raw.agg(F.sum("cr").alias("tr")).crossJoin(
-        tgt.agg(F.sum("ct").alias("tt"))
+    # the (doc, bucket) stream feeds BOTH the model aggregate and the
+    # final scoring join — pin it (release via release_pins() as usual)
+    db = _pin(
+        wt.select(id_col, "__tgt", (md5_long(F.col("__word")) % buckets).alias("b"), "tf")
+        .groupBy(id_col, "__tgt", "b")
+        .agg(F.sum("tf").alias("tf"))
     )
+    # both unigram models in ONE bucket-key aggregate: raw count = all
+    # tokens, target count = conditional sum (0 when the bucket never
+    # occurs in the target slice — same value the old left-join coalesced)
+    models = db.groupBy("b").agg(
+        F.sum("tf").alias("cr"),
+        F.sum(F.when(F.col("__tgt"), F.col("tf")).otherwise(F.lit(0))).alias("ct"),
+    )
+    tots = models.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
     bd = float(buckets)
-    num = (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") * (
-        F.col("tr").cast("double") + F.lit(bd)
-    )
+    num = (F.col("ct") + 1).cast("double") * (F.col("tr").cast("double") + F.lit(bd))
     den = (F.col("cr") + 1).cast("double") * (F.col("tt").cast("double") + F.lit(bd))
-    lr = (
-        raw.join(tgt, "b", "left")
-        .join(F.broadcast(tots))
-        .select("b", F.floor(F.log(num / den) * F.lit(1e6)).cast("long").alias("lr_u"))
+    lr = models.join(F.broadcast(tots)).select(
+        "b", F.floor(F.log(num / den) * F.lit(1e6)).cast("long").alias("lr_u")
     )
     return (
         db.join(F.broadcast(lr), "b")

@@ -101,6 +101,8 @@ def query_lsh_index(
     return (
         corpus.select(F.col(id_col).alias("corpus_id"), "band_id", "band_key")
         .join(new_side, ["band_id", "band_key"])
+        # a drop that was already folded in must not self-match
+        .filter(F.col("corpus_id") != F.col("new_id"))
         .select("corpus_id", "new_id")
         .distinct()
     )
