@@ -101,9 +101,13 @@ def pagerank(
     destination sum, so the per-vertex total is exact int64 arithmetic —
     rank values are bit-identical across engines and partition orders
     (same device as operators/lm.py; a raw double sum would depend on
-    combine order). Dangling vertices (no out-edges) keep receiving the
-    teleport term but leak their mass, the common simplification; note
-    it when comparing against a strict-PageRank implementation.
+    combine order).
+
+    Dangling vertices (no out-edges): strict PageRank — their mass is
+    redistributed uniformly each iteration (one extra anti-join +
+    scalar aggregate, ppb-quantized like every other sum), so total rank
+    is conserved instead of leaking (fixed round 4; the r1-r3 builds
+    documented the leak as a simplification).
 
     Output: (vertex, rank) for every vertex appearing as src or dst."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -128,14 +132,28 @@ def pagerank(
             .groupBy("vertex")
             .agg(F.sum("c_ppb").alias("in_ppb"))
         )
+        # dangling mass: ranks of vertices with no out-edge, ppb-exact
+        dang = (
+            ranks.join(outdeg, ranks["vertex"] == outdeg["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.floor(F.col("rank") * F.lit(1e9)).cast("long")), F.lit(0)
+                ).alias("d_ppb")
+            )
+        )
         ranks = (
             verts.join(contribs, "vertex", "left")
+            .join(F.broadcast(dang))
             .select(
                 "vertex",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_ppb"), F.lit(0)).cast("double") / F.lit(1e9))
+                    * (
+                        F.coalesce(F.col("in_ppb"), F.lit(0)).cast("double")
+                        / F.lit(1e9)
+                        + (F.col("d_ppb").cast("double") / F.lit(1e9)) / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
         )

@@ -5382,7 +5382,8 @@ def ns_embed_lsh_query(spark: SparkSession, sf: str) -> DataFrame:
 
 def _pagerank_iter_sql(prev: str, tag: str) -> str:
     """One PageRank iteration in DuckDB SQL — integer-ppb contribution
-    sums, bit-exact replay of operators/graph.py pagerank."""
+    sums + uniform dangling-mass redistribution, bit-exact replay of
+    operators/graph.py pagerank."""
     return f"""
     c{tag} AS (
       SELECT e.dst AS vertex,
@@ -5390,10 +5391,16 @@ def _pagerank_iter_sql(prev: str, tag: str) -> str:
       FROM e JOIN {prev} r ON r.vertex = e.src
              JOIN deg d ON d.src = e.src
       GROUP BY e.dst),
+    d{tag} AS (
+      SELECT CAST(COALESCE(SUM(CAST(floor(r.rank * 1e9) AS BIGINT)), 0) AS BIGINT) AS d_ppb
+      FROM {prev} r LEFT JOIN deg d ON d.src = r.vertex
+      WHERE d.src IS NULL),
     r{tag} AS (
       SELECT v.vertex,
              ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
-               + 0.85 * (CAST(COALESCE(c.in_ppb, 0) AS DOUBLE) / 1e9) AS rank
+               + 0.85 * (CAST(COALESCE(c.in_ppb, 0) AS DOUBLE) / 1e9
+                         + (CAST((SELECT d_ppb FROM d{tag}) AS DOUBLE) / 1e9)
+                           / (SELECT n FROM nn)) AS rank
       FROM verts v LEFT JOIN c{tag} c ON c.vertex = v.vertex)"""
 
 
