@@ -56,18 +56,24 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Array of word n-grams joined by a space.
+def word_ngrams_arr(ws: Column, n: int = 3) -> Column:
+    """Array of word n-grams over a pre-tokenized word array — the i-th
+    output gram starts at token index i (0-based), so ``posexplode``
+    over it yields positional grams for free.
 
     Built as n-1 zip_with concatenations over shifted slices — O(words)
     per row, unlike the naive per-index ``slice`` which is O(words²)."""
-    ws = words(col)
     m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
     acc = F.slice(ws, F.lit(1), m)
     for k in range(1, n):
         nxt = F.slice(ws, F.lit(k + 1), m)
         acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(F.size(ws) >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-grams joined by a space (whitespace tokens)."""
+    return word_ngrams_arr(words(col), n)
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -111,9 +117,10 @@ def lang_marker_count(col: Column | str, lang: str) -> Column:
 
 
 def lang_id(col: Column | str) -> Column:
-    """Marker-based language ID: argmax over per-language marker counts,
-    ties and zero-evidence → 'und'. Fixed evaluation order (en, de, fr,
-    es) makes the argmax deterministic."""
+    """Marker-based language ID: argmax over per-language marker counts.
+    Ties break to the first language in ``LANG_MARKERS`` order (en, de,
+    fr, es) — the fixed evaluation order that makes the argmax
+    deterministic; only zero evidence yields 'und'."""
     counts = {lang: lang_marker_count(col, lang) for lang in LANG_MARKERS}
     best = F.greatest(*counts.values())
     result = F.lit("und")

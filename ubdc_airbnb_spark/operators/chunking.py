@@ -110,3 +110,77 @@ def sequence_pack(
         F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget)).alias("pack_id"),
         ((F.col("cum") - F.col("n_tokens")) % F.lit(budget)).alias("pack_offset"),
     )
+
+
+def length_bucket_plan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Length-bucketed batching plan: assign every document to one of
+    ``n_buckets`` quantile buckets of its whitespace-token length and
+    report, per bucket, how much padding a pad-to-bucket-max training
+    batch would waste — the planner step behind bucketed batching
+    (fairseq/HF ``group_by_length``), which cuts padding FLOPs versus
+    one global pad-to-max batch.
+
+    Bucket rule (deterministic, tie-stable): all documents of the same
+    token length land in the same bucket,
+    ``bucket = floor(cum_docs_with_shorter_length · B / N)`` — a pure
+    integer formula any engine replays exactly.
+
+    Scale shape: token lengths reduce to a histogram by an exact
+    groupBy(n_tokens) whose key space is bounded by the max document
+    length (thousands of distinct values at any corpus size), so the
+    boundary window runs over histogram rows, not documents — the same
+    histogram-prefilter device as the token-budget gate; the per-length
+    bucket map broadcasts back and the final per-bucket rollup is a
+    map-side-combinable aggregate on ≤ B keys. The corpus shuffles zero
+    times (scan → narrow length projection → broadcast join → partial
+    agg).
+
+    Output: (bucket, n_docs, min_tokens, max_tokens, sum_tokens,
+    pad_waste, pad_frac) — ``pad_waste = n_docs·max_tokens −
+    sum_tokens``, ``pad_frac = pad_waste / (n_docs·max_tokens)``.
+    """
+    from pyspark.sql import Window
+
+    tl = docs.select(
+        F.col(id_col), F.size(words(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    hist = tl.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
+    total = hist.agg(F.sum("cnt").alias("n_total"))
+    bmap = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_tokens",
+            F.floor(F.col("cum_before") * n_buckets / F.col("n_total"))
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+    return (
+        tl.join(F.broadcast(bmap), "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).alias("pad_waste"),
+            (
+                (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).cast("double")
+                / (F.col("n_docs") * F.col("max_tokens")).cast("double")
+            ).alias("pad_frac"),
+        )
+    )

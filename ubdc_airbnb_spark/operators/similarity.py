@@ -782,3 +782,75 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def scalar_quantize_stats(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Int8-style scalar quantization (per-dimension min/max affine
+    codes, the FAISS ``SQ8`` / vector-DB storage recipe) with a
+    per-vector reconstruction-error report — the gate you run before
+    switching a 100 TB embedding store from float32 to 1-byte codes:
+
+        code_d = round((x_d − mn_d) / ((mx_d − mn_d) / levels))
+        deq_d  = mn_d + code_d · (mx_d − mn_d) / levels
+
+    Output: (id_col, mse, max_err) per vector, where ``mse`` is the mean
+    squared reconstruction error and ``max_err`` the max |deq − x|.
+
+    Scale shape: the per-dim min/max pass is a posexplode → groupBy(dim)
+    with map-side partial MIN/MAX (dim-count keys, tiny result); the
+    stats pack into ONE broadcast row of (mn, mx) structs so the scoring
+    pass is a narrow zip_with over each vector — the corpus is scanned
+    twice and never shuffled. Determinism: codes and errors are pure
+    IEEE double expressions evaluated in a fixed order; the per-vector
+    error sum quantizes err² to integer picounits before folding, so the
+    MSE is bit-stable across engines and partition orders (max is
+    order-free already).
+    """
+    dims = vectors.select(F.posexplode(F.col(vec_col)).alias("d", "x0")).select(
+        "d", F.col("x0").cast("double").alias("x")
+    )
+    stats = dims.groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    packed = (
+        stats.agg(F.array_sort(F.collect_list(F.struct("d", "mn", "mx"))).alias("sts0"))
+        .select(
+            F.transform(
+                "sts0", lambda s: F.struct(s["mn"].alias("mn"), s["mx"].alias("mx"))
+            ).alias("sts")
+        )
+    )
+    lv = float(levels)
+
+    def qerr(x: Column, s: Column) -> Column:
+        xd = x.cast("double")
+        rng = s["mx"] - s["mn"]
+        scale = rng / F.lit(lv)
+        code = F.least(
+            F.greatest(F.round((xd - s["mn"]) / scale), F.lit(0.0)), F.lit(lv)
+        )
+        deq = F.when(rng > 0, s["mn"] + code * scale).otherwise(s["mn"])
+        return deq - xd
+
+    errs = vectors.crossJoin(broadcast(packed)).select(
+        F.col(id_col),
+        F.zip_with(F.col(vec_col), F.col("sts"), qerr).alias("errs"),
+    )
+    return errs.select(
+        F.col(id_col),
+        (
+            F.aggregate(
+                F.col("errs"),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + F.floor(e * e * F.lit(1e12)).cast("long"),
+            ).cast("double")
+            / F.lit(1e12)
+            / F.size("errs").cast("double")
+        ).alias("mse"),
+        F.aggregate(
+            F.col("errs"), F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e))
+        ).alias("max_err"),
+    )

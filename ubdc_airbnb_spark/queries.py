@@ -6492,3 +6492,151 @@ def ns_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@q(
+    "ns_dedup_spans",
+    ("NS-dedup", "A2", "W5"),
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> length(w) > 0) AS ws
+      FROM documents),
+    hits AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                                        CAST(i + 4 AS INTEGER)), ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+            FROM toks WHERE len(ws) >= 5)),
+    dup AS (SELECT gram FROM hits GROUP BY gram HAVING COUNT(*) >= 2),
+    dh AS (SELECT h.doc_id, h.pos FROM hits h JOIN dup USING (gram)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + 4) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > MAX(pos + 4) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM dh),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM marked),
+    spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+              FROM sp GROUP BY doc_id, span_id),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_tokens
+                FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CASE WHEN len(t.ws) > 0
+                THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                     / CAST(len(t.ws) AS DOUBLE)
+                ELSE 0.0 END AS dup_frac
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "exact duplicated-SPAN detection (Lee et al. 2021 substring dedup, "
+    "reformulated): positions covered by any corpus-repeated word "
+    "5-gram, merged into maximal spans by two doc-keyed windows — "
+    "per-doc span count + duplicated-token fraction; one gram-key "
+    "count + one gram-key join, no global window "
+    "(operators/curation.py duplicate_spans)",
+)
+def ns_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents")
+    return curation.duplicate_spans(docs, "doc_id", "text", k=5)
+
+
+@q(
+    "ns_embed_quantize",
+    ("NS-embed", "A2"),
+    r"""
+    WITH dims AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS d,
+             CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY d),
+    errs AS (
+      SELECT vec_id,
+             (CASE WHEN mx > mn
+                   THEN mn + LEAST(GREATEST(round((x - mn) / ((mx - mn) / 255.0)),
+                                            0.0), 255.0)
+                            * ((mx - mn) / 255.0)
+                   ELSE mn END) - x AS e
+      FROM dims JOIN stats USING (d))
+    SELECT vec_id,
+           CAST(SUM(CAST(floor(e * e * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             / CAST(COUNT(*) AS DOUBLE) AS mse,
+           MAX(abs(e)) AS max_err
+    FROM errs GROUP BY vec_id
+    """,
+    "int8 scalar quantization (per-dim min/max affine codes, FAISS SQ8 "
+    "shape) with per-vector reconstruction-error report — dim stats "
+    "broadcast as one packed row, scoring is a narrow zip_with (corpus "
+    "never shuffles); err² quantized to integer picounits before the "
+    "fold for bit-stable MSE (operators/similarity.py "
+    "scalar_quantize_stats)",
+)
+def ns_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.scalar_quantize_stats(emb, "vec_id", "embedding", levels=255)
+
+
+@q(
+    "ns_length_buckets",
+    ("NS-batching", "A2", "W8"),
+    r"""
+    WITH tl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> length(w) > 0)) AS BIGINT) AS n_tokens
+      FROM documents),
+    hist AS (SELECT n_tokens, COUNT(*) AS cnt FROM tl GROUP BY n_tokens),
+    tot AS (SELECT SUM(cnt) AS n_total FROM hist),
+    bmap AS (
+      SELECT n_tokens,
+             CAST(floor(COALESCE(SUM(cnt) OVER (ORDER BY n_tokens
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        * 8 / (SELECT n_total FROM tot)) AS BIGINT) AS bucket
+      FROM hist),
+    agg AS (
+      SELECT bucket, COUNT(*) AS n_docs, MIN(n_tokens) AS min_tokens,
+             MAX(n_tokens) AS max_tokens, SUM(n_tokens) AS sum_tokens
+      FROM tl JOIN bmap USING (n_tokens) GROUP BY bucket)
+    SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(min_tokens AS BIGINT) AS min_tokens,
+           CAST(max_tokens AS BIGINT) AS max_tokens,
+           CAST(sum_tokens AS BIGINT) AS sum_tokens,
+           CAST(n_docs * max_tokens - sum_tokens AS BIGINT) AS pad_waste,
+           CASE WHEN n_docs * max_tokens > 0
+                THEN CAST(n_docs * max_tokens - sum_tokens AS DOUBLE)
+                     / CAST(n_docs * max_tokens AS DOUBLE)
+                ELSE 0.0 END AS pad_frac
+    FROM agg
+    """,
+    "length-bucketed batching planner (group_by_length): token-length "
+    "quantile buckets by integer formula over the length HISTOGRAM "
+    "(bounded key space — the window never sees document rows), padding "
+    "waste per pad-to-bucket-max batch; zero corpus shuffles "
+    "(operators/chunking.py length_bucket_plan)",
+)
+def ns_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import chunking
+
+    docs = load_table(spark, sf, "documents")
+    out = chunking.length_bucket_plan(docs, "doc_id", "text", n_buckets=8)
+    return out.withColumn(
+        "pad_frac",
+        F.when(F.col("n_docs") * F.col("max_tokens") > 0, F.col("pad_frac")).otherwise(
+            F.lit(0.0)
+        ),
+    )
