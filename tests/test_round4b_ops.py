@@ -155,3 +155,89 @@ def test_length_buckets_histogram_bounds_window(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# line_quality_filter
+# ---------------------------------------------------------------------------
+
+
+def test_line_filter_rules(spark):
+    from ubdc_airbnb_spark.operators.curation import line_quality_filter
+
+    text = "\n".join(
+        [
+            "This line is a keeper.",          # kept
+            "too short.",                       # < 3 words
+            "No terminal punctuation here",     # no [.!?"]
+            "Please accept our cookie policy.", # blacklist
+            "Enable JavaScript to continue.",   # blacklist (case-insensitive)
+            'He said "stop right there!"',      # ends in quote -> kept
+        ]
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = line_quality_filter(docs, "doc_id", "text", min_words=3).collect()[0]
+    assert r.n_lines == 6
+    assert r.n_kept == 2
+    assert r.clean_text.splitlines() == [
+        "This line is a keeper.",
+        'He said "stop right there!"',
+    ]
+    assert r.kept_frac == pytest.approx(2 / 6)
+
+
+def test_line_filter_zero_shuffle_plan(spark):
+    from ubdc_airbnb_spark.operators.curation import line_quality_filter
+
+    docs = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
+    plan = (
+        line_quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure narrow per-row op
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_group_keeps_first_n(spark):
+    from ubdc_airbnb_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "s%d" % (i % 2), "t") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cap_per_group(df, "source", "doc_id", 3)
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    # per source, the 3 smallest doc_ids survive
+    assert got == [
+        ("s0", 0), ("s0", 2), ("s0", 4),
+        ("s1", 1), ("s1", 3), ("s1", 5),
+    ]
+    assert out.columns == df.columns
+
+
+# ---------------------------------------------------------------------------
+# unigram_kl
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_kl_zero_for_identical_slices(spark):
+    from ubdc_airbnb_spark.operators.curation import unigram_kl
+
+    # both slices share the same unigram distribution -> KL ~ 0
+    rows = [(i, "alpha beta gamma", i % 2 == 0) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, a boolean")
+    r = unigram_kl(docs, F.col("a"), "text").collect()[0]
+    assert abs(r.kl) < 1e-3
+    assert r.n_tokens_a == 30 and r.n_tokens_b == 30
+
+
+def test_unigram_kl_positive_for_disjoint_slices(spark):
+    from ubdc_airbnb_spark.operators.curation import unigram_kl
+
+    rows = [(i, "aaa bbb ccc" if i % 2 == 0 else "xxx yyy zzz", i % 2 == 0)
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, a boolean")
+    # small bucket space so add-1 smoothing doesn't swamp the tiny corpus
+    r = unigram_kl(docs, F.col("a"), "text", buckets=64).collect()[0]
+    assert r.kl > 0.2

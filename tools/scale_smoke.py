@@ -73,6 +73,11 @@ CHECK = [
     "ns_bm25_index",
     "ns_collocations",
     "ns_cohort_retention",
+    # round-4 second wave: span-level dedup is the heaviest new gram op;
+    # KL + quantization must keep their bounded/broadcast shapes
+    "ns_dedup_spans",
+    "ns_unigram_kl",
+    "ns_embed_quantize",
 ]
 
 

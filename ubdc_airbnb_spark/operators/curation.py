@@ -328,6 +328,35 @@ def dsir_weights(
 # ---------------------------------------------------------------------------
 
 
+def _merge_hit_spans(dh: DataFrame, k: int) -> DataFrame:
+    """Merge positional k-gram hits ``(__id, pos)`` into maximal token
+    spans per document: a hit covers tokens [pos, pos+k-1]; hits whose
+    intervals overlap or touch coalesce. Two doc-keyed windows (running
+    max-end elects span starts, running sum numbers them) — never a
+    global window. Returns (__id, span_id, s, e)."""
+    w_prev = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = dh.withColumn(
+        "is_new",
+        F.when(
+            F.max(F.col("pos") + (k - 1)).over(w_prev).isNull()
+            | (F.col("pos") > F.max(F.col("pos") + (k - 1)).over(w_prev) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("span_id", F.sum("is_new").over(w_run))
+    return marked.groupBy("__id", "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -371,27 +400,7 @@ def duplicate_spans(
     )
     dup = hits.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
     dh = hits.join(dup.select("gram"), "gram").select("__id", "pos")
-    w_prev = (
-        Window.partitionBy("__id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("__id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    marked = dh.withColumn(
-        "is_new",
-        F.when(
-            F.max(F.col("pos") + (k - 1)).over(w_prev).isNull()
-            | (F.col("pos") > F.max(F.col("pos") + (k - 1)).over(w_prev) + 1),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn("span_id", F.sum("is_new").over(w_run))
-    spans = marked.groupBy("__id", "span_id").agg(
-        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
-    )
+    spans = _merge_hit_spans(dh, k)
     per_doc = spans.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
@@ -412,4 +421,171 @@ def duplicate_spans(
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level quality filtering
+# ---------------------------------------------------------------------------
+
+
+def line_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2), applied
+    per document: keep only lines that (a) contain at least
+    ``min_words`` whitespace words, (b) end in terminal punctuation
+    (``. ! ? "``), and (c) do not contain the boilerplate markers
+    'javascript' or 'cookie' (case-insensitive). The surviving lines
+    reassemble in order.
+
+    Scale shape: pure per-row higher-order functions (split → filter
+    lambda → array_join) — zero shuffle, whole-stage codegen,
+    embarrassingly parallel at any corpus size. The predicates are
+    restricted to regex/string syntax that evaluates identically in
+    Java regex (Spark) and RE2 (DuckDB), so the oracle replays the
+    filter character-for-character.
+
+    Output: (id_col, clean_text, n_lines, n_kept, kept_frac).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        wc = F.size(F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0))
+        return (
+            (wc >= min_words)
+            & t.rlike(r'[.!?"]$')
+            & ~F.lower(t).contains("javascript")
+            & ~F.lower(t).contains("cookie")
+        )
+
+    kept = F.filter(lines, keep)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, F.trim), "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.when(
+            F.size(lines) > 0,
+            F.size(kept).cast("double") / F.size(lines).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("kept_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus divergence (KL over hashed unigram buckets)
+# ---------------------------------------------------------------------------
+
+
+def unigram_kl(
+    docs: DataFrame,
+    in_a: Column,
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """KL divergence KL(A ‖ B) between two corpus slices' unigram
+    distributions over a fixed hashed-bucket space with add-1 smoothing
+    — the drift/mixture-shift monitor for a training mix (same model
+    family as the DSIR scorer, collapsed to one scalar):
+
+        KL = Σ_b p_A(b) · ln(p_A(b) / p_B(b)),   p(b) = (c_b+1)/(T+|B|)
+
+    Scale shape: tokens hash to ``buckets`` ids narrowly; ONE map-side-
+    combinable aggregate produces both slices' bucket counts
+    (conditional sums); everything after runs on the ≤ ``buckets``-row
+    model table. The corpus is scanned once and shuffled never (the
+    bucket aggregate's key space is bounded, so the partial aggregates
+    collapse to ``buckets`` rows per task before the exchange).
+
+    Determinism: each bucket's ln-ratio quantizes to integer micro-nats
+    and weights by the exact integer count c_A(b); the final division
+    happens once in double — bit-stable across engines and partition
+    orders.
+
+    Output: one row (kl double, n_tokens_a, n_tokens_b).
+    """
+    from ..functions.hashing import md5_long
+
+    toks = docs.select(
+        in_a.alias("__a"), F.explode(words(F.lower(F.col(text_col)))).alias("__w")
+    )
+    counts = toks.select((md5_long(F.col("__w")) % buckets).alias("b"), "__a").groupBy(
+        "b"
+    ).agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("cb"),
+    )
+    tots = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    bd = float(buckets)
+    # p_A/p_B = (ca+1)(tb+|B|) / ((cb+1)(ta+|B|)) — one ln of a ratio of
+    # IEEE-exact doubles (products of int64-exact values)
+    num = (F.col("ca") + 1).cast("double") * (F.col("tb").cast("double") + F.lit(bd))
+    den = (F.col("cb") + 1).cast("double") * (F.col("ta").cast("double") + F.lit(bd))
+    terms = counts.join(F.broadcast(tots)).select(
+        "ta",
+        "tb",
+        ((F.col("ca") + 1) * F.floor(F.log(num / den) * F.lit(1e6)).cast("long")).alias(
+            "t_u"
+        ),
+    )
+    return terms.groupBy("ta", "tb").agg(F.sum("t_u").alias("kl_u")).select(
+        (
+            F.col("kl_u").cast("double")
+            / F.lit(1e6)
+            / (F.col("ta").cast("double") + F.lit(bd))
+        ).alias("kl"),
+        F.col("ta").cast("long").alias("n_tokens_a"),
+        F.col("tb").cast("long").alias("n_tokens_b"),
+    )
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Span-level benchmark decontamination: WHERE exactly a training
+    document overlaps the evaluation set. Positions whose word
+    ``k``-gram appears anywhere in the eval corpus merge into maximal
+    spans (the ``duplicate_spans`` interval algebra) — the output drives
+    surgical span excision instead of whole-document dropping, the
+    fix-grained upgrade of the GPT-3 appendix-C doc-level filter.
+
+    Scale shape: the eval gram dictionary is benchmark-sized →
+    broadcast; the train side is ONE narrow posexplode + broadcast hash
+    join (the corpus never shuffles on gram), then the two doc-keyed
+    span windows. Strictly cheaper than ``duplicate_spans`` (no
+    corpus-wide gram count).
+
+    Output: one row per contaminated span —
+    (id_col, span_id, span_start, span_end, span_tokens).
+    """
+    ws = words(F.lower(F.col(text_col)))
+    hits = train.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_ngrams_arr(ws, k)).alias("pos", "gram"),
+    )
+    eval_grams = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.lower(F.col(text_col)), k))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    dh = hits.join(F.broadcast(eval_grams), "gram").select("__id", "pos")
+    return _merge_hit_spans(dh, k).select(
+        F.col("__id").alias(id_col),
+        F.col("span_id").cast("long").alias("span_id"),
+        F.col("s").cast("long").alias("span_start"),
+        F.col("e").cast("long").alias("span_end"),
+        (F.col("e") - F.col("s") + 1).cast("long").alias("span_tokens"),
     )

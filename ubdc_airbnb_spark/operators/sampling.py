@@ -203,3 +203,34 @@ def temperature_mix(
         df.join(F.broadcast(rates), group_col)
         .filter(hash_bucket(F.col(id_col).cast("string"), salt) < F.col("rate_ppm"))
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+) -> DataFrame:
+    """Domain/source balancing by hard cap: keep at most ``n`` rows per
+    group, chosen deterministically by ``order_col`` — the "max pages
+    per domain" rule every web-corpus pipeline applies so no single
+    domain dominates the training mix (C4 and its descendants cap
+    per-URL-host contributions).
+
+    Scale shape: ONE group-keyed window (row_number ordered by the tie-
+    free ``order_col``); group cardinality is domain-count-sized so the
+    partitionBy key is high-cardinality and near-uniform — no global
+    window, no broadcast. Skewed mega-domains are exactly the rows the
+    cap discards, and AQE's skew split handles the window shuffle for
+    them.
+
+    Output: the input rows that survive the cap, all columns unchanged.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

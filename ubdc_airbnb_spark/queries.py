@@ -6640,3 +6640,168 @@ def ns_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0.0)
         ),
     )
+
+
+@q(
+    "ns_source_cap",
+    ("NS-sampling", "W2"),
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+    "domain-balancing hard cap (C4's max-pages-per-host rule): keep at "
+    "most 20 docs per source, deterministically by doc_id — ONE "
+    "group-keyed window over the high-cardinality source key, no global "
+    "window (operators/sampling.py cap_per_group)",
+)
+def ns_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.cap_per_group(docs, "source", "doc_id", 20)
+
+
+@q(
+    "ns_line_filter",
+    ("NS-curation", "P4"),
+    r"""
+    WITH d AS (
+      -- synthesize multi-line docs deterministically: every ' a ' becomes
+      -- a sentence boundary (identical plain-string replace in both engines)
+      SELECT doc_id,
+             string_split(replace(text, ' a ', '.' || chr(10)), chr(10)) AS lines
+      FROM documents),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, l ->
+               len(list_filter(string_split_regex(trim(l), '\s+'),
+                               w -> length(w) > 0)) >= 3
+               AND regexp_matches(trim(l), '[.!?"]$')
+               AND NOT contains(lower(trim(l)), 'javascript')
+               AND NOT contains(lower(trim(l)), 'cookie')) AS kept
+      FROM d)
+    SELECT doc_id,
+           COALESCE(array_to_string(list_transform(kept, l -> trim(l)), chr(10)),
+                    '') AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CASE WHEN len(lines) > 0
+                THEN CAST(len(kept) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS kept_frac
+    FROM k
+    """,
+    "C4 line-level cleaning (Raffel 2020 §2.2): keep lines with ≥3 "
+    "words ending in terminal punctuation, minus javascript/cookie "
+    "boilerplate — pure higher-order functions, zero shuffle, predicates "
+    "restricted to Java-regex/RE2-identical syntax "
+    "(operators/curation.py line_quality_filter)",
+)
+def ns_line_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" a "), F.lit(".\n"))
+    )
+    return curation.line_quality_filter(docs, "doc_id", "text", min_words=3)
+
+
+@q(
+    "ns_unigram_kl",
+    ("NS-monitor", "A2"),
+    r"""
+    WITH toks AS (
+      SELECT (lang = 'en') AS a,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> length(w) > 0)) AS w
+      FROM documents),
+    counts AS (
+      SELECT CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 15)) AS BIGINT) % 1024 AS b,
+             SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+      FROM toks GROUP BY 1),
+    tots AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM counts),
+    terms AS (
+      SELECT CAST((ca + 1) AS BIGINT)
+             * CAST(floor(ln(
+                 (CAST(ca + 1 AS DOUBLE) * (CAST((SELECT tb FROM tots) AS DOUBLE) + 1024.0))
+                 / (CAST(cb + 1 AS DOUBLE) * (CAST((SELECT ta FROM tots) AS DOUBLE) + 1024.0))
+               ) * 1e6) AS BIGINT) AS t_u
+      FROM counts)
+    SELECT CAST(SUM(t_u) AS DOUBLE) / 1e6
+             / (CAST((SELECT ta FROM tots) AS DOUBLE) + 1024.0) AS kl,
+           CAST((SELECT ta FROM tots) AS BIGINT) AS n_tokens_a,
+           CAST((SELECT tb FROM tots) AS BIGINT) AS n_tokens_b
+    FROM terms
+    """,
+    "corpus-slice KL divergence KL(en ‖ rest) over 1024 hashed unigram "
+    "buckets with add-1 smoothing — the mixture-shift monitor as one "
+    "map-side-combinable bucket aggregate (bounded key space, corpus "
+    "never shuffles); micro-nat-quantized ln terms weighted by exact "
+    "integer counts (operators/curation.py unigram_kl)",
+)
+def ns_unigram_kl(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents")
+    return curation.unigram_kl(docs, F.col("lang") == "en", "text", buckets=1024)
+
+
+@q(
+    "ns_contamination_spans",
+    ("NS-curation", "J1", "W5"),
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> length(w) > 0) AS ws
+      FROM documents),
+    ev AS (
+      SELECT DISTINCT array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                                                 CAST(i + 4 AS INTEGER)), ' ') AS gram
+      FROM (SELECT ws, unnest(generate_series(1, len(ws) - 4)) AS i
+            FROM toks WHERE doc_id < 50 AND len(ws) >= 5)),
+    hits AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                                        CAST(i + 4 AS INTEGER)), ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+            FROM toks WHERE doc_id >= 50 AND len(ws) >= 5)),
+    dh AS (SELECT h.doc_id, h.pos FROM hits h JOIN ev USING (gram)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + 4) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > MAX(pos + 4) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM dh),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM marked),
+    spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+              FROM sp GROUP BY doc_id, span_id)
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end,
+           CAST(e - s + 1 AS BIGINT) AS span_tokens
+    FROM spans
+    """,
+    "span-level decontamination (eval = doc_id<50, train = rest): exact "
+    "coordinates of every eval-overlapping token span, for surgical "
+    "excision instead of doc dropping — broadcast eval gram dictionary, "
+    "corpus never shuffles on gram, doc-keyed span windows "
+    "(operators/curation.py contamination_spans)",
+)
+def ns_contamination_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents")
+    return curation.contamination_spans(
+        docs.filter(F.col("doc_id") >= 50), docs.filter(F.col("doc_id") < 50),
+        "doc_id", "text", k=5,
+    )
