@@ -60,6 +60,9 @@ HEADLINE = [
     "mm_decode_png",
     "ns_dsir_weights",
     "ns_bpe_pair_counts",
+    # round-4 second wave: span-level exact dedup is the heaviest new
+    # gram operator (positional grams + corpus-wide gram count)
+    "ns_dedup_spans",
 ]
 
 

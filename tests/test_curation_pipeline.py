@@ -118,3 +118,47 @@ def test_curation_mixing_upsamples(spark, corpus, eval_docs):
     )
     assert res.report["mixed"] == 2 * res.report["decontaminated"]
     assert "copy_id" in res.corpus.columns
+
+
+def test_curation_with_line_filter_and_source_cap(spark):
+    lines = [
+        "the quick brown fox jumps over the lazy sleeping dog tonight.",
+        "a merge of sorted runs begins when the last batch lands here.",
+        "every morning the harbor fills with small boats and open stalls.",
+        "the scheduler hands each worker a span of keys to fold now.",
+        "gulls circle over the market looking for an easy meal today.",
+    ]
+    junk = "click here"
+    rows = [
+        # 4 docs from source web (distinct bodies), 1 from wiki; every doc
+        # carries one good line and one junk line the line filter removes
+        (i, lines[i] + "\n" + junk, "en", "web" if i < 4 else "wiki")
+        for i in range(5)
+    ] + [
+        # all-junk doc: line filter empties it entirely
+        (9, junk + "\n" + junk, "en", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    res = run_curation(
+        spark,
+        docs,
+        min_tokens=5,
+        min_quality=0.0,
+        lang=None,
+        line_filter=True,
+        max_per_source=2,
+    )
+    # the all-junk doc died in the line filter
+    assert res.report["line_filter"] == 5
+    # web had 4 survivors, capped to 2; wiki keeps its 1
+    assert res.report["source_cap"] == 3
+    per_src = dict(
+        (r["source"], r["count"]) for r in res.corpus.groupBy("source").count().collect()
+    )
+    assert per_src == {"web": 2, "wiki": 1}
+    # surviving text lost its junk lines
+    texts = [r.text for r in res.corpus.collect()]
+    assert all("click here" not in t for t in texts)
+    # stage ordering: monotone non-increasing counts through the funnel
+    stages = list(res.report.values())
+    assert stages == sorted(stages, reverse=True)

@@ -241,3 +241,140 @@ def test_unigram_kl_positive_for_disjoint_slices(spark):
     # small bucket space so add-1 smoothing doesn't swamp the tiny corpus
     r = unigram_kl(docs, F.col("a"), "text", buckets=64).collect()[0]
     assert r.kl > 0.2
+
+
+# ---------------------------------------------------------------------------
+# contamination_spans
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_spans_coordinates(spark):
+    from ubdc_airbnb_spark.operators.curation import contamination_spans
+
+    eval_df = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the eval 3-grams "secret eval answer"/"eval answer is"
+            (1, "intro words the secret eval answer is here"),
+            (2, "totally clean document with no overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = contamination_spans(train, eval_df, "doc_id", "text", k=3).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # tokens 3..7 of doc 1: "secret eval answer is" plus the leading "the"
+    assert s.doc_id == 1
+    assert (s.span_start, s.span_end) == (2, 6)
+    assert s.span_tokens == 5
+
+
+def test_contamination_spans_broadcast_plan(spark):
+    from ubdc_airbnb_spark.operators.curation import contamination_spans
+
+    eval_df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "x a b c d e y")], "doc_id long, text string")
+    plan = (
+        contamination_spans(train, eval_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hashed_tf_vectors
+# ---------------------------------------------------------------------------
+
+
+def test_hashing_tf_l2_normalized(spark):
+    from ubdc_airbnb_spark.operators.tfidf import hashed_tf_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "cherry")], "doc_id long, text string"
+    )
+    rows = hashed_tf_vectors(docs, dim=64).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # per-doc squared weights sum to 1
+    for doc_id, rs in by_doc.items():
+        assert sum(r.weight**2 for r in rs) == pytest.approx(1.0)
+    # doc 1: tf 2 (apple) and 1 (banana) unless they collide in 64 buckets
+    tfs = sorted(r.tf for r in by_doc[1])
+    assert tfs in ([1, 2], [3])
+    assert [r.tf for r in by_doc[2]] == [1]
+
+
+# ---------------------------------------------------------------------------
+# mixture_rates
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_rates_uniform_quota(spark):
+    from ubdc_airbnb_spark.operators.sampling import mixture_rates
+
+    rows = [(i, "en" if i < 80 else "de", "web") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    got = {r.lang: r for r in mixture_rates(df, ["lang", "source"], budget=50).collect()}
+    # two cells -> quota 25 each
+    assert got["en"].quota == 25 and got["de"].quota == 25
+    assert got["en"].n_rows == 80 and got["de"].n_rows == 20
+    assert got["en"].rate == pytest.approx(25 / 80)
+    assert got["de"].rate == 1.0  # capped at 1
+    assert got["en"].expected == 25 and got["de"].expected == 20
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_values(spark):
+    import math
+
+    from ubdc_airbnb_spark.functions.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    ce = char_entropy(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            ce["n_chars"].alias("n_chars"),
+            ce["n_distinct"].alias("n_distinct"),
+            ce["entropy"].alias("entropy"),
+        ).collect()
+    }
+    # single char -> zero entropy
+    assert got[1].entropy == pytest.approx(0.0, abs=1e-5)
+    assert (got[1].n_chars, got[1].n_distinct) == (4, 1)
+    # two equiprobable chars -> ln 2
+    assert got[2].entropy == pytest.approx(math.log(2), abs=1e-5)
+    # four distinct chars -> ln 4
+    assert got[3].entropy == pytest.approx(math.log(4), abs=1e-5)
+    assert (got[3].n_chars, got[3].n_distinct) == (4, 4)
+    # empty text -> zeros, no crash
+    assert (got[4].n_chars, got[4].n_distinct, got[4].entropy) == (0, 0, 0.0)
+
+
+def test_char_entropy_zero_shuffle(spark):
+    from ubdc_airbnb_spark.functions.textstats import char_entropy
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    ce = char_entropy(F.col("text"))
+    plan = (
+        docs.select("doc_id", ce["entropy"].alias("e"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

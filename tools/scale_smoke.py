@@ -105,9 +105,12 @@ def replicate(src_dir: str, out_dir: str, factor: int) -> None:
             else name
             for name, *_ in others
         )
+        # small row groups: a petabyte table is thousands of splittable
+        # row groups, never one monolith — without this every narrow
+        # scan-following stage reads as parts=1 and false-alarms
         con.execute(
             f"COPY (SELECT {cols} FROM read_parquet('{src}') CROSS JOIN range({factor}) t(i)) "
-            f"TO '{dst}' (FORMAT PARQUET)"
+            f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
         )
 
 
@@ -156,7 +159,14 @@ def main() -> int:
     # into one partition (its job — a 100 TB run would keep them split);
     # disable it so the measured distribution reflects the PLAN's
     # partitioning, which is what a 1000-executor run would see.
-    extra_conf = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+    # Model the 100 TB scan: a petabyte table never arrives as one
+    # 128 MB-undersized file, so split the toy files the way a real run
+    # splits row groups — otherwise every narrow scan-following operator
+    # reports parts=1 and false-alarms the single-partition check.
+    extra_conf = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+    }
 
     spark = get_spark("scale-smoke", extra_conf=extra_conf)
     specs = {s.name: s for s in q_mod.registry()}

@@ -242,3 +242,65 @@ def lang_id_ngram(col: Column | str) -> Column:
     for lang in reversed(list(LANG_TRIGRAMS)):
         result = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
     return result
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (nats) of the lower-cased character distribution,
+    plus char counts, as a struct ``(n_chars, n_distinct, entropy)`` —
+    the low-entropy filter that catches keyboard-mash, base64 blobs, and
+    single-char padding documents (the Gopher-family signal the
+    word-level repetition metrics miss).
+
+    Zero shuffle: the character list sorts row-locally and ONE
+    ``aggregate`` fold accumulates run lengths (= char frequencies) and
+    the quantized Σ c·ln(c) term; entropy = ln(n) − Σ c·ln(c)/n with
+    both logs floored to integer micro-nats first, so any engine replays
+    the value bit-for-bit (DuckDB replays via a (doc, char) GROUP BY —
+    same integers, same quantized logs).
+    """
+    lt = F.lower(_c(col))
+    n = F.length(lt)
+    chars = F.when(
+        n > 0,
+        F.transform(F.sequence(F.lit(1), n), lambda i: lt.substr(i, F.lit(1))),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def qln(x: Column) -> Column:
+        return F.floor(F.log(x.cast("double")) * F.lit(1e6)).cast("long")
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("sumq"),
+        F.lit(0).cast("long").alias("kinds"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["run"] > 0
+        cont = same & (x == acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(cont, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(cont, acc["sumq"])
+            .otherwise(acc["sumq"] + F.when(same, acc["run"] * qln(acc["run"])).otherwise(F.lit(0)))
+            .alias("sumq"),
+            F.when(cont, acc["kinds"]).otherwise(acc["kinds"] + 1).alias("kinds"),
+        )
+
+    def finish(acc: Column) -> Column:
+        sumq = acc["sumq"] + F.when(
+            acc["run"] > 0, acc["run"] * qln(acc["run"])
+        ).otherwise(F.lit(0))
+        return F.struct(sumq.alias("sumq"), acc["kinds"].alias("kinds"))
+
+    folded = F.aggregate(F.array_sort(chars), init, step, finish)
+    entropy = F.when(
+        n > 0,
+        (qln(n).cast("double") / F.lit(1e6))
+        - (folded["sumq"].cast("double") / F.lit(1e6) / n.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        n.cast("long").alias("n_chars"),
+        folded["kinds"].cast("long").alias("n_distinct"),
+        entropy.alias("entropy"),
+    )

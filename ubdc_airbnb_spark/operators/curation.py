@@ -401,22 +401,37 @@ def duplicate_spans(
     dup = hits.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
     dh = hits.join(dup.select("gram"), "gram").select("__id", "pos")
     spans = _merge_hit_spans(dh, k)
-    per_doc = spans.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    # zero-fill without a join: union the (id, n_tokens) base rows with
+    # the span rows and fold in ONE hash aggregate — no SMJ sort, and
+    # the output comes back hash-partitioned on the doc id
+    merged = base.select(
+        "__id",
+        F.size("__ws").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("one_span"),
+        F.lit(0).cast("long").alias("span_toks"),
+    ).unionByName(
+        spans.select(
+            "__id",
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(1).cast("long").alias("one_span"),
+            (F.col("e") - F.col("s") + 1).cast("long").alias("span_toks"),
+        )
     )
     return (
-        base.select("__id", F.size("__ws").cast("long").alias("n_tokens"))
-        .join(per_doc, "__id", "left")
+        merged.groupBy("__id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.sum("one_span").alias("n_spans"),
+            F.sum("span_toks").alias("dup_tokens"),
+        )
         .select(
             F.col("__id").alias(id_col),
             "n_tokens",
-            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
             F.when(
                 F.col("n_tokens") > 0,
-                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
-                / F.col("n_tokens").cast("double"),
+                F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),

@@ -234,3 +234,44 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    budget: int,
+) -> DataFrame:
+    """Static mixture-allocation planner: given a row ``budget`` to be
+    split UNIFORMLY across the observed (group_cols) cells, report per
+    cell the quota, the sampling rate to hit it, and the expected kept
+    rows — the planning table a DoReMi-style reweighting or a fixed
+    corpus-mix spec compiles down to before `hash_sample` executes it.
+
+    All quantities are exact integer arithmetic (quota = budget div
+    n_cells; expected = min(n_rows, quota)) except the rate, one IEEE
+    division — any engine replays the table bit-for-bit.
+
+    Scale shape: one map-side-combinable groupBy on the (small) cell key
+    space; the cell-count scalar broadcasts. The corpus is scanned once.
+
+    Output: (*group_cols, n_rows, quota, rate, expected).
+    """
+    cells = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    k = cells.agg(F.count(F.lit(1)).alias("n_cells"))
+    return (
+        cells.crossJoin(F.broadcast(k))
+        .select(
+            *group_cols,
+            "n_rows",
+            F.floor(F.lit(budget) / F.col("n_cells")).cast("long").alias("quota"),
+        )
+        .select(
+            *group_cols,
+            "n_rows",
+            "quota",
+            F.least(
+                F.lit(1.0), F.col("quota").cast("double") / F.col("n_rows").cast("double")
+            ).alias("rate"),
+            F.least(F.col("n_rows"), F.col("quota")).alias("expected"),
+        )
+    )

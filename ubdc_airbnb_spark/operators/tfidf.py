@@ -440,3 +440,51 @@ def query_bm25_index(
         [(p.toktot, p.n_docs)], "toktot long, n_docs long"
     )
     return _bm25_rank(qterms, dfreq, dl, tot, id_col, k, k1, b)
+
+
+def hashed_tf_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+) -> DataFrame:
+    """Hashing-trick document vectorization (the HashingTF / Weinberger
+    2009 feature-hashing recipe): map tokens into a fixed ``dim``-sized
+    bucket space by the portable md5 hash, count term frequencies per
+    (doc, bucket), and L2-normalize per document — the vocabulary-free
+    featurizer that turns a 100 TB text corpus into sparse vectors with
+    NO global vocabulary build, no broadcast state, and a memory bound
+    chosen up front by ``dim``.
+
+    Scale shape: ONE (doc, bucket) shuffle with map-side combine (the
+    DSIR layout); the L2 norm is a doc-keyed window over the already-
+    combined rows — no second aggregate pass, no global window.
+    Determinism: tf counts are exact integers, the norm is one sqrt of
+    an exact integer sum, the weight one IEEE division — bit-stable.
+
+    Output: sparse rows (id_col, bucket, tf, weight), only non-zero
+    buckets.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textstats import words
+
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(words(F.lower(F.col(text_col)))).alias("__w"),
+        )
+        .select(id_col, term_bucket(F.col("__w"), dim).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy(id_col)
+    return tf.select(
+        F.col(id_col),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("tf").cast("long").alias("tf"),
+        (
+            F.col("tf").cast("double")
+            / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w).cast("double"))
+        ).alias("weight"),
+    )

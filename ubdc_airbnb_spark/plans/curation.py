@@ -2,8 +2,12 @@
 pretraining pass a data team runs over a raw crawl, as ONE plan built
 from the engine's oracle-gated operators:
 
+  0. line cleaning      — optional C4 line-level filter (narrow,
+                          rewrites text before any doc-level judgment)
   1. quality funnel     — token-count / language / quality gates
                           (narrow projection, no text shuffle)
+  2.5 domain balancing  — optional per-source hard cap (one keyed
+                          window)
   2. URL-level dedup    — canonical-URL keep-earliest (cheapest pass
                           first: one groupBy on a short key)
   3. exact dedup        — md5 digest keep-first
@@ -38,7 +42,7 @@ from ..functions import textstats
 from ..functions.hashing import md5_long
 from ..functions.urltools import canonical_url
 from ..operators import chunking, dedup, sampling
-from ..operators.curation import ngram_overlap
+from ..operators.curation import line_quality_filter, ngram_overlap
 from ..operators.graph import connected_components
 
 
@@ -64,12 +68,29 @@ def run_curation(
     decontam_min_overlap: int = 5,
     source_weights: dict[str, float] | None = None,
     pack_budget: int | None = None,
+    line_filter: bool = False,
+    max_per_source: int | None = None,
 ) -> CurationResult:
     """Run the full curation pass (module docstring). ``eval_docs``
     (id, text) enables stage 5; ``url_col`` enables stage 2. The
     report counts survivors after each stage (a driver-side count per
     stage — bounded, and exactly what the run log needs)."""
     report: dict[str, int] = {"raw": docs.count()}
+
+    # 0. (optional) C4 line-level cleaning — rewrite text to surviving
+    # lines BEFORE any doc-level gate judges it; emptied docs die here
+    if line_filter:
+        cleaned = line_quality_filter(docs, id_col=id_col, text_col=text_col)
+        docs = (
+            docs.drop(text_col)
+            .join(
+                cleaned.filter(F.col("n_kept") > 0).select(
+                    F.col(id_col), F.col("clean_text").alias(text_col)
+                ),
+                id_col,
+            )
+        )
+        report["line_filter"] = docs.count()
 
     # 1. quality funnel — sequential AND of the three gates
     n_tokens = textstats.whitespace_token_count(text_col)
@@ -88,6 +109,11 @@ def run_curation(
         )
         kept = kept.join(first.select(id_col), id_col, "left_semi")
         report["url_dedup"] = kept.count()
+
+    # 2.5 (optional) domain balancing — hard cap per source
+    if max_per_source is not None and "source" in kept.columns:
+        kept = sampling.cap_per_group(kept, "source", id_col, max_per_source)
+        report["source_cap"] = kept.count()
 
     # 3. exact dedup — digest keep-first
     digest_first = (

@@ -6805,3 +6805,108 @@ def ns_contamination_spans(spark: SparkSession, sf: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 50), docs.filter(F.col("doc_id") < 50),
         "doc_id", "text", k=5,
     )
+
+
+@q(
+    "ns_hashing_tf",
+    ("NS-text", "A2"),
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> length(w) > 0)) AS w
+      FROM documents),
+    tf AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 15)) AS BIGINT) % 1024 AS bucket,
+             COUNT(*) AS tf
+      FROM toks GROUP BY 1, 2)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(tf AS BIGINT) AS tf,
+           CAST(tf AS DOUBLE)
+             / sqrt(CAST(SUM(tf * tf) OVER (PARTITION BY doc_id) AS DOUBLE))
+             AS weight
+    FROM tf
+    """,
+    "hashing-trick vectorization (HashingTF / Weinberger 2009): "
+    "vocabulary-free sparse doc vectors in a fixed 1024-bucket space, "
+    "L2-normalized — ONE (doc,bucket) map-side-combined shuffle + a "
+    "doc-keyed window; integer tfs and one sqrt/division keep it "
+    "bit-stable (operators/tfidf.py hashed_tf_vectors)",
+)
+def ns_hashing_tf(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import tfidf as tfidf_mod
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf_mod.hashed_tf_vectors(docs, "doc_id", "text", dim=1024)
+
+
+@q(
+    "ns_mixture_rates",
+    ("NS-sampling", "A2"),
+    """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n_rows FROM documents GROUP BY 1, 2),
+    k AS (SELECT COUNT(*) AS n_cells FROM cells)
+    SELECT lang, source, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(floor(300.0 / n_cells) AS BIGINT) AS quota,
+           LEAST(1.0, CAST(floor(300.0 / n_cells) AS DOUBLE)
+                        / CAST(n_rows AS DOUBLE)) AS rate,
+           LEAST(n_rows, CAST(floor(300.0 / n_cells) AS BIGINT)) AS expected
+    FROM cells CROSS JOIN k
+    """,
+    "static mixture-allocation planner (uniform 300-row budget over "
+    "(lang, source) cells): per-cell quota, sampling rate, expected "
+    "kept rows — the table a DoReMi-style reweighting compiles to "
+    "before hash_sample executes it; one groupBy on the tiny cell key "
+    "space (operators/sampling.py mixture_rates)",
+)
+def ns_mixture_rates(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.mixture_rates(docs, ["lang", "source"], budget=300)
+
+
+@q(
+    "ns_char_entropy",
+    ("NS-text", "A2"),
+    r"""
+    WITH base AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    ch AS (
+      SELECT doc_id, substr(lt, CAST(i AS INTEGER), 1) AS c
+      FROM (SELECT doc_id, lt, unnest(generate_series(1, length(lt))) AS i
+            FROM base)),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS kinds,
+             SUM(k * CAST(floor(ln(CAST(k AS DOUBLE)) * 1e6) AS BIGINT)) AS sumq
+      FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(length(b.lt) AS BIGINT) AS n_chars,
+           CAST(COALESCE(a.kinds, 0) AS BIGINT) AS n_distinct,
+           CASE WHEN length(b.lt) > 0
+                THEN (CAST(CAST(floor(ln(CAST(length(b.lt) AS DOUBLE)) * 1e6)
+                           AS BIGINT) AS DOUBLE) / 1e6)
+                     - (CAST(a.sumq AS DOUBLE) / 1e6
+                        / CAST(length(b.lt) AS DOUBLE))
+                ELSE 0.0 END AS entropy
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    "per-document character-distribution Shannon entropy (nats) — the "
+    "low-entropy gate that catches keyboard-mash/base64/padding docs: "
+    "ZERO-shuffle row-local sort+fold in Spark (run lengths = char "
+    "frequencies, micro-nat-quantized logs); the oracle replays via a "
+    "(doc,char) GROUP BY over the same integers "
+    "(functions/textstats.py char_entropy)",
+)
+def ns_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import char_entropy
+
+    docs = load_table(spark, sf, "documents")
+    ce = char_entropy(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ce["n_chars"].alias("n_chars"),
+        ce["n_distinct"].alias("n_distinct"),
+        ce["entropy"].alias("entropy"),
+    )
