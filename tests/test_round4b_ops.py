@@ -378,3 +378,41 @@ def test_char_entropy_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_thirds_per_lang(spark):
+    from ubdc_airbnb_spark.operators.lm import ccnet_buckets
+
+    # 9 en docs: 3 fluent (repeated common phrase), 3 mixed, 3 gibberish
+    fluent = "the cat sat on the mat and the cat sat again"
+    mixed = "the cat zq1 on qx7 mat and bb3 cat sat again"
+    gib = "zq%d qx%d bb%d kk%d vv%d ww%d mm%d nn%d pp%d rr%d"
+    rows = (
+        [(i, fluent, "en") for i in range(3)]
+        + [(i + 3, mixed, "en") for i in range(3)]
+        + [(i + 6, gib % tuple(range(i, i + 10)), "en") for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.bucket for r in ccnet_buckets(docs).collect()}
+    assert len(got) == 9
+    # fluent docs rank head, gibberish tail
+    assert all(got[i] == "head" for i in range(3))
+    assert all(got[i + 6] == "tail" for i in range(3))
+
+
+def test_ccnet_buckets_no_per_lang_total_sort(spark):
+    from ubdc_airbnb_spark.operators.lm import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z" % i, "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    plan = ccnet_buckets(docs)._jdf.queryExecution().executedPlan().toString()
+    # the only windows run over the bounded histogram (post-aggregate);
+    # the doc-level path must join broadcast cutoffs, not sort per lang
+    assert "BroadcastHashJoin" in plan

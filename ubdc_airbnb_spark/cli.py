@@ -565,6 +565,8 @@ def cmd_curate(args) -> int:
         min_tokens=args.min_tokens,
         lang=args.lang or None,
         min_quality=args.min_quality,
+        line_filter=args.line_filter,
+        max_per_source=args.max_per_source,
     )
     res.corpus.write.mode("overwrite").parquet(args.output)
     for stage, n in res.report.items():
@@ -799,6 +801,10 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-tokens", type=int, default=20)
     cu.add_argument("--lang", default="en", help="'' disables the language gate")
     cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--line-filter", action="store_true",
+                    help="C4 line-level cleaning before the doc gates")
+    cu.add_argument("--max-per-source", type=int, default=None,
+                    help="domain-balancing hard cap per source")
     cu.add_argument("--output", required=True)
     cu.set_defaults(fn=cmd_curate)
 

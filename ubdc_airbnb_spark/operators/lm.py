@@ -179,3 +179,66 @@ def collocations(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("bigram", "c12", "c1", "c2", "lift", "rank")
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    bins: int = 4096,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): rank
+    every document by its corpus-LM score WITHIN its language and split
+    each language into thirds — 'head' (most fluent) feeds pretraining
+    first, 'tail' is the candidate-drop slice.
+
+    Scale design — no per-language total order: a per-lang
+    ``percent_rank`` would sort each language's entire corpus inside one
+    window partition (a handful of lang keys → single-partition sorts at
+    100 TB). Instead the score axis quantizes into ``bins`` integer
+    cells; tercile CUTOFF CELLS come from a cumulative window over the
+    bounded (lang, bin) histogram (≤ langs·bins rows), broadcast back,
+    and every document classifies by two integer comparisons — the
+    histogram-prefilter device of the token-budget gate. Straddle bins
+    assign whole to the lower bucket, deterministically in any engine.
+
+    Output: (id_col, lang, n_bigrams, avg_cond_p, bucket) for docs with
+    ≥2 tokens.
+    """
+    from pyspark.sql import Window
+
+    scored = score_documents(docs, id_col, text_col)
+    sb = (
+        docs.select(F.col(id_col), F.col(lang_col))
+        .join(scored, id_col)
+        .withColumn(
+            "b",
+            F.least(
+                F.floor(F.col("avg_cond_p") * bins).cast("long"), F.lit(bins - 1)
+            ),
+        )
+    )
+    hist = sb.groupBy(lang_col, "b").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy(lang_col)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(lang_col))
+    )
+    cuts = cum.groupBy(lang_col).agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("b"))).alias("cut1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("b"))).alias("cut2"),
+    )
+    return sb.join(F.broadcast(cuts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_bigrams",
+        "avg_cond_p",
+        F.when(F.col("b") <= F.col("cut1"), F.lit("tail"))
+        .when(F.col("b") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )

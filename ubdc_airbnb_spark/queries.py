@@ -6910,3 +6910,66 @@ def ns_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
         ce["n_distinct"].alias("n_distinct"),
         ce["entropy"].alias("entropy"),
     )
+
+
+@q(
+    "ns_ccnet_buckets",
+    ("NS-curation", "A2", "W8"),
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS ws
+      FROM documents),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM toks WHERE len(ws) >= 2),
+    bc AS (SELECT bigram, COUNT(*) AS c12 FROM db GROUP BY bigram),
+    cc AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS vsz
+          FROM (SELECT unnest(ws) AS w FROM toks)),
+    scored AS (
+      SELECT d.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(floor((CAST(b.c12 + 1 AS DOUBLE) / CAST(c.c1 + v.vsz AS DOUBLE))
+                                 * 1e9) AS BIGINT)) AS BIGINT) AS sum_ppb
+      FROM db d
+      JOIN bc b USING (bigram)
+      JOIN cc c ON split_part(d.bigram, ' ', 1) = c.w1
+      CROSS JOIN v
+      GROUP BY d.doc_id),
+    sl AS (
+      SELECT s.doc_id, dd.lang, s.n_bigrams,
+             (CAST(s.sum_ppb AS DOUBLE) / 1e9) / CAST(s.n_bigrams AS DOUBLE) AS avg_cond_p
+      FROM scored s JOIN documents dd USING (doc_id)),
+    sb AS (
+      SELECT *, LEAST(CAST(floor(avg_cond_p * 4096) AS BIGINT), 4095) AS b FROM sl),
+    hist AS (SELECT lang, b, COUNT(*) AS cnt FROM sb GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, b,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+      FROM hist),
+    cuts AS (
+      SELECT lang,
+             MIN(CASE WHEN cum * 3 >= n THEN b END) AS cut1,
+             MIN(CASE WHEN cum * 3 >= 2 * n THEN b END) AS cut2
+      FROM cum GROUP BY lang)
+    SELECT sb.doc_id, sb.lang, CAST(sb.n_bigrams AS BIGINT) AS n_bigrams,
+           sb.avg_cond_p,
+           CASE WHEN sb.b <= c.cut1 THEN 'tail'
+                WHEN sb.b <= c.cut2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM sb JOIN cuts c USING (lang)
+    """,
+    "CCNet head/middle/tail LM-fluency buckets per language (Wenzek "
+    "2020): tercile cutoffs from a bounded (lang, score-bin) histogram "
+    "window — NOT a per-lang total order (a handful of lang keys would "
+    "single-partition a 100 TB sort); integer bin compares classify "
+    "every doc (operators/lm.py ccnet_buckets)",
+)
+def ns_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import lm
+
+    docs = load_table(spark, sf, "documents")
+    return lm.ccnet_buckets(docs, "doc_id", "text", "lang", bins=4096)
