@@ -416,3 +416,54 @@ def test_ccnet_buckets_no_per_lang_total_sort(spark):
     # the only windows run over the bounded histogram (post-aggregate);
     # the doc-level path must join broadcast cutoffs, not sort per lang
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# power_iteration_top_pc
+# ---------------------------------------------------------------------------
+
+
+def test_top_pc_finds_dominant_axis(spark):
+    import math
+
+    from ubdc_airbnb_spark.operators.similarity import power_iteration_top_pc
+
+    # variance concentrated on axis 1 (values +-10), noise on axis 0
+    rows = [(i, [0.1 * (i % 3), 10.0 if i % 2 == 0 else -10.0, 0.0]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comp = {r.d: r.v for r in power_iteration_top_pc(vecs, iters=3).collect()}
+    # unit norm
+    assert sum(x * x for x in comp.values()) == pytest.approx(1.0, abs=1e-6)
+    # dominant axis carries nearly all the weight
+    assert abs(comp[1]) > 0.99
+    assert abs(comp[0]) < 0.1 and abs(comp[2]) < 0.1
+
+
+def test_top_pc_deterministic(spark):
+    from ubdc_airbnb_spark.operators.similarity import power_iteration_top_pc
+
+    rows = [(i, [float(i % 5), float((i * 7) % 11), 1.0]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted((r.d, r.v) for r in power_iteration_top_pc(vecs, iters=2).collect())
+    b = sorted((r.d, r.v) for r in power_iteration_top_pc(vecs, iters=2).collect())
+    assert a == b
+
+
+def test_remove_top_pc_kills_dominant_axis(spark):
+    from ubdc_airbnb_spark.operators.similarity import (
+        power_iteration_top_pc,
+        remove_top_pc,
+    )
+
+    rows = [(i, [10.0 if i % 2 == 0 else -10.0, 0.5, 0.0]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comp_rows = power_iteration_top_pc(vecs, iters=3).collect()
+    comp = [0.0] * 3
+    for r in comp_rows:
+        comp[r["d"]] = r["v"]
+    out = remove_top_pc(vecs, comp).collect()
+    for r in out:
+        # dominant axis removed: residual norm collapses to ~0.5
+        assert r.norm_before == pytest.approx((10.0**2 + 0.25) ** 0.5, abs=1e-3)
+        assert r.norm_after < 1.0
+        assert abs(r.proj) > 9.0

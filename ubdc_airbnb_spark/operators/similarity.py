@@ -854,3 +854,126 @@ def scalar_quantize_stats(
             F.col("errs"), F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e))
         ).alias("max_err"),
     )
+
+
+def power_iteration_top_pc(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Top principal direction of an embedding corpus by power iteration
+    — the building block of 'all-but-the-top' post-processing (Mu 2018:
+    removing the dominant direction de-biases embedding similarity) and
+    of PCA-based dimensionality checks:
+
+        v ← normalize( Σ_i (x_i · v) x_i ),  v₀ = 1/√D · 𝟙
+
+    Scale shape: each iteration is ONE corpus scan — the projection
+    x·v folds row-locally against a literal v (narrow), the update
+    vector Σ proj·x reduces by a bounded groupBy(dim) with map-side
+    combine (D keys), and only the D-sized result reaches the driver
+    (the k-means centroid discipline). No corpus-sized join or window.
+
+    Determinism: projections quantize per-dim products to integer
+    nano-units (order-free integer sums), the dim sums accumulate in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no overflow at any
+    corpus size, and the norm comes from the EXACT integer Σ s_d² — the
+    oracle unrolls the same iterations in SQL and matches bit-for-bit.
+
+    Output: (d, v) — one row per dimension of the unit top component.
+    """
+    import math
+
+    dim = len(vectors.select(vec_col).first()[0])
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        lit_v = F.array(*[F.lit(float(x)) for x in v])
+        proj_u = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                lit_v,
+                lambda x, vd: F.floor(x.cast("double") * vd * F.lit(1e9)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        terms = vectors.select(
+            F.posexplode(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.floor(
+                        (proj_u.cast("double") / F.lit(1e9))
+                        * x.cast("double")
+                        * F.lit(1e9)
+                    ).cast("long"),
+                )
+            ).alias("d", "t_u")
+        )
+        s_rows = (
+            terms.groupBy("d")
+            .agg(F.sum(F.col("t_u").cast("decimal(38,0)")).alias("s"))
+            .collect()
+        )
+        s = [0] * dim
+        for r in s_rows:
+            s[r["d"]] = int(r["s"])
+        norm = math.sqrt(float(sum(x * x for x in s)))
+        v = [float(x) / norm for x in s]
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(d, v[d]) for d in range(dim)], "d long, v double"
+    )
+
+
+def remove_top_pc(
+    vectors: DataFrame,
+    component: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """'All-but-the-top' de-biasing (Mu 2018): subtract the projection on
+    the dominant direction, x' = x − (x·v)v, and report per-vector norms
+    before/after — the isotropy gain every embedding-similarity pipeline
+    checks before trusting cosine scores.
+
+    Narrow one-pass transform against the literal component (no joins,
+    no shuffle); both norms and the projection quantize per-dim terms to
+    integer nano-units before their order-free sums, so the numbers are
+    engine- and partitioning-stable.
+
+    Output: (id_col, proj, norm_before, norm_after).
+    """
+    lit_v = F.array(*[F.lit(float(x)) for x in component])
+
+    def q9_sum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+    proj_u = q9_sum(
+        F.zip_with(
+            F.col(vec_col),
+            lit_v,
+            lambda x, vd: F.floor(x.cast("double") * vd * F.lit(1e9)).cast("long"),
+        )
+    )
+    proj = proj_u.cast("double") / F.lit(1e9)
+    resid = F.zip_with(
+        F.col(vec_col), lit_v, lambda x, vd: x.cast("double") - proj * vd
+    )
+    nb_u = q9_sum(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * x.cast("double") * F.lit(1e9)).cast(
+                "long"
+            ),
+        )
+    )
+    na_u = q9_sum(
+        F.transform(resid, lambda r: F.floor(r * r * F.lit(1e9)).cast("long"))
+    )
+    return vectors.select(
+        F.col(id_col),
+        proj.alias("proj"),
+        F.sqrt(nb_u.cast("double") / F.lit(1e9)).alias("norm_before"),
+        F.sqrt(na_u.cast("double") / F.lit(1e9)).alias("norm_after"),
+    )

@@ -6973,3 +6973,81 @@ def ns_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return lm.ccnet_buckets(docs, "doc_id", "text", "lang", bins=4096)
+
+
+_TOP_PC_CTES = r"""dims AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+             CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    dcount AS (SELECT MAX(d) + 1 AS dd FROM dims),
+    v0 AS (SELECT d, 1.0 / sqrt(CAST((SELECT dd FROM dcount) AS DOUBLE)) AS v
+           FROM (SELECT DISTINCT d FROM dims)),
+    p1 AS (SELECT vec_id, SUM(CAST(floor(x * v.v * 1e9) AS BIGINT)) AS proj_u
+           FROM dims JOIN v0 v USING (d) GROUP BY vec_id),
+    t1 AS (SELECT d, CAST(floor((CAST(p.proj_u AS DOUBLE) / 1e9) * x * 1e9) AS BIGINT) AS t_u
+           FROM dims JOIN p1 p USING (vec_id)),
+    s1 AS (SELECT d, SUM(t_u) AS s FROM t1 GROUP BY d),
+    n1 AS (SELECT sqrt(CAST(SUM(s * s) AS DOUBLE)) AS nrm FROM s1),
+    v1 AS (SELECT d, CAST(s AS DOUBLE) / (SELECT nrm FROM n1) AS v FROM s1),
+    p2 AS (SELECT vec_id, SUM(CAST(floor(x * v.v * 1e9) AS BIGINT)) AS proj_u
+           FROM dims JOIN v1 v USING (d) GROUP BY vec_id),
+    t2 AS (SELECT d, CAST(floor((CAST(p.proj_u AS DOUBLE) / 1e9) * x * 1e9) AS BIGINT) AS t_u
+           FROM dims JOIN p2 p USING (vec_id)),
+    s2 AS (SELECT d, SUM(t_u) AS s FROM t2 GROUP BY d),
+    n2 AS (SELECT sqrt(CAST(SUM(s * s) AS DOUBLE)) AS nrm FROM s2),
+    v2 AS (SELECT d, CAST(s AS DOUBLE) / (SELECT nrm FROM n2) AS v FROM s2)"""
+
+
+@q(
+    "ns_embed_top_pc",
+    ("NS-embed", "A2"),
+    "\n    WITH " + _TOP_PC_CTES + "\n    SELECT d, v FROM v2\n    ",
+    "top principal direction by power iteration (all-but-the-top / Mu "
+    "2018 embedding de-biasing): one corpus scan per iteration, "
+    "row-local quantized projections, bounded dim-key reduce, D-sized "
+    "driver state only; the oracle unrolls the identical two iterations "
+    "in SQL — bit-stable via integer nano-unit sums "
+    "(operators/similarity.py power_iteration_top_pc)",
+)
+def ns_embed_top_pc(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.power_iteration_top_pc(emb, "vec_id", "embedding", iters=2)
+
+
+@q(
+    "ns_embed_debias",
+    ("NS-embed", "A2"),
+    "\n    WITH "
+    + _TOP_PC_CTES
+    + r""",
+    pr AS (SELECT vec_id, SUM(CAST(floor(x * v.v * 1e9) AS BIGINT)) AS proj_u
+           FROM dims JOIN v2 v USING (d) GROUP BY vec_id),
+    res AS (
+      SELECT d.vec_id,
+             CAST(p.proj_u AS DOUBLE) / 1e9 AS proj,
+             SUM(CAST(floor(d.x * d.x * 1e9) AS BIGINT)) AS nb_u,
+             SUM(CAST(floor((d.x - (CAST(p.proj_u AS DOUBLE) / 1e9) * v.v)
+                            * (d.x - (CAST(p.proj_u AS DOUBLE) / 1e9) * v.v)
+                            * 1e9) AS BIGINT)) AS na_u
+      FROM dims d JOIN pr p USING (vec_id) JOIN v2 v USING (d)
+      GROUP BY d.vec_id, p.proj_u)
+    SELECT vec_id, proj,
+           sqrt(CAST(nb_u AS DOUBLE) / 1e9) AS norm_before,
+           sqrt(CAST(na_u AS DOUBLE) / 1e9) AS norm_after
+    FROM res
+    """,
+    "all-but-the-top embedding de-biasing (Mu 2018): subtract the "
+    "power-iteration top component, report per-vector projection and "
+    "norms before/after — ONE narrow corpus pass against the literal "
+    "component, nano-unit-quantized order-free sums "
+    "(operators/similarity.py remove_top_pc + power_iteration_top_pc)",
+)
+def ns_embed_debias(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    comp_rows = similarity.power_iteration_top_pc(emb, "vec_id", "embedding", iters=2).collect()
+    comp = [0.0] * len(comp_rows)
+    for r in comp_rows:
+        comp[r["d"]] = r["v"]
+    return similarity.remove_top_pc(emb, comp, "vec_id", "embedding")
