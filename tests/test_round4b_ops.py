@@ -505,3 +505,14 @@ def test_cdc_chunks_insertion_locality(spark):
     # survive the front insertion (fixed-size blocks would share none)
     shared = len(a & b)
     assert shared >= max(1, len(a) - 2)
+
+
+def test_normalize_text_rules(spark):
+    from ubdc_airbnb_spark.functions.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "  “Smart”  – quotes\tand\x07control\nchars ‘here’  ")],
+        "doc_id long, text string",
+    )
+    got = docs.select(normalize_text("text").alias("t")).first().t
+    assert got == '"Smart" - quotes andcontrol chars \'here\''

@@ -47,13 +47,20 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Array of character n-grams (shingles) — feeds MinHash / Jaccard.
 
     Guarded for short strings: Spark's ``sequence(1, 0)`` counts *down*,
-    so the empty case must short-circuit explicitly."""
+    so the empty case must short-circuit explicitly.
+
+    Built as n-1 zip_with concatenations over shifted slices of the
+    char array (the word_ngrams device) — LINEAR in string length; the
+    per-index ``substring(c, i, n)`` form pays an O(i) UTF-8 seek per
+    position, quadratic on long documents."""
     c = _c(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(c) - (n - 1)),
-        lambda i: F.substring(c, i.cast("int"), n),
-    )
-    return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
+    chars = F.split(c, "")
+    m = F.greatest(F.length(c) - (n - 1), F.lit(0))
+    acc = F.slice(chars, F.lit(1), m)
+    for k in range(1, n):
+        nxt = F.slice(chars, F.lit(k + 1), m)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, b))
+    return F.when(F.length(c) >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams_arr(ws: Column, n: int = 3) -> Column:
@@ -260,10 +267,13 @@ def char_entropy(col: Column | str) -> Column:
     """
     lt = F.lower(_c(col))
     n = F.length(lt)
-    chars = F.when(
-        n > 0,
-        F.transform(F.sequence(F.lit(1), n), lambda i: lt.substr(i, F.lit(1))),
-    ).otherwise(F.array().cast("array<string>"))
+    # split, not per-index substr: an expression captured inside a HOF
+    # lambda re-evaluates PER ELEMENT (lower(text) would run n times,
+    # and substr pays an O(i) UTF-8 seek — quadratic on long docs);
+    # split's argument evaluates once per row
+    chars = F.when(n > 0, F.split(lt, "")).otherwise(
+        F.array().cast("array<string>")
+    )
 
     def qln(x: Column) -> Column:
         return F.floor(F.log(x.cast("double")) * F.lit(1e6)).cast("long")
@@ -304,3 +314,21 @@ def char_entropy(col: Column | str) -> Column:
         folded["kinds"].cast("long").alias("n_distinct"),
         entropy.alias("entropy"),
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization (the cleanup pass before hashing /
+    dedup so near-identical bytes dedup as identical): strip ASCII
+    control characters, normalize curly quotes and unicode dashes to
+    ASCII, collapse whitespace runs to single spaces, and trim. The
+    regex/replacement set is restricted to syntax Java regex and RE2
+    evaluate identically, so the DuckDB oracle replays it
+    character-for-character. Zero shuffle, whole-stage codegen.
+    """
+    c = _c(col)
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[‘’‚]", "'")
+    c = F.regexp_replace(c, "[“”„]", '"')
+    c = F.regexp_replace(c, "[–—―]", "-")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)

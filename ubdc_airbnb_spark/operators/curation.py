@@ -148,11 +148,15 @@ def segment_dedup(
     the same two-shuffle layout C4's original MapReduce used. Both keys
     are high-cardinality and near-uniform; no broadcast, no driver
     state."""
-    ws = words(F.col(text_col))
-    n_segs = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
+    # tokenize ONCE into a column: `ws` captured inside the transform
+    # lambda would re-evaluate words(text) per segment (the HOF capture
+    # trap — O(segments x n) per doc); an attribute deref is O(1)
+    wsa = F.col("__ws")
+    n_segs = F.ceil(F.size(wsa) / F.lit(seg_words)).cast("int")
     seg_starts = F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0)))
     segs = (
-        docs.select(
+        docs.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+        .select(
             F.col(id_col),
             F.explode(
                 F.transform(
@@ -160,7 +164,7 @@ def segment_dedup(
                     lambda i: F.struct(
                         i.cast("long").alias("seg_idx"),
                         F.array_join(
-                            F.slice(ws, i * seg_words + 1, seg_words), " "
+                            F.slice(wsa, i * seg_words + 1, seg_words), " "
                         ).alias("seg_text"),
                     ),
                 )

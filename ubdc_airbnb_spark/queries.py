@@ -7173,3 +7173,47 @@ def ns_boilerplate_prefix(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("n_docs").cast("double")).alias("share"),
         )
     )
+
+
+@q(
+    "ns_text_normalize",
+    ("NS-curation", "P4"),
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '[''‘’‚]', '''', 'g'),
+                 '[“”„]', '"', 'g'),
+               '[–—―]', '-', 'g'),
+             '\s+', ' ', 'g')) AS clean_text,
+           CAST(length(text) AS BIGINT) AS n_before,
+           CAST(length(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '[''‘’‚]', '''', 'g'),
+                 '[“”„]', '"', 'g'),
+               '[–—―]', '-', 'g'),
+             '\s+', ' ', 'g'))) AS BIGINT) AS n_after
+    FROM documents
+    """,
+    "canonical text normalization before hashing/dedup: control-char "
+    "strip, curly-quote/dash ASCII-fold, whitespace collapse, trim — "
+    "Java-regex/RE2-identical patterns, zero shuffle "
+    "(functions/textstats.py normalize_text)",
+)
+def ns_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import normalize_text
+
+    docs = load_table(spark, sf, "documents")
+    clean = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length("text").cast("long").alias("n_before"),
+        F.length(clean).cast("long").alias("n_after"),
+    )
