@@ -631,3 +631,66 @@ def test_lsh_index_probe_no_corpus_wide_shuffle(spark, tmp_path):
     plan = _plan(query_lsh_index(spark, idx, docs.filter(F.col("doc_id") >= 40)))
     assert "band_key" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 second wave: plan shapes of the new operators
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_no_unbounded_single_partition(spark):
+    df = q.ns_dedup_spans(spark, SF)
+    assert _unbounded_single_partition_subtrees(df) == []
+    plan = _plan(df)
+    # gram election + join, then the union+hash-agg zero-fill — no SMJ
+    # sort on the doc id reassembly path
+    assert "Union" in plan
+
+
+def test_embed_quantize_broadcasts_stats_no_corpus_shuffle(spark):
+    df = q.ns_embed_quantize(spark, SF)
+    plan = _plan(df)
+    # the packed (mn, mx) stats row arrives by broadcast; the corpus
+    # side is a narrow zip_with — no corpus-keyed exchange above the scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert _unbounded_single_partition_subtrees(df) == []
+
+
+def test_length_buckets_window_over_histogram_only(spark):
+    df = q.ns_length_buckets(spark, SF)
+    # the single-partition window is fed by the bounded histogram
+    # aggregate, never raw doc rows
+    assert _unbounded_single_partition_subtrees(df) == []
+
+
+def test_contamination_spans_broadcasts_eval_grams(spark):
+    plan = _plan(q.ns_contamination_spans(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ccnet_buckets_no_doc_level_lang_sort(spark):
+    df = q.ns_ccnet_buckets(spark, SF)
+    # cutoffs broadcast back; only histogram rows pass through windows
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert _unbounded_single_partition_subtrees(df) == []
+
+
+def test_unigram_kl_bounded_bucket_aggregate(spark):
+    df = q.ns_unigram_kl(spark, SF)
+    assert _unbounded_single_partition_subtrees(df) == []
+
+
+def test_line_filter_zero_exchange(spark):
+    plan = _plan(q.ns_line_filter(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_hashing_tf_single_doc_bucket_shuffle(spark):
+    plan = _plan(q.ns_hashing_tf(spark, SF))
+    # one hashpartitioning exchange for the (doc,bucket) combine; the
+    # doc-keyed norm window reuses that partitioning or adds one more —
+    # never a SinglePartition over corpus rows
+    df = q.ns_hashing_tf(spark, SF)
+    assert _unbounded_single_partition_subtrees(df) == []

@@ -516,3 +516,24 @@ def test_normalize_text_rules(spark):
     )
     got = docs.select(normalize_text("text").alias("t")).first().t
     assert got == '"Smart" - quotes andcontrol chars \'here\''
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    from ubdc_airbnb_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "vec_id long")
+    a = sorted(
+        (r.anchor_id, r.k, r.neg_id)
+        for r in negative_samples(df, "vec_id", m=3, buckets=8).collect()
+    )
+    b = sorted(
+        (r.anchor_id, r.k, r.neg_id)
+        for r in negative_samples(df, "vec_id", m=3, buckets=8).collect()
+    )
+    assert a == b
+    assert all(anchor != neg for anchor, _k, neg in a)
+    # every anchor draws its full m negatives (buckets all non-empty here)
+    from collections import Counter
+
+    per_anchor = Counter(anchor for anchor, _k, _n in a)
+    assert all(v == 3 for v in per_anchor.values())

@@ -275,3 +275,61 @@ def mixture_rates(
             F.least(F.col("n_rows"), F.col("quota")).alias("expected"),
         )
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    m: int = 4,
+    buckets: int = 1024,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling (the contrastive-
+    training companion of the hash split): every anchor row draws ``m``
+    negatives by hashing (anchor, k) to a corpus bucket and taking that
+    bucket's first candidate in salted-hash order — reproducible across
+    runs/engines/partitionings, with no RNG state and no driver-side
+    index (a dense-id assumption or a zipWithIndex would both break at
+    100 TB).
+
+    Scale shape: candidates carry a ``buckets``-sized hash bucket
+    (narrow); probes equi-join on the bucket key (hash-partitioned,
+    near-uniform); the per-(anchor, k) election is a keyed window over
+    ~N/buckets candidates — size ``buckets`` to corpus scale to bound
+    it. Self-matches are excluded before the election.
+
+    Output: (anchor_id, k, neg_id); an (anchor, k) whose bucket holds
+    no other candidate is absent (draw with a different salt).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    ids = F.col(id_col).cast("string")
+    cands = df.select(
+        F.col(id_col).alias("cand_id"),
+        (md5_long(ids, salt) % buckets).alias("b"),
+        md5_long(ids, salt + "#ord").alias("ord"),
+    )
+    probes = df.select(F.col(id_col).alias("anchor_id")).select(
+        "anchor_id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("k")
+    ).withColumn(
+        "b",
+        md5_long(
+            F.concat(F.col("anchor_id").cast("string"), F.lit("#"), F.col("k")),
+            salt,
+        )
+        % buckets,
+    )
+    w = Window.partitionBy("anchor_id", "k").orderBy("ord", "cand_id")
+    return (
+        probes.join(cands, "b")
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("k").cast("long").alias("k"),
+            F.col("cand_id").alias("neg_id"),
+        )
+    )

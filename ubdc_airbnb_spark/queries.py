@@ -7217,3 +7217,41 @@ def ns_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
         F.length("text").cast("long").alias("n_before"),
         F.length(clean).cast("long").alias("n_after"),
     )
+
+
+@q(
+    "ns_negative_samples",
+    ("NS-sampling", "J8", "W2"),
+    """
+    WITH cands AS (
+      SELECT vec_id AS cand_id,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR) || '#neg'), 1, 15))
+                  AS BIGINT) % 64 AS b,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR) || '#neg#ord'), 1, 15))
+                  AS BIGINT) AS ord
+      FROM embeddings),
+    probes AS (
+      SELECT vec_id AS anchor_id, k,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR) || '#' ||
+                                       CAST(k AS VARCHAR) || '#neg'), 1, 15))
+                  AS BIGINT) % 64 AS b
+      FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS k))
+    SELECT anchor_id, CAST(k AS BIGINT) AS k, cand_id AS neg_id FROM (
+      SELECT p.anchor_id, p.k, c.cand_id,
+             row_number() OVER (PARTITION BY p.anchor_id, p.k
+                                ORDER BY c.ord, c.cand_id) AS rn
+      FROM probes p JOIN cands c USING (b)
+      WHERE c.cand_id <> p.anchor_id) t
+    WHERE rn = 1
+    """,
+    "deterministic hash-bucket negative sampling for contrastive "
+    "training: (anchor,k) hashes to a corpus bucket, first candidate in "
+    "salted-hash order wins — reproducible with no RNG/driver index; "
+    "bucket-key equi-join + keyed election window "
+    "(operators/sampling.py negative_samples)",
+)
+def ns_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    emb = load_table(spark, sf, "embeddings")
+    return sampling.negative_samples(emb, "vec_id", m=4, buckets=64)
