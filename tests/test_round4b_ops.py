@@ -537,3 +537,101 @@ def test_negative_samples_deterministic_and_self_free(spark):
 
     per_anchor = Counter(anchor for anchor, _k, _n in a)
     assert all(v == 3 for v in per_anchor.values())
+
+
+# ---------------------------------------------------------------------------
+# randomized cross-checks vs pure-Python reference implementations
+# ---------------------------------------------------------------------------
+
+
+def _py_duplicate_spans(rows, k):
+    from collections import Counter
+
+    grams = Counter()
+    toks = {}
+    for doc_id, text in rows:
+        ws = [w for w in text.lower().split() if w]
+        toks[doc_id] = ws
+        for i in range(len(ws) - k + 1):
+            grams[" ".join(ws[i : i + k])] += 1
+    out = {}
+    for doc_id, ws in toks.items():
+        hits = [
+            i
+            for i in range(len(ws) - k + 1)
+            if grams[" ".join(ws[i : i + k])] >= 2
+        ]
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k - 1))
+            else:
+                spans.append((p, p + k - 1))
+        dup = sum(e - s + 1 for s, e in spans)
+        out[doc_id] = (len(ws), len(spans), dup)
+    return out
+
+
+def test_duplicate_spans_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(42)
+    vocab = ["w%d" % i for i in range(30)]
+    shared = "alpha beta gamma delta epsilon"
+    rows = []
+    for i in range(40):
+        words_ = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if i % 3 == 0:
+            pos = rng.randint(0, len(words_))
+            words_ = words_[:pos] + shared.split() + words_[pos:]
+        rows.append((i, " ".join(words_)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens)
+        for r in duplicate_spans(docs, k=3).collect()
+    }
+    assert got == _py_duplicate_spans(rows, 3)
+
+
+def _py_cdc(text, window=8, mask=63, M=2_147_483_647, B=131):
+    n = len(text)
+    if n == 0:
+        return []
+    bnd = []
+    if n >= window + 1:
+        for p in range(window, n):  # 1-based end positions window..n-1
+            h = 0
+            for ch in text[p - window : p]:
+                h = (h * B + ord(ch)) % M
+            if h & mask == 0:
+                bnd.append(p)
+    ends = bnd + [n]
+    chunks, prev = [], 0
+    for i, e in enumerate(ends):
+        fp = 0
+        for ch in text[prev:e]:
+            fp = (fp * B + ord(ch)) % M
+        chunks.append((i, prev + 1, e - prev, fp))
+        prev = e
+    return chunks
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    import random
+
+    from ubdc_airbnb_spark.operators.chunking import content_defined_chunks
+
+    rng = random.Random(7)
+    rows = [
+        (i, "".join(rng.choice("abcdefgh ") for _ in range(rng.randint(0, 400))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in content_defined_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start, r.length, r.chunk_fp)
+        )
+    for doc_id, text in rows:
+        expect = _py_cdc(text)
+        assert sorted(got.get(doc_id, [])) == expect, doc_id
