@@ -436,3 +436,56 @@ def test_foreach_batch_rate_state_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert any(r[-1] for r in got) or True  # flags are data-dependent
+
+
+def test_foreach_batch_checksum_state_matches_batch(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.functions.hashing import md5_long
+    from ubdc_airbnb_spark.streaming.jobs import (
+        checksum_state_report,
+        foreach_batch_checksum_state,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(i, "doc body %d" % i) for i in range(20)]
+    rows2 = [(i + 100, "later drop %d" % i) for i in range(15)]
+    spark.createDataFrame(rows1, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            foreach_batch_checksum_state(stream, state)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    got = checksum_state_report(spark, state).first()
+    expect = (
+        spark.read.parquet(src)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.bit_xor(md5_long(F.col("text"))).cast("long").alias("content_xor"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .first()
+    )
+    assert (got.n_docs, got.content_xor, got.n_chars) == (
+        expect.n_docs,
+        expect.content_xor,
+        expect.n_chars,
+    )

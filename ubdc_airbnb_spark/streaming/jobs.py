@@ -301,3 +301,55 @@ def foreach_batch_incremental_agg(
     q = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def foreach_batch_checksum_state(stream: DataFrame, state_path: str, text_col: str = "text"):
+    """Streaming twin of the order-invariant corpus checksum: each
+    micro-batch reduces to (n_docs, content_xor, n_chars) and merges
+    into a ONE-ROW parquet state — counts add, the md5-60bit XOR xors,
+    so ``checksum_state_report(state)`` equals the batch
+    ``ns_corpus_checksum`` over everything ingested (XOR and + are both
+    commutative/associative — the same mergeability that makes the
+    batch aggregate order-invariant makes the stream state exact).
+    Exactly-once via the shared ``__max_batch_id`` device."""
+    from ..functions.hashing import md5_long
+    from ..operators.upsert import recover_swap, replace_parquet
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.bit_xor(md5_long(F.col(text_col))), F.lit(0))
+            .cast("long")
+            .alias("content_xor"),
+            F.coalesce(F.sum(F.length(text_col)), F.lit(0))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        stamped = part.withColumn("__max_batch_id", F.lit(batch_id).cast("long"))
+        if not recover_swap(state_path):
+            stamped.write.mode("overwrite").parquet(state_path)
+            return
+        existing = spark.read.parquet(state_path)
+        last = existing.agg(F.max("__max_batch_id")).first()[0]
+        if last is not None and batch_id <= int(last):
+            return
+        merged = (
+            existing.drop("__max_batch_id")
+            .unionByName(part)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.bit_xor("content_xor").cast("long").alias("content_xor"),
+                F.sum("n_chars").cast("long").alias("n_chars"),
+            )
+            .withColumn("__max_batch_id", F.lit(batch_id).cast("long"))
+        )
+        replace_parquet(merged, state_path)
+
+    return stream.writeStream.foreachBatch(_merge).outputMode("update")
+
+
+def checksum_state_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Finalize the checksum state — identical output contract to the
+    batch ``ns_corpus_checksum`` gate."""
+    return spark.read.parquet(state_path).select("n_docs", "content_xor", "n_chars")
