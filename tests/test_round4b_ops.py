@@ -635,3 +635,38 @@ def test_cdc_chunks_match_python_reference(spark):
     for doc_id, text in rows:
         expect = _py_cdc(text)
         assert sorted(got.get(doc_id, [])) == expect, doc_id
+
+
+def test_vocab_coverage_counts(spark):
+    from ubdc_airbnb_spark.operators.tfidf import build_vocab, vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a b zz"), (2, "a b"), (3, "qq rr")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, "text", size=2)  # {a, b} by frequency
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov)
+        for r in vocab_coverage(docs, vocab).collect()
+    }
+    assert got == {1: (4, 1), 2: (2, 0), 3: (2, 2)}
+
+
+def test_interpolated_lm_backoff_helps_common_words(spark):
+    from ubdc_airbnb_spark.operators.lm import (
+        score_documents,
+        score_documents_interpolated,
+    )
+
+    # doc 3 pairs COMMON words in an unseen order: pure-bigram scores it
+    # like gibberish, interpolation ranks it above the true gibberish doc 4
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "mat the on sat cat the"),
+        (4, "zz qq ww ee rr tt"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    interp = {r.doc_id: r.avg_interp_p for r in score_documents_interpolated(docs).collect()}
+    assert interp[3] > interp[4]
+    assert interp[1] > interp[3]

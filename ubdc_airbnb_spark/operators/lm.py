@@ -242,3 +242,65 @@ def ccnet_buckets(
         .otherwise(F.lit("head"))
         .alias("bucket"),
     )
+
+
+def score_documents_interpolated(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Jelinek-Mercer interpolated LM score (λ = 1/2): per bigram,
+
+        p = ½·(c12+1)/(c1+V)  +  ½·(c2+1)/(T+V)
+
+    — the bigram estimate backed off toward the unigram distribution,
+    the standard fix for the pure-bigram scorer's blind spot (a rare
+    continuation after a rare context scores 0-ish even when the word
+    itself is common). λ is FIXED at the dyadic ½ so the mixture is one
+    exact IEEE expression of integer-exact operands; per-bigram values
+    quantize to integer ppb before the per-doc sum (the score_documents
+    device — bit-stable across engines and partition orders).
+
+    Scale shape: adds ONE map-side-combinable unigram count aggregate
+    and one equi-join on the w2 key to the bigram scorer's plan; model
+    tables stay vocabulary-sized, scalars broadcast.
+
+    Output: (doc_id, n_bigrams, avg_interp_p) — docs with < 2 tokens
+    absent.
+    """
+    from ..functions.textstats import words
+    from .prefixsum import _pin
+
+    grams = _pin(doc_bigrams(df, id_col, text_col))
+    bc, cc = bigram_model(grams)
+    toks = df.select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+    uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c2"))
+    tots = toks.agg(
+        F.countDistinct("w").alias("vsz"), F.count(F.lit(1)).alias("tt")
+    )
+    p = (
+        F.lit(0.5)
+        * ((F.col("c12") + F.lit(1)).cast("double") / (F.col("c1") + F.col("vsz")).cast("double"))
+        + F.lit(0.5)
+        * ((F.col("c2") + F.lit(1)).cast("double") / (F.col("tt") + F.col("vsz")).cast("double"))
+    )
+    scored = (
+        grams.join(bc, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(cc, "w1")
+        .join(uc.withColumnRenamed("w", "w2"), "w2")
+        .join(F.broadcast(tots))
+        .withColumn("p", p)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.floor(F.col("p") * F.lit(1e9)).cast("long")).alias("sum_ppb"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        (
+            (F.col("sum_ppb").cast("double") / F.lit(1e9))
+            / F.col("n_bigrams").cast("double")
+        ).alias("avg_interp_p"),
+    )

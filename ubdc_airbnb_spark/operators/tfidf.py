@@ -488,3 +488,33 @@ def hashed_tf_vectors(
             / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w).cast("double"))
         ).alias("weight"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate report — the check you run before
+    committing a tokenizer vocabulary to a training run: per document,
+    how many tokens the vocabulary covers and the OOV fraction a small
+    vocab would map to <unk> (high corpus-wide OOV = retrain the vocab,
+    per-source OOV spikes = a domain the vocab never saw).
+
+    Scale shape: rides the ``tokenize`` layout — narrow posexplode +
+    broadcast vocab join (vocab is model-sized by construction), then a
+    map-side-combinable per-doc count. The corpus shuffles once on the
+    doc key.
+
+    Output: (id_col, n_tokens, n_oov, oov_frac) for docs with ≥1 token.
+    """
+    toks = tokenize(docs, vocab, id_col, text_col, unk_id=-1)
+    return toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("token_id") == -1).cast("long")).cast("long").alias("n_oov"),
+        (
+            F.sum((F.col("token_id") == -1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_frac"),
+    )

@@ -7255,3 +7255,86 @@ def ns_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     return sampling.negative_samples(emb, "vec_id", m=4, buckets=64)
+
+
+@q(
+    "ns_vocab_coverage",
+    ("NS-tokenizer", "A2"),
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                w -> length(w) > 0)) AS word
+      FROM documents),
+    wc AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, row_number() OVER (ORDER BY cnt DESC, word) - 1 AS token_id
+        FROM wc) t
+      WHERE token_id < 64)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+    FROM toks t LEFT JOIN vocab v USING (word)
+    GROUP BY t.doc_id
+    """,
+    "vocabulary-coverage / OOV-rate report (vocab size 64 trained on "
+    "the corpus itself): per-doc token and <unk> counts via the "
+    "tokenize layout — narrow explode + broadcast vocab join + one "
+    "doc-key combine (operators/tfidf.py vocab_coverage)",
+)
+def ns_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import tfidf as tfidf_mod
+
+    docs = load_table(spark, sf, "documents")
+    vocab = tfidf_mod.build_vocab(docs, "text", size=64)
+    return tfidf_mod.vocab_coverage(docs, vocab, "doc_id", "text")
+
+
+@q(
+    "ns_interp_lm",
+    ("NS-text", "A2"),
+    r"""
+    WITH toksd AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS ws
+      FROM documents),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM toksd WHERE len(ws) >= 2),
+    bc AS (SELECT bigram, COUNT(*) AS c12 FROM db GROUP BY bigram),
+    cc AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+    toks AS (SELECT unnest(ws) AS w FROM toksd),
+    uc AS (SELECT w, COUNT(*) AS c2 FROM toks GROUP BY w),
+    tots AS (SELECT COUNT(DISTINCT w) AS vsz, COUNT(*) AS tt FROM toks),
+    scored AS (
+      SELECT d.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(floor((
+               0.5 * (CAST(b.c12 + 1 AS DOUBLE) / CAST(c.c1 + t.vsz AS DOUBLE))
+               + 0.5 * (CAST(u.c2 + 1 AS DOUBLE) / CAST(t.tt + t.vsz AS DOUBLE))
+             ) * 1e9) AS BIGINT)) AS BIGINT) AS sum_ppb
+      FROM db d
+      JOIN bc b USING (bigram)
+      JOIN cc c ON split_part(d.bigram, ' ', 1) = c.w1
+      JOIN uc u ON split_part(d.bigram, ' ', 2) = u.w
+      CROSS JOIN tots t
+      GROUP BY d.doc_id)
+    SELECT doc_id, n_bigrams,
+           (CAST(sum_ppb AS DOUBLE) / 1e9) / CAST(n_bigrams AS DOUBLE) AS avg_interp_p
+    FROM scored
+    """,
+    "Jelinek-Mercer interpolated LM score (λ=1/2 bigram↔unigram "
+    "backoff): one extra unigram aggregate + w2 equi-join over the "
+    "bigram scorer; dyadic λ keeps the mixture IEEE-exact, ppb "
+    "quantization keeps the per-doc sum integer-exact "
+    "(operators/lm.py score_documents_interpolated)",
+)
+def ns_interp_lm(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import lm
+
+    docs = load_table(spark, sf, "documents")
+    return lm.score_documents_interpolated(docs, "doc_id", "text")
