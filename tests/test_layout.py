@@ -100,3 +100,43 @@ def test_compact_preserving_sort_keeps_disjoint_ranges(spark, tmp_path):
     ranges.sort()
     for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
         assert h1 <= l2  # disjoint key ranges -> file-level pruning works
+
+
+def test_training_shards_roundtrip_and_integrity(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.sources.layout import (
+        read_training_shard,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "text %d" % i) for i in range(200)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    man = write_training_shards(docs, path, "doc_id", n_shards=4)
+    rows = {r.shard: r for r in man.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r.n_rows for r in rows.values()) == 200
+    # every shard reads back verified, in contiguous position order
+    seen = 0
+    for s in range(4):
+        got = read_training_shard(spark, path, s).collect()
+        assert [r.position for r in got] == list(range(len(got)))
+        seen += len(got)
+    assert seen == 200
+    # same salt -> identical manifest on rewrite (deterministic order)
+    man2 = write_training_shards(docs, str(tmp_path / "shards2"), "doc_id", n_shards=4)
+    assert sorted((r.shard, r.n_rows, r.key_xor) for r in man2.collect()) == sorted(
+        (r.shard, r.n_rows, r.key_xor) for r in man.collect()
+    )
+    # corrupt a shard -> loud failure
+    import glob, os
+
+    victim = glob.glob(path + "/data/shard=0/*.parquet")[0]
+    os.remove(victim)
+    try:
+        read_training_shard(spark, path, 0)
+        raise AssertionError("expected integrity failure")
+    except ValueError as e:
+        assert "integrity" in str(e) or "missing" in str(e)

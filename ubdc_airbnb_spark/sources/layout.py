@@ -88,3 +88,86 @@ def compact(
         df = df.coalesce(n_files)
     replace_parquet(df, base)
     return n_files
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> "DataFrame":
+    """Write a training-ready sharded corpus: rows get a deterministic
+    (shard, position) from ``deterministic_shuffle`` (salted content
+    hash — reproducible epoch order with no RNG), land partitioned by
+    shard with rows sorted by position inside each shard file set, and
+    a ``_manifest`` parquet records per-shard row counts, token-free
+    integrity checksums (md5-60bit XOR of the key), and the position
+    extent — what a distributed trainer needs to (a) assign shards to
+    workers, (b) verify a shard replica before an epoch, (c) resume
+    mid-epoch by position.
+
+    Scale shape: ONE shuffle (the shard hash partition; the within-shard
+    sort rides the same exchange via sortWithinPartitions), manifest is
+    an n_shards-row aggregate. Readers prune to their shard via the
+    partition column.
+
+    Returns the manifest DataFrame.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_long
+    from ..operators.sampling import deterministic_shuffle
+
+    sharded = deterministic_shuffle(df, key, n_shards, salt=salt)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("position")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path + "/data")
+    )
+    spark = df.sparkSession
+    manifest = (
+        spark.read.parquet(path + "/data")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(md5_long(F.col(key).cast("string"))).cast("long").alias("key_xor"),
+            F.min("position").cast("long").alias("min_pos"),
+            F.max("position").cast("long").alias("max_pos"),
+        )
+        .withColumn("key_col", F.lit(key))
+    )
+    manifest.write.mode("overwrite").parquet(path + "/_manifest")
+    return spark.read.parquet(path + "/_manifest")
+
+
+def read_training_shard(spark, path: str, shard: int) -> DataFrame:
+    """Read ONE shard in training order, verifying it against the
+    manifest (count + key checksum) before returning — a corrupted or
+    partially-replicated shard fails loudly instead of silently training
+    on half the data."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_long
+
+    data = spark.read.parquet(path + "/data").filter(F.col("shard") == shard)
+    man = (
+        spark.read.parquet(path + "/_manifest")
+        .filter(F.col("shard") == shard)
+        .first()
+    )
+    if man is None:
+        raise ValueError(f"shard {shard} missing from manifest")
+    key_col = man.key_col
+    got = data.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.bit_xor(md5_long(F.col(key_col).cast("string"))).cast("long").alias("x"),
+    ).first()
+    if (got.n, got.x) != (man.n_rows, man.key_xor):
+        raise ValueError(
+            f"shard {shard} integrity mismatch: rows {got.n}!={man.n_rows} "
+            f"or checksum {got.x}!={man.key_xor}"
+        )
+    return data.orderBy("position")
