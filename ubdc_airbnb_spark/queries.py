@@ -7338,3 +7338,77 @@ def ns_interp_lm(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return lm.score_documents_interpolated(docs, "doc_id", "text")
+
+
+@q(
+    "ns_quality_rules",
+    ("NS-curation", "P2", "A2"),
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS ws
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) > 0
+                  THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                       / CAST(GREATEST(len(ws), 1) AS DOUBLE)
+                  ELSE 0.0 END AS mwl,
+             CAST(len(list_filter(ws, w -> list_contains(
+                    ['the', 'and', 'of', 'to', 'a'], lower(w)))) AS DOUBLE)
+               / CAST(GREATEST(len(ws), 1) AS DOUBLE) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+               / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct,
+             CASE WHEN len(ws) > 0
+                  THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE)
+                  ELSE 0.0 END AS dup_frac
+      FROM t)
+    SELECT doc_id,
+           n_words >= 10 AND n_words <= 100000 AS r_len,
+           mwl >= 3.0 AND mwl <= 10.0 AS r_mwl,
+           stop_ratio >= 0.05 AS r_stop,
+           punct <= 0.2 AS r_punct,
+           dup_frac <= 0.5 AS r_dupword,
+           (n_words >= 10 AND n_words <= 100000)
+             AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND stop_ratio >= 0.05
+             AND punct <= 0.2
+             AND dup_frac <= 0.5 AS pass_all
+    FROM m
+    """,
+    "labeled quality-rule bundle (the Gopher/RedPajama/Dolma rule-set "
+    "shape): per-document boolean verdicts for length, mean-word-length, "
+    "stopword-ratio, punctuation, duplicate-word rules plus the "
+    "conjunction — per-rule accounting is what makes a drop explainable; "
+    "pure narrow expressions over existing textstats signals "
+    "(functions/textstats.py)",
+)
+def ns_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import textstats as ts
+
+    docs = load_table(spark, sf, "documents")
+    ws = ts.words(F.col("text"))
+    n = F.size(ws)
+    mwl = ts.mean_word_length(F.col("text"))
+    stop = ts.stopword_ratio(F.col("text"))
+    punct = ts.punct_ratio(F.col("text"))
+    dup = F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(ws))).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    r_len = (n >= 10) & (n <= 100000)
+    r_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    r_stop = stop >= 0.05
+    r_punct = punct <= 0.2
+    r_dup = dup <= 0.5
+    return docs.select(
+        "doc_id",
+        r_len.alias("r_len"),
+        r_mwl.alias("r_mwl"),
+        r_stop.alias("r_stop"),
+        r_punct.alias("r_punct"),
+        r_dup.alias("r_dupword"),
+        (r_len & r_mwl & r_stop & r_punct & r_dup).alias("pass_all"),
+    )
