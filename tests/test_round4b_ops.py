@@ -670,3 +670,21 @@ def test_interpolated_lm_backoff_helps_common_words(spark):
     interp = {r.doc_id: r.avg_interp_p for r in score_documents_interpolated(docs).collect()}
     assert interp[3] > interp[4]
     assert interp[1] > interp[3]
+
+
+def test_rolling_active_users_window(spark):
+    import datetime
+
+    from ubdc_airbnb_spark.operators.funnel import rolling_active_users
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1 active days 0 and 5 (within one 7d window); user 2 only day 0
+    rows.append((1, base, 1))
+    rows.append((2, base + datetime.timedelta(days=5), 1))
+    rows.append((3, base, 2))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {str(r.day): (r.dau, r.active_w) for r in rolling_active_users(ev).collect()}
+    assert got["2024-01-01"] == (2, 2)
+    # day 5: dau=1 (user1); trailing 7d still sees both users
+    assert got["2024-01-06"] == (1, 2)

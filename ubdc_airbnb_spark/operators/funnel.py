@@ -104,3 +104,47 @@ def cohort_retention(
         "n_cohort",
         (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias("retention"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / trailing-window active users (the DAU/WAU/MAU board): for
+    every calendar day with events, the distinct users active that day
+    and over the trailing ``window_days`` window.
+
+    Scale shape: events first collapse to the DISTINCT (user, day)
+    activity grid (map-side combinable; users×days ≪ events), then each
+    activity row fans out to the ≤ ``window_days`` report days it
+    supports — a BOUNDED narrow explode that turns the rolling-window
+    distinct into one plain groupBy(day) COUNT(DISTINCT), instead of a
+    day-range theta-join (which Spark executes as a nested loop) or a
+    window-over-days sort. Report days restrict to days that actually
+    have events via a broadcast semi-join on the (tiny) day list.
+
+    Output: (day, dau, active_w) — ``active_w`` = distinct users in
+    [day−window_days+1, day].
+    """
+    act = events.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("u")
+    ).distinct()
+    days = act.select("day").distinct()
+    dau = act.groupBy("day").agg(F.countDistinct("u").cast("long").alias("dau"))
+    fanned = act.select(
+        "u",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window_days - 1)),
+                lambda i: F.date_add(F.col("day"), i),
+            )
+        ).alias("day"),
+    )
+    wau = (
+        fanned.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("u").cast("long").alias("active_w"))
+    )
+    return dau.join(wau, "day").select("day", "dau", "active_w")

@@ -7412,3 +7412,38 @@ def ns_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
         r_dup.alias("r_dupword"),
         (r_len & r_mwl & r_stop & r_punct & r_dup).alias("pass_all"),
     )
+
+
+@q(
+    "ns_rolling_active_users",
+    ("NS-analytics", "A2", "J14"),
+    """
+    WITH act AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+    days AS (SELECT DISTINCT day FROM act),
+    dau AS (SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+            FROM act GROUP BY day),
+    fanned AS (
+      SELECT u, day + CAST(i AS INTEGER) AS day
+      FROM act, (SELECT unnest(generate_series(0, 6)) AS i)),
+    wau AS (
+      SELECT f.day, CAST(COUNT(DISTINCT f.u) AS BIGINT) AS active_w
+      FROM fanned f JOIN days d USING (day)
+      GROUP BY f.day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.active_w
+    FROM dau d JOIN wau w USING (day)
+    """,
+    "DAU + trailing-7-day active users: events collapse to the distinct "
+    "(user, day) grid, each row fans out to its <=7 report days (bounded "
+    "narrow explode — no day-range theta join, no day-window sort), one "
+    "distinct-count per day; day list broadcast "
+    "(operators/funnel.py rolling_active_users)",
+)
+def ns_rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import funnel
+
+    ev = load_table(spark, sf, "events")
+    out = funnel.rolling_active_users(ev, "ts", "user_id", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "active_w"
+    )
