@@ -53,3 +53,23 @@ def test_cli_dsir_score(spark, tmp_path, capsys):
     w = spark.read.parquet(out)
     assert w.count() > 0
     assert set(w.columns) == {"doc_id", "weight", "n_tokens"}
+
+
+def test_write_shards_cli(tmp_path, capsys):
+    from ubdc_airbnb_spark.cli import main
+
+    out = str(tmp_path / "shards")
+    rc = main(
+        [
+            "write-shards",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--n-shards",
+            "2",
+            "--output",
+            out,
+        ]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("shard=")]
+    assert len(lines) == 2

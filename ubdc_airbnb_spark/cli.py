@@ -574,6 +574,30 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_write_shards(args) -> int:
+    """Write a training-ready sharded corpus (deterministic epoch order,
+    per-shard checksummed manifest) from a parquet docs dir or the
+    standard documents table; prints the manifest."""
+    from .sources.layout import write_training_shards
+    from .sources.tables import load_table
+
+    spark = _spark()
+    docs = (
+        spark.read.parquet(args.input)
+        if args.input
+        else load_table(spark, args.sf_dir, "documents")
+    )
+    man = write_training_shards(
+        docs, args.output, args.key, n_shards=args.n_shards, salt=args.salt
+    )
+    for r in sorted(man.collect(), key=lambda r: r["shard"]):
+        print(
+            f"shard={r['shard']} rows={r['n_rows']} key_xor={r['key_xor']} "
+            f"pos=[{r['min_pos']},{r['max_pos']}]"
+        )
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc Spark SQL over the standard tables: every parquet table in
     --sf-dir registers as a temp view (plus any --view name=path extras),
@@ -807,6 +831,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="domain-balancing hard cap per source")
     cu.add_argument("--output", required=True)
     cu.set_defaults(fn=cmd_curate)
+
+    wsh = sub.add_parser("write-shards", help="sharded training corpus + checksummed manifest")
+    wsh.add_argument("--input", default=None, help="parquet docs dir (default: --sf-dir documents)")
+    wsh.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    wsh.add_argument("--key", default="doc_id")
+    wsh.add_argument("--n-shards", type=int, default=8)
+    wsh.add_argument("--salt", default="shuffle")
+    wsh.add_argument("--output", required=True)
+    wsh.set_defaults(fn=cmd_write_shards)
 
     e = sub.add_parser("export-data", help="JSONL export with --only-latest/--since")
     e.add_argument("--table", default="responses")
