@@ -688,3 +688,25 @@ def test_rolling_active_users_window(spark):
     assert got["2024-01-01"] == (2, 2)
     # day 5: dau=1 (user1); trailing 7d still sees both users
     assert got["2024-01-06"] == (1, 2)
+
+
+def test_last_touch_attribution(spark):
+    import datetime
+
+    from ubdc_airbnb_spark.operators.funnel import last_touch_attribution
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    d = datetime.timedelta
+    rows = [
+        (1, t0 - d(days=2), 7, "click", 0.0, None),
+        (2, t0 - d(days=1), 7, "click", 0.0, None),   # latest touch
+        (3, t0, 7, "purchase", 9.99, None),            # attributed to #2
+        (4, t0 - d(days=30), 8, "click", 0.0, None),   # outside window
+        (5, t0, 8, "purchase", 5.00, None),            # unattributed
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.conversion_id: r for r in last_touch_attribution(ev).collect()}
+    assert got[3].attributed and got[3].touch_ts == t0 - d(days=1)
+    assert not got[5].attributed and got[5].touch_ts is None

@@ -148,3 +148,55 @@ def rolling_active_users(
         .agg(F.countDistinct("u").cast("long").alias("active_w"))
     )
     return dau.join(wau, "day").select("day", "dau", "active_w")
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: every conversion event attributes to the
+    most recent touch event by the same user within the trailing
+    ``window_days`` — the revenue-credit join behind every marketing
+    dashboard, and the canonical "needs an as-of join" workload.
+
+    Scale shape: ONE user-keyed window (range frame over the epoch-
+    second axis bounded to the attribution window) carries the latest
+    touch forward — no self-join, no unbounded state; user keys are
+    high-cardinality so the shuffle is uniform and AQE-splittable.
+
+    Output: (conversion id, user, conversion ts, touch ts or NULL,
+    attributed flag) — one row per conversion.
+    """
+    from pyspark.sql import Window
+
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(sec)
+        .rangeBetween(-window_days * 86400, 0)
+    )
+    last_touch = F.max(
+        F.when(F.col("event_type") == touch_type, sec)
+    ).over(w)
+    flagged = events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col),
+        F.col("event_type"),
+        last_touch.alias("__lt"),
+    )
+    return (
+        flagged.filter(F.col("event_type") == convert_type)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            user_col,
+            F.col(ts_col).alias("conversion_ts"),
+            F.to_timestamp(F.from_unixtime(F.col("__lt"))).alias("touch_ts"),
+            F.col("__lt").isNotNull().alias("attributed"),
+        )
+    )

@@ -7447,3 +7447,45 @@ def ns_rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "active_w"
     )
+
+
+@q(
+    "ns_attribution",
+    ("NS-analytics", "J13", "W2"),
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, ts, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    flagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN sec END)
+               OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS lt
+      FROM ev)
+    SELECT event_id AS conversion_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS conversion_ts,
+           CASE WHEN lt IS NOT NULL
+                THEN strftime(to_timestamp(lt), '%Y-%m-%d %H:%M:%S')
+                END AS touch_ts,
+           lt IS NOT NULL AS attributed
+    FROM flagged
+    WHERE event_type = 'purchase'
+    """,
+    "last-touch attribution (conversion='purchase' credits the latest "
+    "'click' within 7 days): ONE user-keyed range window carries the "
+    "touch forward — no self-join, no unbounded state "
+    "(operators/funnel.py last_touch_attribution)",
+)
+def ns_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import funnel
+
+    ev = load_table(spark, sf, "events")
+    out = funnel.last_touch_attribution(ev)
+    return out.select(
+        "conversion_id",
+        "user_id",
+        F.date_format("conversion_ts", "yyyy-MM-dd HH:mm:ss").alias("conversion_ts"),
+        F.date_format("touch_ts", "yyyy-MM-dd HH:mm:ss").alias("touch_ts"),
+        "attributed",
+    )
