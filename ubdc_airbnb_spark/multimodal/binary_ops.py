@@ -419,3 +419,91 @@ def resize_pool(media: DataFrame, k: int = 4, batch_size: int = 256) -> DataFram
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return _spread(media).mapInPandas(_pool, POOL_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Audio feature extraction over the REAL WAV decode path: per clip,
+    total energy Σs², peak |s|, and strict zero-crossing count
+    (s[i-1]·s[i] < 0) — the cheap speech/music/silence discriminators a
+    training pipeline gates audio clips on before expensive encoders.
+    All three are exact integers from the decoded PCM, so the oracle
+    replays them from the fixture's sample formula with no tolerance.
+    Same Arrow-batched mapInPandas plumbing + ``_spread`` guard as the
+    decode stages; fail-closed on malformed payloads."""
+    import numpy as np
+
+    from .wav import decode_wav
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _rate, _ch, _bits, samples = decode_wav(bytes(content))
+                arr = np.asarray(samples, dtype=np.int64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(arr.size)
+                out["energy"].append(int((arr * arr).sum()))
+                out["peak"].append(int(np.abs(arr).max()) if arr.size else 0)
+                out["zero_crossings"].append(
+                    int(((arr[:-1] * arr[1:]) < 0).sum()) if arr.size > 1 else 0
+                )
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return _spread(media).mapInPandas(_feat, AUDIO_FEATURES_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("n_pairs", T.LongType(), True),
+        T.StructField("edge_count", T.LongType(), True),
+    ]
+)
+
+
+def image_features(media: DataFrame, threshold: int = 32, batch_size: int = 256) -> DataFrame:
+    """Image feature extraction over the REAL PNG decode path: horizontal
+    edge density — adjacent same-row byte pairs whose absolute
+    difference exceeds ``threshold`` — the cheap blur/blank/noise
+    discriminator an image-corpus pipeline gates on before an expensive
+    vision encoder (blank and heavily-compressed images have near-zero
+    edge counts; noise saturates). Exact integers from decoded bytes, so
+    the oracle replays the count from the fixture's pixel formula with
+    no tolerance. Same Arrow plumbing + ``_spread`` guard; fail-closed."""
+    import numpy as np
+
+    from .png import decode_png
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in IMAGE_FEATURES_SCHEMA.fieldNames()}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, c, px = decode_png(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                stride = w * c
+                idx = np.arange(arr.size - 1)
+                same_row = (idx + 1) % stride != 0
+                diffs = np.abs(arr[1:] - arr[:-1])
+                out["media_id"].append(mid)
+                out["n_px"].append(arr.size)
+                out["n_pairs"].append(int(same_row.sum()))
+                out["edge_count"].append(int(((diffs > threshold) & same_row).sum()))
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return _spread(media).mapInPandas(_feat, IMAGE_FEATURES_SCHEMA)

@@ -7489,3 +7489,81 @@ def ns_attribution(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("touch_ts", "yyyy-MM-dd HH:mm:ss").alias("touch_ts"),
         "attributed",
     )
+
+
+@q(
+    "mm_audio_features",
+    ("NS-multimodal",),
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+             (20 + doc_id % 16) * (1 + doc_id % 2) AS n
+      FROM documents),
+    pos AS (SELECT doc_id, bits, n, unnest(generate_series(0, n - 1)) AS i
+            FROM dims),
+    v AS (
+      SELECT doc_id, i,
+             CASE WHEN bits = 8 THEN (doc_id * 17 + i * 13) % 256
+                  ELSE ((doc_id * 17 + i * 13) % 4001) - 2000 END AS s
+      FROM pos),
+    lagged AS (
+      SELECT doc_id, i, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp
+      FROM v)
+    SELECT doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN sp IS NOT NULL AND sp * s < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY doc_id
+    """,
+    "audio features over the REAL WAV decode (energy, peak, strict "
+    "zero-crossings — the speech/silence gates before expensive "
+    "encoders): exact integers from decoded PCM, oracle replays the "
+    "fixture formula with no tolerance "
+    "(multimodal/binary_ops.py audio_features)",
+)
+def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    from .multimodal.binary_ops import audio_features, synthetic_wav_media
+
+    docs = load_table(spark, sf, "documents")
+    return audio_features(synthetic_wav_media(docs))
+
+
+@q(
+    "mm_image_features",
+    ("NS-multimodal",),
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+      FROM documents),
+    pos AS (
+      SELECT doc_id, w, h, c, w * h * c AS n,
+             unnest(generate_series(0, w * h * c - 2)) AS i
+      FROM dims),
+    pairs AS (
+      SELECT doc_id, n,
+             abs(((doc_id * 31 + (i + 1) * 7) % 256)
+                 - ((doc_id * 31 + i * 7) % 256)) AS d
+      FROM pos
+      WHERE (i + 1) % (w * c) <> 0)
+    SELECT doc_id AS media_id,
+           CAST(MAX(n) AS BIGINT) AS n_px,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d > 32 THEN 1 ELSE 0 END) AS BIGINT) AS edge_count
+    FROM pairs GROUP BY doc_id
+    """,
+    "image features over the REAL PNG decode: horizontal edge density "
+    "(same-row adjacent-byte diffs > 32) — the blur/blank/noise gate "
+    "before a vision encoder; exact integers, oracle replays the "
+    "fixture's pixel formula (multimodal/binary_ops.py image_features)",
+)
+def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    from .multimodal.binary_ops import image_features, synthetic_png_media
+
+    docs = load_table(spark, sf, "documents")
+    return image_features(synthetic_png_media(docs), threshold=32)
