@@ -663,6 +663,13 @@ _REPORT_QUERIES = [
     "ns_drift_histogram",
     "ns_rate_anomaly",
     "ns_embed_health",
+    # round-4 additions: corpus integrity + quality/structure monitors
+    "ns_corpus_checksum",
+    "ns_boilerplate_prefix",
+    "ns_unigram_kl",
+    "ns_length_buckets",
+    "ns_mixture_rates",
+    "ns_rolling_active_users",
 ]
 
 
