@@ -78,6 +78,14 @@ CHECK = [
     "ns_dedup_spans",
     "ns_unigram_kl",
     "ns_embed_quantize",
+    # round-4 third wave: corpus-LM buckets (trains on the corpus), the
+    # CDC kernel, interpolated LM, contamination spans, attribution
+    "ns_ccnet_buckets",
+    "ns_interp_lm",
+    "ns_cdc_chunks",
+    "ns_contamination_spans",
+    "ns_attribution",
+    "ns_hashing_tf",
 ]
 
 
