@@ -710,3 +710,24 @@ def test_last_touch_attribution(spark):
     got = {r.conversion_id: r for r in last_touch_attribution(ev).collect()}
     assert got[3].attributed and got[3].touch_ts == t0 - d(days=1)
     assert not got[5].attributed and got[5].touch_ts is None
+
+
+def test_source_overlap_matrix(spark):
+    from ubdc_airbnb_spark.operators.curation import source_overlap_matrix
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, shared + " alpha", "A"),
+        (2, shared + " beta", "B"),     # B shares 3 of its grams with A
+        (3, "totally different text here now", "C"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(docs, ngram=3).collect()
+    }
+    ab = got[("A", "B")]
+    assert ab.n_common == 3  # the 3-grams fully inside `shared`
+    assert ab.n_a == 4 and ab.n_b == 4
+    assert ab.jaccard == 3 / 5
+    assert ("A", "C") not in got and ("B", "C") not in got

@@ -608,3 +608,71 @@ def contamination_spans(
         F.col("e").cast("long").alias("span_end"),
         (F.col("e") - F.col("s") + 1).cast("long").alias("span_tokens"),
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact pairwise content overlap between corpus sources: Jaccard
+    similarity of each source pair's DISTINCT word n-gram sets — the
+    governance matrix that catches mirrored feeds, re-crawled domains,
+    and licensing duplicates BEFORE per-document dedup spends compute on
+    them.
+
+    Scale shape: the corpus reduces to DISTINCT (gram, source) rows
+    (map-side combinable); each gram carries its source SET (bounded by
+    the source count, tens not millions) and explodes to its source
+    PAIRS — O(|sources|²) per gram worst case but sources are bounded —
+    then one pair-key count. Per-source distinct-gram totals come from
+    the same reduced stream. No broadcast of anything corpus-sized.
+
+    Output: (source_a, source_b, n_common, n_a, n_b, jaccard) for a<b.
+    """
+    gs = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.lower(F.col(text_col)), ngram))
+        ).alias("gram"),
+    ).distinct()
+    totals = gs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    sets = gs.groupBy("gram").agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+    pairs = (
+        sets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("srcs"),
+                            lambda a: F.transform(
+                                F.col("srcs"),
+                                lambda b: F.struct(a.alias("a"), b.alias("b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = totals.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -7567,3 +7567,44 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return image_features(synthetic_png_media(docs), threshold=32)
+
+
+@q(
+    "ns_source_overlap",
+    ("NS-governance", "A2", "J8"),
+    r"""
+    WITH gs AS (
+      SELECT DISTINCT source AS src, gram FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        FROM (SELECT source,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> length(w) > 0) AS ws
+              FROM documents)
+        WHERE len(ws) >= 3)),
+    totals AS (SELECT src, COUNT(*) AS n FROM gs GROUP BY src),
+    common AS (
+      SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_common
+      FROM gs a JOIN gs b ON a.gram = b.gram AND a.src < b.src
+      GROUP BY 1, 2)
+    SELECT c.source_a, c.source_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+           CAST(c.n_common AS DOUBLE)
+             / CAST(ta.n + tb.n - c.n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN totals ta ON ta.src = c.source_a
+    JOIN totals tb ON tb.src = c.source_b
+    """,
+    "pairwise source-overlap governance matrix: exact Jaccard of "
+    "distinct word-3-gram sets per source pair — catches mirrored feeds "
+    "before per-doc dedup; distinct (gram,source) reduce, bounded "
+    "source-set pair explode, one pair-key count "
+    "(operators/curation.py source_overlap_matrix)",
+)
+def ns_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf, "documents")
+    return curation.source_overlap_matrix(docs, "source", "text", ngram=3)
