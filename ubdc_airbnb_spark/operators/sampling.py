@@ -333,3 +333,35 @@ def negative_samples(
             F.col("cand_id").alias("neg_id"),
         )
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    budget: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Execute a ``mixture_rates`` plan: deterministically sample each
+    (group_cols) cell at its planned rate by salted content hash — the
+    planner's quota table compiled down to one broadcast join + a narrow
+    ppm-threshold filter, the same device as ``hash_sample`` so the kept
+    set is stable across runs/engines/partitionings.
+
+    The per-cell ppm threshold is ``floor(rate·1e6)`` of the planner's
+    exact rate, so expected kept ≈ quota with hash-uniform drift only.
+
+    Output: the sampled rows, all columns unchanged.
+    """
+    from ..functions.hashing import md5_long
+
+    rates = mixture_rates(df, group_cols, budget).select(
+        *group_cols,
+        F.floor(F.col("rate") * F.lit(1e6)).cast("long").alias("__ppm"),
+    )
+    key = F.col(key_col).cast("string")
+    return (
+        df.join(F.broadcast(rates), list(group_cols))
+        .filter((md5_long(key, salt) % 1_000_000) < F.col("__ppm"))
+        .drop("__ppm")
+    )

@@ -7608,3 +7608,38 @@ def ns_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return curation.source_overlap_matrix(docs, "source", "text", ngram=3)
+
+
+@q(
+    "ns_mixture_apply",
+    ("NS-sampling", "A2"),
+    """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n_rows FROM documents GROUP BY 1, 2),
+    k AS (SELECT COUNT(*) AS n_cells FROM cells),
+    rates AS (
+      SELECT lang, source,
+             CAST(floor(LEAST(1.0, CAST(floor(300.0 / n_cells) AS DOUBLE)
+                                    / CAST(n_rows AS DOUBLE)) * 1e6) AS BIGINT) AS ppm
+      FROM cells CROSS JOIN k),
+    kept AS (
+      SELECT d.lang, d.source
+      FROM documents d JOIN rates r USING (lang, source)
+      WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 15))
+                 AS BIGINT) % 1000000 < r.ppm)
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS kept
+    FROM kept GROUP BY lang, source
+    """,
+    "execute the mixture plan: per-cell deterministic hash sampling at "
+    "the planner's ppm rate (broadcast rates + narrow threshold filter, "
+    "the hash_sample device) — kept counts per cell "
+    "(operators/sampling.py apply_mixture)",
+)
+def ns_mixture_apply(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    out = sampling.apply_mixture(docs, ["lang", "source"], "doc_id", budget=300)
+    return out.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept")
+    )
