@@ -507,3 +507,70 @@ def image_features(media: DataFrame, threshold: int = 32, batch_size: int = 256)
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return _spread(media).mapInPandas(_feat, IMAGE_FEATURES_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash_hi", T.LongType(), True),
+        T.StructField("dhash_lo", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Perceptual difference-hash (dHash) over the REAL PNG decode path —
+    the image analog of MinHash for near-duplicate detection: channel-0
+    gray pixels are block-pooled onto a fixed 9x8 grid (cell = floor
+    coordinate mapping, so any input geometry lands on the same grid),
+    and each of the 64 bits records whether a cell's mean exceeds its
+    right neighbor's. Two images with the same framing but different
+    compression/resolution collide; the hash is an equi-join key, so
+    corpus-scale image dedup is one groupBy — no pairwise compare.
+
+    Everything is integer arithmetic: cell means are compared by
+    cross-multiplication (sum_l*cnt_r > sum_r*cnt_l), never divided, so
+    the 64-bit hash is bit-stable across engines and the oracle replays
+    it from the fixture's pixel formula with no tolerance. Emitted as
+    two 32-bit halves (hi, lo) to stay inside signed-long range on both
+    engines. Empty cells (images narrower than the grid) compare as
+    sum=0/cnt=0 — deterministic, and irrelevant at real image sizes.
+
+    Same Arrow-batched mapInPandas plumbing + ``_spread`` guard as the
+    other kernels; binary stays inside the stage."""
+    import numpy as np
+
+    from .png import decode_png
+
+    GW, GH = 9, 8  # 9 columns -> 8 horizontal comparisons x 8 rows = 64 bits
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, c, px = decode_png(bytes(content))
+                gray = (
+                    np.frombuffer(px, dtype=np.uint8)[:: c][: w * h]
+                    .reshape(h, w)
+                    .astype(np.int64)
+                )
+                rblk = (np.arange(h) * GH) // h
+                cblk = (np.arange(w) * GW) // w
+                flat = (rblk[:, None] * GW + cblk[None, :]).ravel()
+                sums = np.zeros(GH * GW, dtype=np.int64)
+                np.add.at(sums, flat, gray.ravel())
+                cnts = np.bincount(flat, minlength=GH * GW).astype(np.int64)
+                s = sums.reshape(GH, GW)
+                n = cnts.reshape(GH, GW)
+                bits = (s[:, : GW - 1] * n[:, 1:]) > (s[:, 1:] * n[:, : GW - 1])
+                flatbits = bits.ravel().astype(np.int64)  # b = r*8 + c, 64 bits
+                hi = int((flatbits[:32] << (31 - np.arange(32))).sum())
+                lo = int((flatbits[32:] << (63 - np.arange(32, 64))).sum())
+                out["media_id"].append(mid)
+                out["dhash_hi"].append(hi)
+                out["dhash_lo"].append(lo)
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return _spread(media).mapInPandas(_hash, DHASH_SCHEMA)

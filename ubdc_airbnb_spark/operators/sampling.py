@@ -365,3 +365,64 @@ def apply_mixture(
         .filter((md5_long(key, salt) % 1_000_000) < F.col("__ppm"))
         .drop("__ppm")
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    salt: str = "split",
+) -> DataFrame:
+    """Cross-split duplicate-leakage audit — the eval-integrity check a
+    training pipeline runs before trusting held-out metrics: exact-dup
+    groups (content digest) whose members land in DIFFERENT splits leak
+    test data into train. Compares two assignment modes side by side:
+
+    - ``by_doc``   — hash the document id (the naive split): any dup
+      group straddling a boundary leaks;
+    - ``by_content`` — hash the dup-group key itself (the fix): every
+      copy of a text gets the same label, leakage is structurally zero —
+      computed here, not assumed, so the audit also catches a broken
+      labeler.
+
+    Scale shape: one digest-keyed map-side-combinable groupBy over the
+    corpus, then a two-row fold of the (small) group table. The same
+    audit generalizes to near-dup groups by swapping the digest for a
+    MinHash/SimHash cluster id.
+
+    Output: (mode, n_groups, n_dup_groups, leaked_groups,
+    docs_in_leaked) — one row per mode.
+    """
+    dg = F.md5(F.col(text_col))
+    lab = df.select(
+        dg.alias("__dg"),
+        split_label(F.col(key_col).cast("string"), weights, salt).alias("__by_doc"),
+        split_label(dg, weights, salt).alias("__by_content"),
+    )
+    groups = lab.groupBy("__dg").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__by_doc").alias("nd"),
+        F.countDistinct("__by_content").alias("nc"),
+    )
+
+    def mode_row(mode: str, nsplits: str) -> DataFrame:
+        agg = groups.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_groups"),
+            F.sum(F.when(F.col(nsplits) > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaked_groups"),
+            F.sum(F.when(F.col(nsplits) > 1, F.col("n_docs")).otherwise(0))
+            .cast("long")
+            .alias("docs_in_leaked"),
+        )
+        return agg.select(F.lit(mode).alias("mode"), "*")
+
+    return mode_row("by_doc", "nd").unionByName(mode_row("by_content", "nc"))

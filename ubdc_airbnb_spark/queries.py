@@ -7643,3 +7643,110 @@ def ns_mixture_apply(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("kept")
     )
+
+
+@q(
+    "mm_image_dhash",
+    ("NS-multimodal", "NS2"),
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, c, unnest(generate_series(0, w * h - 1)) AS i
+      FROM dims),
+    gray AS (
+      SELECT doc_id,
+             ((i // w) * 8) // h AS rb,
+             ((i % w) * 9) // w AS cb,
+             (doc_id * 31 + i * c * 7) % 256 AS g
+      FROM px),
+    cells AS (
+      SELECT doc_id, rb, cb, SUM(g) AS s, COUNT(*) AS n
+      FROM gray GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT d.doc_id, r.rb, cc.cb
+      FROM (SELECT doc_id FROM documents) d,
+           (SELECT unnest(generate_series(0, 7)) AS rb) r,
+           (SELECT unnest(generate_series(0, 8)) AS cb) cc),
+    fc AS (
+      SELECT g.doc_id, g.rb, g.cb,
+             COALESCE(cl.s, 0) AS s, COALESCE(cl.n, 0) AS n
+      FROM grid g LEFT JOIN cells cl USING (doc_id, rb, cb)),
+    bits AS (
+      SELECT l.doc_id, l.rb * 8 + l.cb AS b,
+             CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+      FROM fc l JOIN fc r
+        ON l.doc_id = r.doc_id AND l.rb = r.rb AND r.cb = l.cb + 1
+      WHERE l.cb < 8)
+    SELECT doc_id AS media_id,
+           CAST(SUM(CASE WHEN b < 32
+                         THEN bit * (CAST(1 AS BIGINT) << (31 - b))
+                         ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(SUM(CASE WHEN b >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << (63 - b))
+                         ELSE 0 END) AS BIGINT) AS dhash_lo
+    FROM bits GROUP BY doc_id
+    """,
+    "perceptual difference-hash over the REAL PNG decode: channel-0 "
+    "gray block-pooled to a 9x8 grid, 64 neighbor-compare bits packed "
+    "as two 32-bit halves — the image near-dup key (dedup = one "
+    "groupBy on the hash, no pairwise compare); integer-exact "
+    "cross-multiplied means, oracle replays the fixture pixel formula "
+    "(multimodal/binary_ops.py image_dhash)",
+)
+def mm_image_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    from .multimodal.binary_ops import image_dhash, synthetic_png_media
+
+    docs = load_table(spark, sf, "documents")
+    return image_dhash(synthetic_png_media(docs))
+
+
+@q(
+    "ns_split_leakage",
+    ("NS-sampling", "NS1", "A2"),
+    """
+    WITH lab AS (
+      SELECT MD5(text) AS dg,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15))
+                  AS BIGINT) % 1000000 AS hd,
+             CAST(CONCAT('0x', SUBSTR(MD5(MD5(text) || '#split'), 1, 15))
+                  AS BIGINT) % 1000000 AS hc
+      FROM documents),
+    lab2 AS (
+      SELECT dg,
+             CASE WHEN hd < 980000 THEN 'train'
+                  WHEN hd < 990000 THEN 'val' ELSE 'test' END AS by_doc,
+             CASE WHEN hc < 980000 THEN 'train'
+                  WHEN hc < 990000 THEN 'val' ELSE 'test' END AS by_content
+      FROM lab),
+    g AS (
+      SELECT dg, COUNT(*) AS n_docs,
+             COUNT(DISTINCT by_doc) AS nd, COUNT(DISTINCT by_content) AS nc
+      FROM lab2 GROUP BY dg)
+    SELECT 'by_doc' AS mode,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS docs_in_leaked
+    FROM g
+    UNION ALL
+    SELECT 'by_content',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN nc > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+    FROM g
+    """,
+    "cross-split duplicate-leakage audit: exact-dup groups straddling "
+    "train/val/test under a by-doc-id hash split vs the by-content-hash "
+    "fix (leakage computed for both, not assumed) — the eval-integrity "
+    "gate before trusting held-out metrics "
+    "(operators/sampling.py split_leakage_report)",
+)
+def ns_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.split_leakage_report(docs, "doc_id", "text")
