@@ -427,3 +427,83 @@ def canonical_per_cluster(
         (-best["__negid"]).cast("long").alias("canonical_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.3,
+    sample_fraction: float = 1.0,
+    salt: str = "lshrecall",
+) -> DataFrame:
+    """Self-evaluation harness for the MinHash-LSH pipeline: measure
+    candidate recall/precision against EXACT ground truth on a
+    hash-sampled eval slice — the calibration run that justifies the
+    (num_perm, bands) choice before trusting LSH dedup at corpus scale.
+
+    Ground truth is the exact all-pairs word-``ngram`` Jaccard >=
+    ``threshold`` — quadratic in gram-collision volume, which is exactly
+    why it runs on a deterministic ``hash_sample`` slice (the same keys
+    every run, so the metric is comparable across corpus versions), never
+    the full corpus. Candidates are the production banding on the same
+    slice. Both sides reduce to counts:
+
+        n_truth   true pairs in the slice
+        n_cand    LSH candidate pairs (pre-verification)
+        n_hit     candidates that are true pairs
+
+    so recall = n_hit/n_truth and the verify-stage workload factor =
+    n_cand/n_hit fall out driver-side; integer counts only, no floats.
+
+    Scale shape: the truth branch is one gram-bucket self-join over the
+    bounded sample (Σ|bucket|²); the candidate branch is the standard
+    narrow-signature banding; the final compare is a full outer join of
+    two pair lists orders of magnitude smaller than the corpus.
+    """
+    from .sampling import hash_sample
+
+    samp = (
+        hash_sample(df, F.col(id_col).cast("string"), sample_fraction, salt)
+        if sample_fraction < 1.0
+        else df
+    )
+
+    grams = samp.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    num, den = _threshold_ratio(threshold)
+    truth = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b")), "id_b")
+        .filter(F.col("inter") * den >= (F.col("n_a") + F.col("n_b") - F.col("inter")) * num)
+        .select("id_a", "id_b")
+    )
+
+    sigs = minhash_signatures(samp, id_col, text_col, num_perm=num_perm, ngram=ngram, shingle="word")
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm=num_perm, bands=bands).select("id_a", "id_b")
+
+    joined = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return joined.agg(
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_hit"),
+    )

@@ -438,3 +438,51 @@ def kmv_intersection_estimate(
         union_est.alias("union_est"),
         (F.lit(jacc) * union_est).alias("intersection_est"),
     )
+
+
+def robust_outlier_counts(
+    df: DataFrame,
+    col: str | Column,
+    group_col: str,
+    width: float,
+    k: int = 3,
+) -> DataFrame:
+    """Median/MAD outlier screen — the heavy-tail-safe companion to the
+    z-score gate (a single 1 GB document drags a mean+stddev screen; the
+    median and the median-absolute-deviation don't move): flag rows with
+    ``|v - med| > k · MAD`` and report per-group totals.
+
+    Both statistics come from the fixed-width histogram sketch, not a
+    global sort: pass 1 sketches ``v`` and reads the 0.5 quantile edge
+    (error ≤ width, the documented sketch contract); pass 2 sketches
+    ``|v - med|`` for the MAD the same way. Each pass is one
+    map-side-combinable groupBy over O(range/width) bucket keys plus a
+    bucket-bounded cumsum; the two scalar cutoffs broadcast; the flag
+    filter is narrow. All rank comparisons are integer; the only float
+    ops (edge·width, the k·MAD compare) have identical operands on both
+    engines, so the oracle replays exactly.
+
+    Output: (group_col, n_rows, n_outliers) — one row per group.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    v = df.select(F.col(group_col), c.cast("double").alias("__x"))
+
+    med = histogram_quantiles(histogram_sketch(v, "__x", width), width, qs=(0.5,)).select(
+        F.col("est").alias("__med")
+    )
+    dev = v.join(F.broadcast(med)).select(
+        group_col, F.abs(F.col("__x") - F.col("__med")).alias("__dev")
+    )
+    mad = histogram_quantiles(histogram_sketch(dev, "__dev", width), width, qs=(0.5,)).select(
+        F.col("est").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("__dev") > F.lit(float(k)) * F.col("__mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -2181,9 +2181,11 @@ def ns_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
     return joins.semi_join(docs, keep, "doc_id").select("doc_id", "lang")
 
 
-def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4) -> str:
+def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4, src: str = "documents") -> str:
     """DuckDB replay of the affine-rehash MinHash + LSH banding with the
-    SAME seeded permutation constants the Spark operator uses."""
+    SAME seeded permutation constants the Spark operator uses.
+    ``src`` names the (doc_id, text) relation to read — a CTE when the
+    caller embeds this as a subquery over a sampled slice."""
     import random as _random
 
     from .functions.hashing import MERSENNE31
@@ -2206,7 +2208,7 @@ def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4) -> str:
     WITH ws AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS w
-      FROM documents),
+      FROM {src}),
     grams AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(w) >= 3
@@ -7750,3 +7752,150 @@ def ns_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return sampling.split_leakage_report(docs, "doc_id", "text")
+
+
+def _lsh_recall_oracle_sql() -> str:
+    """Sampled-slice LSH recall harness in DuckDB: exact all-pairs
+    word-3-gram Jaccard truth vs the seeded MinHash banding candidates,
+    reduced to (n_truth, n_cand, n_hit)."""
+    cand = _minhash_oracle_sql(16, 4, src="samp").strip()
+    return f"""
+    WITH samp AS (
+      SELECT doc_id, text FROM documents
+      WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#lshrecall'), 1, 15))
+                 AS BIGINT) % 1000000 < 500000),
+    dg AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS g
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS w
+            FROM samp)),
+    g2 AS (SELECT doc_id, unnest(g) AS gram FROM dg),
+    sizes AS (SELECT doc_id, len(g) AS n_grams FROM dg),
+    it AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT id_a, id_b FROM it
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter * 10 >= (sa.n_grams + sb.n_grams - inter) * 3),
+    cand AS ({cand}),
+    j AS (
+      SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS c
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+           CAST(SUM(c) AS BIGINT) AS n_cand,
+           CAST(SUM(t * c) AS BIGINT) AS n_hit
+    FROM j
+    """
+
+
+@q(
+    "ns_lsh_recall",
+    ("NS-dedup", "NS2", "NS3"),
+    _lsh_recall_oracle_sql(),
+    "LSH self-calibration: exact all-pairs word-3-gram Jaccard truth on "
+    "a deterministic half-sample vs the production MinHash(16)/4-band "
+    "candidates — n_truth/n_cand/n_hit, so recall and the verify-stage "
+    "workload factor fall out; the quadratic truth join is why it runs "
+    "on a bounded hash_sample slice "
+    "(operators/dedup.py lsh_recall_eval)",
+)
+def ns_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.lsh_recall_eval(
+        docs, "doc_id", "text", num_perm=16, bands=4, ngram=3,
+        threshold=0.3, sample_fraction=0.5,
+    )
+
+
+@q(
+    "ns_outlier_mad",
+    ("NS-curation", "A2"),
+    """
+    WITH v AS (SELECT source, CAST(length(text) AS DOUBLE) AS x FROM documents),
+    h1 AS (SELECT CAST(floor(x / 16.0) AS BIGINT) AS bucket, COUNT(*) AS cnt
+           FROM v GROUP BY 1),
+    c1 AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+                  (SELECT SUM(cnt) FROM h1) AS n
+           FROM h1),
+    med AS (SELECT (MIN(bucket) + 1) * 16.0 AS med FROM c1
+            WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)),
+    d AS (SELECT source, abs(x - med) AS dev FROM v, med),
+    h2 AS (SELECT CAST(floor(dev / 16.0) AS BIGINT) AS bucket, COUNT(*) AS cnt
+           FROM d GROUP BY 1),
+    c2 AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+                  (SELECT SUM(cnt) FROM h2) AS n
+           FROM h2),
+    mad AS (SELECT (MIN(bucket) + 1) * 16.0 AS mad FROM c2
+            WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d, mad GROUP BY source
+    """,
+    "median/MAD length-outlier screen per source — the heavy-tail-safe "
+    "companion to ns_outlier_zscore: both cutoffs from the fixed-width "
+    "histogram sketch (no global sort), flag |v-med| > 3*MAD "
+    "(operators/sketches.py robust_outlier_counts)",
+)
+def ns_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sketches
+
+    docs = load_table(spark, sf, "documents")
+    return sketches.robust_outlier_counts(
+        docs.select("source", F.length("text").alias("len")),
+        "len", "source", width=16.0, k=3,
+    )
+
+
+def _cross_source_dup_oracle_sql() -> str:
+    """Verified near-dup pairs (the NS3 composition) rolled up to an
+    ordered source-pair matrix."""
+    verified = _jaccard_verify_oracle_sql().strip()
+    return f"""
+    WITH vp AS ({verified}),
+    lab AS (
+      SELECT vp.id_a, vp.id_b,
+             LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM vp JOIN documents da ON da.doc_id = vp.id_a
+              JOIN documents db ON db.doc_id = vp.id_b)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY source_a, source_b
+    """
+
+
+@q(
+    "ns_cross_source_dups",
+    ("NS-dedup", "NS-governance", "J8"),
+    _cross_source_dup_oracle_sql(),
+    "doc-level mirror detection: LSH-candidate + exact-Jaccard-verified "
+    "near-dup pairs rolled up per ordered source pair — which feeds "
+    "duplicate each other (the doc-granularity companion to the "
+    "gram-level ns_source_overlap matrix); broadcast dim join on the "
+    "tiny verified-pair list (queries.py, composes operators/dedup.py)",
+)
+def ns_cross_source_dups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pairs = ns_dedup_ngram_jaccard(spark, sf).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(F.broadcast(src).withColumnRenamed("source", "sa"), pairs.id_a == src.doc_id)
+        .drop("doc_id")
+        .join(F.broadcast(src).withColumnRenamed("source", "sb"), F.col("id_b") == src.doc_id)
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
