@@ -122,3 +122,47 @@ def test_robust_outliers_flags_extremes_not_bulk(spark):
     assert len(got) == 1
     assert got[0].n_rows == 51
     assert got[0].n_outliers == 1
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_deterministic_and_discriminative(spark):
+    from ubdc_airbnb_spark.multimodal.binary_ops import (
+        audio_fingerprint,
+        synthetic_wav_media,
+    )
+
+    ids = spark.createDataFrame([(1,), (2,), (1,)], "doc_id long")
+    got = audio_fingerprint(synthetic_wav_media(ids), frame=8).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, set()).add((r.n_frames, r.fingerprint))
+    assert all(len(v) == 1 for v in by_id.values())  # same clip -> same fp
+    assert all(r.n_frames >= 3 for r in got)  # fixtures have >= 20 samples
+    assert all(r.fingerprint >= 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# group_centroid_similarity
+# ---------------------------------------------------------------------------
+
+
+def test_group_centroid_similarity_identical_groups_cos_one(spark):
+    from ubdc_airbnb_spark.operators.similarity import group_centroid_similarity
+
+    rows = [
+        (1, "a", [1.0, 0.0]), (2, "a", [1.0, 0.5]),
+        (3, "b", [1.0, 0.0]), (4, "b", [1.0, 0.5]),  # same centroid as a
+        (5, "c", [0.0, 1.0]), (6, "c", [0.0, 2.0]),  # orthogonal-ish
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    got = {
+        (r.label_a, r.label_b): r.cos
+        for r in group_centroid_similarity(df, "label").collect()
+    }
+    assert got[("a", "b")] == 1.0  # identical centroids
+    assert got[("a", "c")] < 0.5  # near-orthogonal centroids
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}

@@ -2,13 +2,14 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-Image decode is REAL: ``decode_png_stats`` runs a pure-stdlib PNG
-decoder (``png.py`` — zlib inflate, chunk CRCs, all five scanline
-filters) inside the Arrow-batched stage, oracle-gated by
-``mm_decode_png``. Audio/video decode still uses the disclosed
-deterministic doubles (``decode_fake`` / ``frame_sample`` — no
-ffmpeg/librosa in this container); everything Spark-side around them is
-real and tested: schema, batch shapes, partition sizing, UDF signatures.
+Image and audio decode are REAL: ``decode_png_stats`` runs a pure-stdlib
+PNG decoder (``png.py`` — zlib inflate, chunk CRCs, all five scanline
+filters) and ``decode_wav_stats`` a pure-stdlib PCM WAV parser
+(``wav.py``), both inside Arrow-batched stages and oracle-gated
+(``mm_decode_png`` / ``mm_decode_wav``). Video decode remains the
+disclosed deterministic stand-in (``decode_fake`` / ``frame_sample`` —
+no ffmpeg in this container); everything Spark-side around it is real
+and tested: schema, batch shapes, partition sizing, UDF signatures.
 
 Scale notes: binary payloads dominate row size, so the stage
 repartitions by a size-aware key before ``mapInPandas`` and bounds Arrow
@@ -574,3 +575,52 @@ def image_dhash(media: DataFrame, batch_size: int = 256) -> DataFrame:
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return _spread(media).mapInPandas(_hash, DHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("fingerprint", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, frame: int = 8, batch_size: int = 256) -> DataFrame:
+    """Energy-contour audio fingerprint over the REAL WAV decode — the
+    audio analog of the image dHash: PCM samples are grouped into
+    ``frame``-sample frames, each frame's exact integer energy Σs² is
+    compared to its successor, and the up-to-63 comparison bits pack
+    LSB-first into one long. Clips that differ only in gain-preserving
+    re-encodes keep the same energy CONTOUR shape, so the fingerprint is
+    an equi-join near-dup key (exact-match granularity here; production
+    would band it like SimHash for hamming tolerance).
+
+    All arithmetic is exact int64 (energies are sums of squares of
+    16-bit samples; comparisons are integer), so the oracle replays the
+    fixture's sample formula with no tolerance. Same Arrow-batched
+    mapInPandas + ``_spread`` plumbing as the other kernels."""
+    import numpy as np
+
+    from .wav import decode_wav
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FP_SCHEMA.fieldNames()}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _rate, _ch, _bits, samples = decode_wav(bytes(content))
+                arr = np.asarray(samples, dtype=np.int64)
+                n_frames = -(-arr.size // frame) if arr.size else 0
+                pad = np.zeros(n_frames * frame, dtype=np.int64)
+                pad[: arr.size] = arr
+                energy = (pad * pad).reshape(n_frames, frame).sum(axis=1)
+                bits = (energy[:-1] > energy[1:]).astype(np.int64)[:63]
+                fp = int((bits << np.arange(bits.size)).sum()) if bits.size else 0
+                out["media_id"].append(mid)
+                out["n_frames"].append(n_frames)
+                out["fingerprint"].append(fp)
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return _spread(media).mapInPandas(_fp, AUDIO_FP_SCHEMA)

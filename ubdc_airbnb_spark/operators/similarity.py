@@ -977,3 +977,49 @@ def remove_top_pc(
         F.sqrt(nb_u.cast("double") / F.lit(1e9)).alias("norm_before"),
         F.sqrt(na_u.cast("double") / F.lit(1e9)).alias("norm_after"),
     )
+
+
+def group_centroid_similarity(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Pairwise cosine between per-group embedding centroids — the
+    domain-similarity map a corpus-mixing plan reads before deciding
+    which sources can substitute for each other (and the drift check
+    between corpus versions: re-run, diff the matrix).
+
+    Per-dim means use the NS88 device: ppm-quantized exact integer sums
+    per (group, dim) — one map-side-combinable groupBy over
+    |groups|·dims keys — so the means are bit-identical on any engine
+    and partitioning; the k centroids (k = #groups, bounded) then
+    cross-join k²/2 with a broadcast, and the cosine is the sequential
+    ``dot``/``norm`` fold, matching DuckDB's ``list_dot_product``
+    evaluation order exactly. The corpus is scanned once; nothing wide
+    ever shuffles.
+
+    Output: (label_a, label_b, cos) for label_a < label_b.
+    """
+    e = df.select(
+        F.col(group_col).alias("g"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    q = e.groupBy("g", "pos").agg(
+        F.sum(F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("long")).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = q.select(
+        "g",
+        "pos",
+        ((F.col("sx").cast("double") / F.lit(1e6)) / F.col("n").cast("double")).alias("mu"),
+    )
+    cent = (
+        m.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+        .select("g", F.transform("pm", lambda s: s["mu"]).alias("ce"))
+    )
+    a = cent.select(F.col("g").alias("label_a"), F.col("ce").alias("ca"))
+    b = cent.select(F.col("g").alias("label_b"), F.col("ce").alias("cb"))
+    pairs = a.join(broadcast(b), F.col("label_a") < F.col("label_b"))
+    return pairs.select(
+        "label_a",
+        "label_b",
+        (dot(F.col("ca"), F.col("cb")) / (norm(F.col("ca")) * norm(F.col("cb")))).alias("cos"),
+    )

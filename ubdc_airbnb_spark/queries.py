@@ -7899,3 +7899,109 @@ def ns_cross_source_dups(spark: SparkSession, sf: str) -> DataFrame:
     return lab.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+@q(
+    "mm_audio_fingerprint",
+    ("NS-multimodal", "NS2"),
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+             (20 + doc_id % 16) * (1 + doc_id % 2) AS n
+      FROM documents),
+    pos AS (SELECT doc_id, bits, n, unnest(generate_series(0, n - 1)) AS i
+            FROM dims),
+    v AS (
+      SELECT doc_id, i // 8 AS frm,
+             CASE WHEN bits = 8 THEN (doc_id * 17 + i * 13) % 256
+                  ELSE ((doc_id * 17 + i * 13) % 4001) - 2000 END AS s
+      FROM pos),
+    e AS (SELECT doc_id, frm, SUM(s * s) AS e FROM v GROUP BY 1, 2),
+    led AS (
+      SELECT doc_id, frm, e,
+             lead(e) OVER (PARTITION BY doc_id ORDER BY frm) AS en
+      FROM e)
+    SELECT doc_id AS media_id,
+           CAST(MAX(frm) + 1 AS BIGINT) AS n_frames,
+           CAST(COALESCE(SUM(CASE WHEN en IS NOT NULL AND e > en AND frm < 63
+                              THEN (CAST(1 AS BIGINT) << frm) ELSE 0 END), 0)
+                AS BIGINT) AS fingerprint
+    FROM led GROUP BY doc_id
+    """,
+    "energy-contour audio fingerprint over the REAL WAV decode: exact "
+    "per-frame energies (8-sample frames), successor comparisons packed "
+    "LSB-first into one long — the audio near-dup equi-join key (the "
+    "dHash twin); oracle replays the fixture sample formula "
+    "(multimodal/binary_ops.py audio_fingerprint)",
+)
+def mm_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from .multimodal.binary_ops import audio_fingerprint, synthetic_wav_media
+
+    docs = load_table(spark, sf, "documents")
+    return audio_fingerprint(synthetic_wav_media(docs), frame=8)
+
+
+@q(
+    "ns_label_centroid_sim",
+    ("NS-similarity", "A2"),
+    """
+    WITH e AS (
+      SELECT label, pos - 1 AS pos,
+             CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+      FROM (SELECT label, unnest(embedding) AS x,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)),
+    g AS (SELECT label, pos, SUM(xq) AS sx, COUNT(*) AS n
+          FROM e GROUP BY 1, 2),
+    m AS (SELECT label, pos,
+                 (CAST(sx AS DOUBLE) / 1e6) / CAST(n AS DOUBLE) AS mu
+          FROM g),
+    c AS (SELECT label, list(mu ORDER BY pos) AS ce FROM m GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           list_dot_product(a.ce, b.ce)
+             / (sqrt(list_dot_product(a.ce, a.ce))
+                * sqrt(list_dot_product(b.ce, b.ce))) AS cos
+    FROM c a JOIN c b ON a.label < b.label
+    """,
+    "pairwise cosine between per-label embedding centroids (ppm-exact "
+    "per-dim means, bounded k^2/2 broadcast pair join) — the domain "
+    "similarity map for corpus mixing and the between-version drift "
+    "check (operators/similarity.py group_centroid_similarity)",
+)
+def ns_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.group_centroid_similarity(emb, "label")
+
+
+@q(
+    "ns_ngram_diversity",
+    ("NS-text", "A2"),
+    r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+    FROM (
+      SELECT source,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      FROM (SELECT source,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> length(x) > 0) AS ws
+            FROM documents))
+    GROUP BY source
+    """,
+    "word-3-gram diversity per source: total gram occurrences vs "
+    "distinct grams — the type/token diversity monitor that flags "
+    "templated or mirrored feeds before dedup spends shuffles on them "
+    "(one map-side-combined groupBy + per-source distinct)",
+)
+def ns_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    grams = docs.select(
+        "source", F.explode(textstats.word_ngrams("text", 3)).alias("gram")
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("gram").cast("long").alias("n_distinct"),
+    )
