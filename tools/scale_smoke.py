@@ -86,6 +86,16 @@ CHECK = [
     "ns_contamination_spans",
     "ns_attribution",
     "ns_hashing_tf",
+    # round-4 fourth wave: the sampled-quadratic recall harness, the
+    # verified cross-source rollup, both real-decode fingerprints, the
+    # two-histogram MAD screen, and the mixture executor's broadcast path
+    "ns_lsh_recall",
+    "ns_cross_source_dups",
+    "mm_image_dhash",
+    "mm_audio_fingerprint",
+    "ns_outlier_mad",
+    "ns_mixture_apply",
+    "ns_label_centroid_sim",
 ]
 
 

@@ -670,6 +670,13 @@ _REPORT_QUERIES = [
     "ns_length_buckets",
     "ns_mixture_rates",
     "ns_rolling_active_users",
+    # round-4 fourth wave: eval integrity, dedup calibration, diversity,
+    # robust length screen, source-pair mirror rollup
+    "ns_split_leakage",
+    "ns_lsh_recall",
+    "ns_ngram_diversity",
+    "ns_outlier_mad",
+    "ns_cross_source_dups",
 ]
 
 
