@@ -694,3 +694,44 @@ def test_hashing_tf_single_doc_bucket_shuffle(spark):
     # never a SinglePartition over corpus rows
     df = q.ns_hashing_tf(spark, SF)
     assert _unbounded_single_partition_subtrees(df) == []
+
+
+def test_apply_mixture_broadcasts_rates(spark):
+    from ubdc_airbnb_spark.operators.sampling import apply_mixture
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], "doc_id long, grp string"
+    )
+    plan = _plan(apply_mixture(df, ["grp"], "doc_id", budget=30))
+    # the quota table must reach the corpus as a broadcast, never a
+    # corpus-wide shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_recall_truth_join_is_equi_on_gram(spark):
+    from ubdc_airbnb_spark.operators.dedup import lsh_recall_eval
+
+    df = spark.createDataFrame(
+        [(i, f"word{i} common tokens shared here {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(lsh_recall_eval(df, "doc_id", "text", sample_fraction=0.5))
+    # the quadratic truth branch must hash on the gram key (id_a < id_b
+    # rides along as a post-join filter), never a nested-loop all-pairs
+    assert "CartesianProduct" not in plan
+
+
+def test_group_centroid_similarity_corpus_never_joins(spark):
+    from ubdc_airbnb_spark.operators.similarity import group_centroid_similarity
+
+    df = spark.createDataFrame(
+        [(i, i % 4, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    plan = _plan(group_centroid_similarity(df, "label"))
+    # only the k-row centroid table may pair-join (broadcast inequality);
+    # the corpus side is aggregates only, so exactly one join appears
+    # and it is a broadcast
+    assert plan.count("Join") >= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
