@@ -518,3 +518,65 @@ def vocab_coverage(
             / F.count(F.lit(1)).cast("double")
         ).alias("oov_frac"),
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    max_rank: int = 200,
+) -> DataFrame:
+    """Zipf rank-frequency slope per group — the corpus-naturalness
+    monitor: natural language sits near slope −1 on log(freq) vs
+    log(rank); templated/generated/boilerplate feeds bend the head of
+    the curve (flat → mass-duplicated tokens, steep → tiny vocab).
+
+    Fit is the closed-form OLS slope over the top ``max_rank`` ranks
+    (the standard head fit — the tail is noise and unbounded). Logs
+    quantize to integer micro-nats (the house device) BEFORE the moment
+    sums, so with rank ≤ max_rank every Σ term fits int64 exactly and
+    the slope is a ratio of two engine-identical integers; the only
+    float op is the final division of identical operands.
+
+    Scale shape: one map-side-combined (group, word) count, a
+    group-keyed top-``max_rank`` window (AQE skew-splittable), then one
+    tiny moment aggregate per group. Output: (group_col, n_ranks,
+    slope_num, slope_den, slope) with slope = slope_num/slope_den.
+    """
+    from pyspark.sql import Window
+
+    wf = (
+        df.select(F.col(group_col).alias("g"), F.explode(words(text_col)).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    win = Window.partitionBy("g").orderBy(F.desc("freq"), F.asc("w"))
+    ranked = (
+        wf.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= max_rank)
+        .select(
+            "g",
+            F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("freq").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    m = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_ranks"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope"),
+    )

@@ -8005,3 +8005,102 @@ def ns_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.countDistinct("gram").cast("long").alias("n_distinct"),
     )
+
+
+_BRUTE_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+         v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      list_dot_product(qv, nv)
+                      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos
+               FROM q, v WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= 5
+    """
+
+
+@q(
+    "ns_ann_recall",
+    ("NS-similarity", "A2"),
+    f"""
+    WITH exact AS ({_BRUTE_TOPK_SQL.strip()}),
+    ivf AS ({_IVF_TOPK_SQL.strip()}),
+    j AS (
+      SELECT COALESCE(e.query_id, a.query_id) AS query_id,
+             CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+             CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END AS c
+      FROM exact e FULL OUTER JOIN ivf a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+    SELECT query_id,
+           CAST(SUM(t) AS BIGINT) AS n_exact,
+           CAST(SUM(c) AS BIGINT) AS n_ivf,
+           CAST(SUM(t * c) AS BIGINT) AS n_hit
+    FROM j GROUP BY query_id
+    """,
+    "ANN self-calibration: per-query overlap of IVF top-5 vs the exact "
+    "brute-force top-5 (n_exact/n_ivf/n_hit, so recall@5 and the probe "
+    "tuning read fall out) — the measurement that justifies an IVF "
+    "deployment; integer counts only (composes operators/similarity.py "
+    "brute_force_topk + ivf_topk)",
+)
+def ns_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    exact = similarity.brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(emb, qs, centroids, k=5).select("query_id", "neighbor_id")
+    j = exact.withColumn("t", F.lit(1)).join(
+        approx.withColumn("c", F.lit(1)), ["query_id", "neighbor_id"], "full_outer"
+    )
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n_ivf"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_hit"),
+    )
+
+
+@q(
+    "ns_zipf_slope",
+    ("NS-text", "A2", "W2"),
+    r"""
+    WITH wf AS (
+      SELECT g, w, COUNT(*) AS freq
+      FROM (SELECT source AS g,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> length(x) > 0)) AS w
+            FROM documents)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT g,
+             CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      FROM (SELECT g, w, freq,
+                   row_number() OVER (PARTITION BY g ORDER BY freq DESC, w ASC) AS rank
+            FROM wf)
+      WHERE rank <= 200),
+    m AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM ranked GROUP BY g)
+    SELECT g AS source, CAST(n AS BIGINT) AS n_ranks,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+    FROM m
+    """,
+    "Zipf rank-frequency slope per source (closed-form OLS over the "
+    "top-200 ranks, micro-nat-quantized logs so every moment sum is "
+    "exact int64) — natural text sits near -1; templated or generated "
+    "feeds bend the head (operators/tfidf.py zipf_slope)",
+)
+def ns_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import tfidf
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf.zipf_slope(docs, "source", "text", max_rank=200)
