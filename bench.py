@@ -63,6 +63,11 @@ HEADLINE = [
     # round-4 second wave: span-level exact dedup is the heaviest new
     # gram operator (positional grams + corpus-wide gram count)
     "ns_dedup_spans",
+    # round-4 fourth wave: the sampled-quadratic LSH recall harness
+    # (exact truth on a half-sample — the expensive-by-design one) and
+    # the image dHash over the real PNG decode
+    "ns_lsh_recall",
+    "mm_image_dhash",
 ]
 
 
