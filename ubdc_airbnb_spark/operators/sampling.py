@@ -399,15 +399,32 @@ def split_leakage_report(
     docs_in_leaked) — one row per mode.
     """
     dg = F.md5(F.col(text_col))
-    lab = df.select(
-        dg.alias("__dg"),
-        split_label(F.col(key_col).cast("string"), weights, salt).alias("__by_doc"),
-        split_label(dg, weights, salt).alias("__by_content"),
+    return _leakage_modes(
+        df, dg, F.col(key_col).cast("string"), weights, salt, "by_doc", "by_content"
     )
-    groups = lab.groupBy("__dg").agg(
+
+
+def _leakage_modes(
+    df: DataFrame,
+    group_expr: Column,
+    key_expr: Column,
+    weights: Sequence[tuple[str, float]],
+    salt: str,
+    key_mode: str,
+    group_mode: str,
+) -> DataFrame:
+    """Shared leakage fold: label every row by (hash of key) and (hash of
+    its group id), count groups straddling splits under each, emit one
+    report row per mode."""
+    lab = df.select(
+        group_expr.alias("__g"),
+        split_label(key_expr, weights, salt).alias("__by_key"),
+        split_label(group_expr.cast("string"), weights, salt).alias("__by_group"),
+    )
+    groups = lab.groupBy("__g").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("__by_doc").alias("nd"),
-        F.countDistinct("__by_content").alias("nc"),
+        F.countDistinct("__by_key").alias("nd"),
+        F.countDistinct("__by_group").alias("nc"),
     )
 
     def mode_row(mode: str, nsplits: str) -> DataFrame:
@@ -425,4 +442,38 @@ def split_leakage_report(
         )
         return agg.select(F.lit(mode).alias("mode"), "*")
 
-    return mode_row("by_doc", "nd").unionByName(mode_row("by_content", "nc"))
+    return mode_row(key_mode, "nd").unionByName(mode_row(group_mode, "nc"))
+
+
+def group_leakage_counts(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    salt: str = "split",
+    key_mode: str = "by_doc",
+    group_mode: str = "by_cluster",
+) -> DataFrame:
+    """The leakage audit for an ARBITRARY grouping — the near-dup
+    generalization `split_leakage_report` promises: pass (doc_id,
+    cluster_id) rows from connected components over MinHash/SimHash
+    pairs and the report shows how many NEAR-dup clusters a by-doc hash
+    split tears across train/test vs hashing the cluster id (which is
+    leak-free by construction, and verified rather than assumed).
+
+    Same scale shape as the exact audit: one group-keyed map-side
+    combinable groupBy, a two-row fold.
+    """
+    return _leakage_modes(
+        df,
+        F.col(group_col),
+        F.col(key_col).cast("string"),
+        weights,
+        salt,
+        key_mode,
+        group_mode,
+    )

@@ -8104,3 +8104,80 @@ def ns_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return tfidf.zipf_slope(docs, "source", "text", max_rank=200)
+
+
+def _neardup_leakage_oracle_sql() -> str:
+    """SimHash near-dup components (the NS5 recursive closure) fed into
+    the leakage fold: clusters torn across splits by a by-doc hash split
+    vs hashing the cluster id."""
+    closure = _SIMHASH_SQL.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    return (
+        closure
+        + """
+    , banded AS (
+      SELECT doc_id, band_id, (simhash >> (band_id * 8)) & 255 AS band_val, simhash
+      FROM sk, (SELECT unnest(generate_series(0, 3)) AS band_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM sk
+      UNION
+      SELECT s.b AS id, reach.r FROM reach JOIN sym s ON reach.id = s.a
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT component,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15))
+                  AS BIGINT) % 1000000 AS hd,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(component AS VARCHAR) || '#split'), 1, 15))
+                  AS BIGINT) % 1000000 AS hc
+      FROM comp),
+    lab2 AS (
+      SELECT component,
+             CASE WHEN hd < 980000 THEN 'train'
+                  WHEN hd < 990000 THEN 'val' ELSE 'test' END AS by_doc,
+             CASE WHEN hc < 980000 THEN 'train'
+                  WHEN hc < 990000 THEN 'val' ELSE 'test' END AS by_cluster
+      FROM lab),
+    g AS (
+      SELECT component, COUNT(*) AS n_docs,
+             COUNT(DISTINCT by_doc) AS nd, COUNT(DISTINCT by_cluster) AS nc
+      FROM lab2 GROUP BY component)
+    SELECT 'by_doc' AS mode,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS docs_in_leaked
+    FROM g
+    UNION ALL
+    SELECT 'by_cluster',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN nc > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+    FROM g
+    """
+    )
+
+
+@q(
+    "ns_neardup_leakage",
+    ("NS-sampling", "NS4", "NS5"),
+    _neardup_leakage_oracle_sql(),
+    "NEAR-dup cross-split leakage: SimHash hamming<=3 components "
+    "(the NS5 clusters) checked against the by-doc-id hash split vs "
+    "hashing the cluster id — the generalization of ns_split_leakage "
+    "beyond byte-exact dups; a by-doc split tears near-dup clusters "
+    "across train/test silently "
+    "(operators/sampling.py group_leakage_counts)",
+)
+def ns_neardup_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    comp = ns_dedup_components(spark, sf)
+    return sampling.group_leakage_counts(comp, "component", "doc_id")
