@@ -194,3 +194,22 @@ def test_zipf_slope_flat_for_uniform_template(spark):
     df = spark.createDataFrame([(1, "t", text)], "doc_id long, source string, text string")
     got = zipf_slope(df, "source", "text", max_rank=30).collect()[0]
     assert got.slope == 0.0  # constant y: templated feed, flat head
+
+
+# ---------------------------------------------------------------------------
+# mixture_rates_by_tokens
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_rates_by_tokens_plans_in_token_units(spark):
+    from ubdc_airbnb_spark.operators.sampling import mixture_rates_by_tokens
+
+    rows = [(1, "big", 1000), (2, "big", 1000), (3, "small", 10), (4, "small", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tok long")
+    got = {r.grp: r for r in mixture_rates_by_tokens(df, ["grp"], "n_tok", budget=100).collect()}
+    # budget 100 tokens over 2 cells -> quota 50 each
+    assert got["big"].quota == 50 and got["small"].quota == 50
+    assert got["big"].tokens == 2000 and got["small"].tokens == 20
+    assert got["big"].rate == 50 / 2000.0  # few huge docs -> low row rate
+    assert got["small"].rate == 1.0  # under budget: keep everything
+    assert got["small"].expected == 20 and got["big"].expected == 50

@@ -477,3 +477,49 @@ def group_leakage_counts(
         key_mode,
         group_mode,
     )
+
+
+def mixture_rates_by_tokens(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget mixture planner — the unit real training mixes are
+    specified in: split a TOKEN budget uniformly across the observed
+    cells and derive each cell's row-sampling rate from its token mass
+    (``mixture_rates`` plans in rows; this plans in tokens, so a cell of
+    few huge documents gets a proportionally lower row rate).
+
+        quota_g  = budget div n_cells          (tokens)
+        rate_g   = min(1, quota_g / tokens_g)  (the one IEEE division)
+        expected = min(tokens_g, quota_g)      (tokens, exact)
+
+    Same exact-integer shape as ``mixture_rates``: one map-side
+    combinable groupBy over the cell keys, broadcast scalar, any engine
+    replays the table bit-for-bit. Execute with ``apply_mixture``'s
+    broadcast + hash-threshold device (rates are rates, whatever the
+    unit they were planned in).
+
+    Output: (*group_cols, tokens, quota, rate, expected).
+    """
+    cells = df.groupBy(*group_cols).agg(F.sum(F.col(weight_col)).alias("tokens"))
+    k = cells.agg(F.count(F.lit(1)).alias("n_cells"))
+    return (
+        cells.crossJoin(F.broadcast(k))
+        .select(
+            *group_cols,
+            "tokens",
+            F.floor(F.lit(budget) / F.col("n_cells")).cast("long").alias("quota"),
+        )
+        .select(
+            *group_cols,
+            "tokens",
+            "quota",
+            F.least(
+                F.lit(1.0),
+                F.col("quota").cast("double") / F.col("tokens").cast("double"),
+            ).alias("rate"),
+            F.least(F.col("tokens"), F.col("quota")).alias("expected"),
+        )
+    )

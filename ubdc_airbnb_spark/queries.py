@@ -8181,3 +8181,38 @@ def ns_neardup_leakage(spark: SparkSession, sf: str) -> DataFrame:
 
     comp = ns_dedup_components(spark, sf)
     return sampling.group_leakage_counts(comp, "component", "doc_id")
+
+
+@q(
+    "ns_mixture_tokens",
+    ("NS-sampling", "A2"),
+    """
+    WITH cells AS (
+      SELECT lang, source, SUM(n_chars) AS tokens
+      FROM documents GROUP BY 1, 2),
+    k AS (SELECT COUNT(*) AS n_cells FROM cells)
+    SELECT lang, source, CAST(tokens AS BIGINT) AS tokens,
+           CAST(floor(500000.0 / n_cells) AS BIGINT) AS quota,
+           LEAST(1.0, CAST(floor(500000.0 / n_cells) AS DOUBLE)
+                      / CAST(tokens AS DOUBLE)) AS rate,
+           CAST(LEAST(tokens, CAST(floor(500000.0 / n_cells) AS BIGINT))
+                AS BIGINT) AS expected
+    FROM cells CROSS JOIN k
+    """,
+    "token-budget mixture planner: the training-mix unit — a char/token "
+    "budget split uniformly over (lang, source) cells, per-cell row "
+    "rate from token mass (a cell of few huge docs samples lower); "
+    "exact-integer plan table, executes via apply_mixture "
+    "(operators/sampling.py mixture_rates_by_tokens)",
+)
+def ns_mixture_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    out = sampling.mixture_rates_by_tokens(docs, ["lang", "source"], "n_chars", budget=500_000)
+    return out.select(
+        "lang", "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        "quota", "rate",
+        F.col("expected").cast("long").alias("expected"),
+    )
