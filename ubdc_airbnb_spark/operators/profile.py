@@ -90,3 +90,38 @@ def embedding_health(
         mean.alias("mean"),
         (ex2 - mean * mean).alias("var"),
     )
+
+
+def embedding_norm_health(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group embedding NORM health — the vector-granularity
+    companion to ``embedding_health`` (which profiles dimensions):
+    zero/dead vectors break cosine math (0/0) and collapse ANN buckets,
+    and a shifted norm distribution between groups or corpus versions
+    is the cheapest embedding-drift tripwire.
+
+    Per vector the squared norm is the sequential zip-fold dot product
+    (engine-identical evaluation order), quantized to ppm BEFORE the
+    group sum so every aggregate is exact int64. One narrow pass + one
+    map-side-combinable groupBy over the group keys; no shuffle of the
+    vectors themselves.
+
+    Output: (group_col, n_vecs, n_zero, min_norm2_ppm, max_norm2_ppm,
+    sum_norm2_ppm).
+    """
+    n2 = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    q = df.select(
+        F.col(group_col), F.floor(n2 * F.lit(1e6)).cast("long").alias("__n2")
+    )
+    return q.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("__n2") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
+        F.min("__n2").alias("min_norm2_ppm"),
+        F.max("__n2").alias("max_norm2_ppm"),
+        F.sum("__n2").alias("sum_norm2_ppm"),
+    )

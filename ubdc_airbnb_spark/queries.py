@@ -8216,3 +8216,75 @@ def ns_mixture_tokens(spark: SparkSession, sf: str) -> DataFrame:
         "quota", "rate",
         F.col("expected").cast("long").alias("expected"),
     )
+
+
+@q(
+    "ns_embed_norms",
+    ("NS-similarity", "A2"),
+    """
+    WITH n AS (
+      SELECT label,
+             CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) * 1e6)
+                  AS BIGINT) AS n2
+      FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(MIN(n2) AS BIGINT) AS min_norm2_ppm,
+           CAST(MAX(n2) AS BIGINT) AS max_norm2_ppm,
+           CAST(SUM(n2) AS BIGINT) AS sum_norm2_ppm
+    FROM n GROUP BY label
+    """,
+    "per-label embedding norm health (zero/dead-vector count, ppm-exact "
+    "squared-norm min/max/sum) — the vector-granularity companion to "
+    "ns_embed_health: dead vectors break cosine math and a shifted norm "
+    "distribution is the cheapest embedding-drift tripwire "
+    "(operators/profile.py embedding_norm_health)",
+)
+def ns_embed_norms(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profile import embedding_norm_health
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_norm_health(emb, "label")
+
+
+@q(
+    "ns_lang_id_margin",
+    ("NS-text",),
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3)) AS grams
+      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)),
+    c AS (
+      SELECT doc_id,
+             {_trigram_cnt_sql('en')} AS c_en, {_trigram_cnt_sql('de')} AS c_de,
+             {_trigram_cnt_sql('fr')} AS c_fr, {_trigram_cnt_sql('es')} AS c_es
+      FROM g)
+    SELECT doc_id,
+           CAST(greatest(c_en, c_de, c_fr, c_es) AS BIGINT) AS hits_top1,
+           CAST(list_sort([c_en, c_de, c_fr, c_es])[3] AS BIGINT) AS hits_top2,
+           CAST(greatest(c_en, c_de, c_fr, c_es)
+                - list_sort([c_en, c_de, c_fr, c_es])[3] AS BIGINT) AS margin
+    FROM c
+    """,
+    "language-ID confidence margin: top-1 minus top-2 trigram-profile "
+    "hit counts per doc — a zero margin flags ambiguous/mixed-language "
+    "docs that a bare argmax silently mislabels (route them to a "
+    "stronger classifier); integer counts, pure narrow expressions "
+    "(functions/textstats.py trigram_hits)",
+)
+def ns_lang_id_margin(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    arr = F.array_sort(
+        F.array(*[textstats.trigram_hits("text", lang) for lang in ("en", "de", "fr", "es")])
+    )
+    top1 = F.element_at(arr, 4).cast("long")
+    top2 = F.element_at(arr, 3).cast("long")
+    return docs.select(
+        "doc_id",
+        top1.alias("hits_top1"),
+        top2.alias("hits_top2"),
+        (top1 - top2).alias("margin"),
+    )
