@@ -489,3 +489,30 @@ def test_foreach_batch_checksum_state_matches_batch(spark, tmp_path):
         expect.content_xor,
         expect.n_chars,
     )
+
+
+def test_foreach_batch_norm_state_matches_batch(spark, tmp_path):
+    """Embedding norm-health streaming twin: incrementally maintained
+    (group, is_zero) norm state finalizes to the exact batch report."""
+    from ubdc_airbnb_spark.operators.profile import embedding_norm_health
+
+    rows = [(i, i % 3, [float(i % 4), 1.0] if i % 5 else [0.0, 0.0]) for i in range(40)]
+    src = str(tmp_path / "emb_src")
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).repartition(4).write.parquet(src)
+
+    state = str(tmp_path / "norm_state")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_norm_state(stream, state, "label", "embedding")
+    got = sorted(tuple(r) for r in jobs.norm_state_report(spark, state, "label").collect())
+    want = sorted(
+        tuple(r)
+        for r in embedding_norm_health(spark.read.parquet(src), "label").collect()
+    )
+    assert got == want and len(got) == 3
+    assert any(r[2] > 0 for r in got)  # the zero vectors were counted

@@ -92,6 +92,19 @@ def embedding_health(
     )
 
 
+def norm2_ppm(vec_col: str) -> F.Column:
+    """Per-vector squared norm as an exact ppm long: sequential zip-fold
+    dot product (engine-identical evaluation order) floored at 1e6 —
+    the quantize-before-sum device shared by the batch health report
+    and its streaming twin."""
+    n2 = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.floor(n2 * F.lit(1e6)).cast("long")
+
+
 def embedding_norm_health(
     df: DataFrame, group_col: str, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -110,14 +123,7 @@ def embedding_norm_health(
     Output: (group_col, n_vecs, n_zero, min_norm2_ppm, max_norm2_ppm,
     sum_norm2_ppm).
     """
-    n2 = F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    q = df.select(
-        F.col(group_col), F.floor(n2 * F.lit(1e6)).cast("long").alias("__n2")
-    )
+    q = df.select(F.col(group_col), norm2_ppm(vec_col).alias("__n2"))
     return q.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum(F.when(F.col("__n2") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),

@@ -353,3 +353,44 @@ def checksum_state_report(spark: SparkSession, state_path: str) -> DataFrame:
     """Finalize the checksum state — identical output contract to the
     batch ``ns_corpus_checksum`` gate."""
     return spark.read.parquet(state_path).select("n_docs", "content_xor", "n_chars")
+
+
+def foreach_batch_norm_state(
+    stream: DataFrame,
+    state_path: str,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+):
+    """Streaming twin of the embedding norm-health monitor (the NS43
+    pattern): each micro-batch reduces to (group, is_zero) partial
+    count/sum/min/max state over the ppm-quantized squared norms and
+    merges into the parquet state table — every statistic in the report
+    is count/sum/min/max-mergeable, so ``norm_state_report(state)``
+    equals the batch ``embedding_norm_health`` over everything ingested
+    (pytest-asserted). Exactly-once via the shared ``__max_batch_id``
+    device; state is O(2·|groups|) rows regardless of volume."""
+    from ..operators.profile import norm2_ppm
+
+    keyed = stream.select(
+        F.col(group_col), norm2_ppm(vec_col).alias("__n2")
+    ).withColumn("__zero", (F.col("__n2") == 0).cast("int"))
+    return foreach_batch_incremental_agg(keyed, state_path, [group_col, "__zero"], "__n2")
+
+
+def norm_state_report(
+    spark: SparkSession, state_path: str, group_col: str = "label"
+) -> DataFrame:
+    """Finalize a norm state table into the per-group health report —
+    identical output contract to ``embedding_norm_health``."""
+    state = spark.read.parquet(state_path)
+    if "__max_batch_id" in state.columns:
+        state = state.drop("__max_batch_id")
+    return state.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("__zero") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.min("min_v").alias("min_norm2_ppm"),
+        F.max("max_v").alias("max_norm2_ppm"),
+        F.sum("sum_v").cast("long").alias("sum_norm2_ppm"),
+    )
