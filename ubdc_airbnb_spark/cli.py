@@ -677,6 +677,9 @@ _REPORT_QUERIES = [
     "ns_ngram_diversity",
     "ns_outlier_mad",
     "ns_cross_source_dups",
+    "ns_embed_norms",
+    "ns_zipf_slope",
+    "ns_lang_id_margin",
 ]
 
 
