@@ -735,3 +735,26 @@ def test_group_centroid_similarity_corpus_never_joins(spark):
     # and it is a broadcast
     assert plan.count("Join") >= 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_embedding_norm_health_single_shuffle(spark):
+    from ubdc_airbnb_spark.operators.profile import embedding_norm_health
+
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    plan = _plan(embedding_norm_health(df, "label"))
+    # narrow quantize + one keyed aggregate: no join, one Exchange
+    # (tree form "Exchange (n)" — the detail section repeats the node)
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1
+
+
+def test_report_query_names_all_registered(spark):
+    from ubdc_airbnb_spark import cli
+    from ubdc_airbnb_spark import queries as q_mod
+
+    names = {s.name for s in q_mod.registry()}
+    missing = [n for n in cli._REPORT_QUERIES if n not in names]
+    assert missing == []
