@@ -516,3 +516,36 @@ def test_foreach_batch_norm_state_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) == 3
     assert any(r[2] > 0 for r in got)  # the zero vectors were counted
+
+
+def test_foreach_batch_hll_state_matches_batch(spark, tmp_path):
+    """Grouped-HLL streaming twin: register MAX is the union algebra, so
+    the incrementally maintained state finalizes to the exact batch
+    estimate."""
+    from ubdc_airbnb_spark.operators.sketches import hll_estimate_by, hll_registers_by
+
+    src = _events_dir(spark, tmp_path)
+    state = str(tmp_path / "hll_state")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_hll_state(
+        stream, state, ["event_type"], F.col("user_id").cast("string"), b=8
+    )
+    got = sorted(
+        tuple(r)
+        for r in jobs.hll_state_report(spark, state, ["event_type"], b=8).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in hll_estimate_by(
+            hll_registers_by(
+                spark.read.parquet(src), ["event_type"], F.col("user_id").cast("string"), b=8
+            ),
+            ["event_type"],
+            b=8,
+        ).collect()
+    )
+    assert got == want and len(got) > 0

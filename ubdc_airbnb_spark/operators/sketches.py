@@ -267,12 +267,12 @@ def heavy_hitters(
 # ---------------------------------------------------------------------------
 
 
-def hll_registers_by(
+def hll_rows(
     df: DataFrame, keys: Sequence[str], col: str | Column, b: int = 12
 ) -> DataFrame:
-    """Per-key HLL register tables: (keys..., bucket, m_j). State is
-    O(|keys| · m) — the grouped distinct-count shape (distinct users per
-    day/type) without O(|keys| · distinct) exact state."""
+    """Ungrouped per-row HLL observations (keys..., bucket, rho) — the
+    narrow select `hll_registers_by` aggregates, exposed separately so
+    the streaming twin can feed the same rows into its MAX-merge state."""
     m = 1 << b
     rest_bits = _HASH_BITS - b
     h = md5_long(col)
@@ -280,12 +280,21 @@ def hll_registers_by(
     rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
         F.lit(rest_bits + 1) - F.length(F.bin(rest))
     )
+    return df.select(
+        *keys,
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+
+
+def hll_registers_by(
+    df: DataFrame, keys: Sequence[str], col: str | Column, b: int = 12
+) -> DataFrame:
+    """Per-key HLL register tables: (keys..., bucket, m_j). State is
+    O(|keys| · m) — the grouped distinct-count shape (distinct users per
+    day/type) without O(|keys| · distinct) exact state."""
     return (
-        df.select(
-            *keys,
-            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
-            rho.cast("int").alias("rho"),
-        )
+        hll_rows(df, keys, col, b)
         .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )

@@ -394,3 +394,36 @@ def norm_state_report(
         F.max("max_v").alias("max_norm2_ppm"),
         F.sum("sum_v").cast("long").alias("sum_norm2_ppm"),
     )
+
+
+def foreach_batch_hll_state(
+    stream: DataFrame,
+    state_path: str,
+    keys: list[str],
+    col,
+    b: int = 12,
+):
+    """Streaming twin of the grouped HLL distinct counter: each
+    micro-batch's (keys, bucket, rho) observations merge into the state
+    table where ``max_v`` IS the HLL register — HLL's union algebra is
+    elementwise register MAX, exactly the max side of the shared
+    incremental-state device, so ``hll_state_report(state)`` equals the
+    batch ``hll_registers_by``+``hll_estimate_by`` over everything
+    ingested (pytest-asserted). State is O(|keys|·2^b) rows regardless
+    of volume; exactly-once via the shared ``__max_batch_id`` device."""
+    from ..operators.sketches import hll_rows
+
+    keyed = hll_rows(stream, keys, col, b)
+    return foreach_batch_incremental_agg(keyed, state_path, [*keys, "bucket"], "rho")
+
+
+def hll_state_report(
+    spark: SparkSession, state_path: str, keys: list[str], b: int = 12
+) -> DataFrame:
+    """Finalize an HLL state table into per-key cardinality estimates —
+    identical output contract to ``hll_estimate_by``."""
+    from ..operators.sketches import hll_estimate_by
+
+    state = spark.read.parquet(state_path)
+    regs = state.select(*keys, "bucket", F.col("max_v").cast("int").alias("m_j"))
+    return hll_estimate_by(regs, keys, b)
