@@ -353,15 +353,33 @@ def apply_mixture(
 
     Output: the sampled rows, all columns unchanged.
     """
+    return apply_rates(df, mixture_rates(df, group_cols, budget), group_cols, key_col, salt)
+
+
+def apply_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Execute ANY planned per-cell rate table (a ``rate`` column in
+    [0, 1] keyed by ``group_cols`` — uniform row quotas, token-budget
+    plans, DoReMi-style reweightings, hand-written specs): broadcast the
+    rates, keep rows whose salted content hash lands under the cell's
+    ``floor(rate·1e6)`` ppm threshold. One broadcast join + a narrow
+    filter; the kept set is a pure function of (key, salt, rates), so
+    re-planning only changes cells whose rates actually moved.
+    """
     from ..functions.hashing import md5_long
 
-    rates = mixture_rates(df, group_cols, budget).select(
+    r = rates.select(
         *group_cols,
         F.floor(F.col("rate") * F.lit(1e6)).cast("long").alias("__ppm"),
     )
     key = F.col(key_col).cast("string")
     return (
-        df.join(F.broadcast(rates), list(group_cols))
+        df.join(F.broadcast(r), list(group_cols))
         .filter((md5_long(key, salt) % 1_000_000) < F.col("__ppm"))
         .drop("__ppm")
     )

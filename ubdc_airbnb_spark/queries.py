@@ -8288,3 +8288,43 @@ def ns_lang_id_margin(spark: SparkSession, sf: str) -> DataFrame:
         top2.alias("hits_top2"),
         (top1 - top2).alias("margin"),
     )
+
+
+@q(
+    "ns_mixture_apply_tokens",
+    ("NS-sampling", "A2"),
+    """
+    WITH cells AS (
+      SELECT lang, source, SUM(n_chars) AS tokens
+      FROM documents GROUP BY 1, 2),
+    k AS (SELECT COUNT(*) AS n_cells FROM cells),
+    rates AS (
+      SELECT lang, source,
+             CAST(floor(LEAST(1.0, CAST(floor(500000.0 / n_cells) AS DOUBLE)
+                                    / CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS ppm
+      FROM cells CROSS JOIN k),
+    kept AS (
+      SELECT d.lang, d.source, d.n_chars
+      FROM documents d JOIN rates r USING (lang, source)
+      WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 15))
+                 AS BIGINT) % 1000000 < r.ppm)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY lang, source
+    """,
+    "execute the TOKEN-budget mixture plan through the generalized rate "
+    "executor: broadcast the NS141 rates, salted-hash ppm filter, report "
+    "kept docs AND kept tokens per cell (the number the budget was "
+    "specified in) (operators/sampling.py apply_rates)",
+)
+def ns_mixture_apply_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    rates = sampling.mixture_rates_by_tokens(docs, ["lang", "source"], "n_chars", budget=500_000)
+    kept = sampling.apply_rates(docs, rates, ["lang", "source"], "doc_id")
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("kept_tokens"),
+    )
