@@ -109,6 +109,38 @@ def test_lsh_recall_finds_exact_dups(spark):
     assert row.n_cand >= row.n_hit
 
 
+def test_lsh_recall_absolute_slice_bounded_and_nested(spark):
+    """sample_rows caps the quadratic truth branch at an ABSOLUTE doc
+    count regardless of corpus size, and a smaller target's slice is a
+    strict subset of a larger one's (hash-threshold nesting)."""
+    from ubdc_airbnb_spark.operators.sampling import _M, hash_bucket
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"word{i} alpha beta gamma delta common tail {i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def slice_ids(target):
+        thr = min(_M, (target * _M) // 200)
+        return {
+            r[0]
+            for r in df.filter(
+                hash_bucket(F.col("doc_id").cast("string"), "lshrecall") < thr
+            ).select("doc_id").collect()
+        }
+
+    small, big = slice_ids(40), slice_ids(120)
+    assert small <= big  # nesting: comparable metrics across corpus versions
+    assert 10 <= len(small) <= 80  # ~target, hash-jittered but bounded
+    # sample_rows >= corpus keeps everything (threshold clamps to _M)
+    row = lsh_recall_eval(
+        df, "doc_id", "text", threshold=0.3, sample_rows=10_000
+    ).collect()[0]
+    full = lsh_recall_eval(df, "doc_id", "text", threshold=0.3).collect()[0]
+    assert (row.n_truth, row.n_cand, row.n_hit) == (
+        full.n_truth, full.n_cand, full.n_hit,
+    )
+
+
 # ---------------------------------------------------------------------------
 # robust_outlier_counts
 # ---------------------------------------------------------------------------

@@ -178,10 +178,13 @@ def length_bucket_plan(
             "max_tokens",
             "sum_tokens",
             (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).alias("pad_waste"),
-            (
+            F.when(
+                F.col("n_docs") * F.col("max_tokens") > 0,
                 (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).cast("double")
-                / (F.col("n_docs") * F.col("max_tokens")).cast("double")
-            ).alias("pad_frac"),
+                / (F.col("n_docs") * F.col("max_tokens")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pad_frac"),
         )
     )
 

@@ -438,6 +438,7 @@ def lsh_recall_eval(
     ngram: int = 3,
     threshold: float = 0.3,
     sample_fraction: float = 1.0,
+    sample_rows: int | None = None,
     salt: str = "lshrecall",
 ) -> DataFrame:
     """Self-evaluation harness for the MinHash-LSH pipeline: measure
@@ -447,10 +448,16 @@ def lsh_recall_eval(
 
     Ground truth is the exact all-pairs word-``ngram`` Jaccard >=
     ``threshold`` — quadratic in gram-collision volume, which is exactly
-    why it runs on a deterministic ``hash_sample`` slice (the same keys
-    every run, so the metric is comparable across corpus versions), never
-    the full corpus. Candidates are the production banding on the same
-    slice. Both sides reduce to counts:
+    why it runs on a deterministic hash slice, never the full corpus.
+    Prefer ``sample_rows`` (an ABSOLUTE target doc count): the hash
+    threshold is ``sample_rows * 1e6 // count(*)`` in pure integers, so
+    calibration cost is O(sample_rows²-bounded) — CONSTANT as the corpus
+    grows — while ``sample_fraction`` (legacy) scales the quadratic
+    branch with corpus size. Hash slices NEST (a smaller threshold keeps
+    a strict subset of a larger one's keys), so metrics stay comparable
+    across corpus versions at comparable N; the count(*) that sizes the
+    threshold is a parquet metadata read, not a scan. Candidates are the
+    production banding on the same slice. Both sides reduce to counts:
 
         n_truth   true pairs in the slice
         n_cand    LSH candidate pairs (pre-verification)
@@ -464,13 +471,16 @@ def lsh_recall_eval(
     narrow-signature banding; the final compare is a full outer join of
     two pair lists orders of magnitude smaller than the corpus.
     """
-    from .sampling import hash_sample
+    from .sampling import _M, hash_bucket, hash_sample
 
-    samp = (
-        hash_sample(df, F.col(id_col).cast("string"), sample_fraction, salt)
-        if sample_fraction < 1.0
-        else df
-    )
+    if sample_rows is not None:
+        n = df.count()  # parquet metadata count, not a scan
+        thr = min(_M, (sample_rows * _M) // max(n, 1))
+        samp = df.filter(hash_bucket(F.col(id_col).cast("string"), salt) < thr)
+    elif sample_fraction < 1.0:
+        samp = hash_sample(df, F.col(id_col).cast("string"), sample_fraction, salt)
+    else:
+        samp = df
 
     grams = samp.select(
         F.col(id_col).alias("id"),

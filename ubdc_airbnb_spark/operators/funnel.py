@@ -160,9 +160,11 @@ def last_touch_attribution(
     id_col: str = "event_id",
 ) -> DataFrame:
     """Last-touch attribution: every conversion event attributes to the
-    most recent touch event by the same user within the trailing
-    ``window_days`` — the revenue-credit join behind every marketing
-    dashboard, and the canonical "needs an as-of join" workload.
+    most recent STRICTLY-PRIOR touch event by the same user within the
+    trailing ``window_days`` (a click in the same second as the purchase
+    is not credited — it may have been logged after) — the revenue-credit
+    join behind every marketing dashboard, and the canonical "needs an
+    as-of join" workload.
 
     Scale shape: ONE user-keyed window (range frame over the epoch-
     second axis bounded to the attribution window) carries the latest
@@ -178,7 +180,7 @@ def last_touch_attribution(
     w = (
         Window.partitionBy(user_col)
         .orderBy(sec)
-        .rangeBetween(-window_days * 86400, 0)
+        .rangeBetween(-window_days * 86400, -1)
     )
     last_touch = F.max(
         F.when(F.col("event_type") == touch_type, sec)

@@ -885,7 +885,13 @@ def power_iteration_top_pc(
     """
     import math
 
-    dim = len(vectors.select(vec_col).first()[0])
+    first = vectors.select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            "power_iteration_top_pc: vectors table is empty — no principal "
+            "direction to estimate"
+        )
+    dim = len(first[0])
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(iters):
         lit_v = F.array(*[F.lit(float(x)) for x in v])
@@ -898,17 +904,23 @@ def power_iteration_top_pc(
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
         )
-        terms = vectors.select(
-            F.posexplode(
-                F.transform(
-                    F.col(vec_col),
-                    lambda x: F.floor(
-                        (proj_u.cast("double") / F.lit(1e9))
-                        * x.cast("double")
-                        * F.lit(1e9)
-                    ).cast("long"),
-                )
-            ).alias("d", "t_u")
+        # materialize the O(D) projection fold as a real column BEFORE the
+        # per-element transform: a captured expression re-evaluates per
+        # array element (O(D^2)/row), a column reference does not
+        terms = (
+            vectors.withColumn("__proj_u", proj_u)
+            .select(
+                F.posexplode(
+                    F.transform(
+                        F.col(vec_col),
+                        lambda x: F.floor(
+                            (F.col("__proj_u").cast("double") / F.lit(1e9))
+                            * x.cast("double")
+                            * F.lit(1e9)
+                        ).cast("long"),
+                    )
+                ).alias("d", "t_u")
+            )
         )
         s_rows = (
             terms.groupBy("d")
@@ -919,6 +931,10 @@ def power_iteration_top_pc(
         for r in s_rows:
             s[r["d"]] = int(r["s"])
         norm = math.sqrt(float(sum(x * x for x in s)))
+        if norm == 0.0:
+            # degenerate corpus (all projections quantize to zero):
+            # keep the previous iterate rather than divide by zero
+            break
         v = [float(x) / norm for x in s]
     spark = vectors.sparkSession
     return spark.createDataFrame(
@@ -949,14 +965,18 @@ def remove_top_pc(
     def q9_sum(arr: Column) -> Column:
         return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, t: acc + t)
 
-    proj_u = q9_sum(
+    proj_u_expr = q9_sum(
         F.zip_with(
             F.col(vec_col),
             lit_v,
             lambda x, vd: F.floor(x.cast("double") * vd * F.lit(1e9)).cast("long"),
         )
     )
-    proj = proj_u.cast("double") / F.lit(1e9)
+    # materialize the projection as a real column before it is captured
+    # inside the residual zip_with lambda — a captured expression
+    # re-evaluates per array element (O(D^2)/row), a column ref is O(1)
+    staged = vectors.withColumn("__proj_u", proj_u_expr)
+    proj = F.col("__proj_u").cast("double") / F.lit(1e9)
     resid = F.zip_with(
         F.col(vec_col), lit_v, lambda x, vd: x.cast("double") - proj * vd
     )
@@ -971,7 +991,7 @@ def remove_top_pc(
     na_u = q9_sum(
         F.transform(resid, lambda r: F.floor(r * r * F.lit(1e9)).cast("long"))
     )
-    return vectors.select(
+    return staged.select(
         F.col(id_col),
         proj.alias("proj"),
         F.sqrt(nb_u.cast("double") / F.lit(1e9)).alias("norm_before"),

@@ -6635,13 +6635,7 @@ def ns_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
     from .operators import chunking
 
     docs = load_table(spark, sf, "documents")
-    out = chunking.length_bucket_plan(docs, "doc_id", "text", n_buckets=8)
-    return out.withColumn(
-        "pad_frac",
-        F.when(F.col("n_docs") * F.col("max_tokens") > 0, F.col("pad_frac")).otherwise(
-            F.lit(0.0)
-        ),
-    )
+    return chunking.length_bucket_plan(docs, "doc_id", "text", n_buckets=8)
 
 
 @q(
@@ -7463,7 +7457,7 @@ def ns_rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_id, user_id, ts, event_type,
              MAX(CASE WHEN event_type = 'click' THEN sec END)
                OVER (PARTITION BY user_id ORDER BY sec
-                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS lt
+                     RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) AS lt
       FROM ev)
     SELECT event_id AS conversion_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS conversion_ts,
@@ -7475,8 +7469,9 @@ def ns_rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
     WHERE event_type = 'purchase'
     """,
     "last-touch attribution (conversion='purchase' credits the latest "
-    "'click' within 7 days): ONE user-keyed range window carries the "
-    "touch forward — no self-join, no unbounded state "
+    "strictly-prior 'click' within 7 days — same-second clicks excluded): "
+    "ONE user-keyed range window carries the touch forward — no "
+    "self-join, no unbounded state "
     "(operators/funnel.py last_touch_attribution)",
 )
 def ns_attribution(spark: SparkSession, sf: str) -> DataFrame:
@@ -7763,7 +7758,9 @@ def _lsh_recall_oracle_sql() -> str:
     WITH samp AS (
       SELECT doc_id, text FROM documents
       WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#lshrecall'), 1, 15))
-                 AS BIGINT) % 1000000 < 500000),
+                 AS BIGINT) % 1000000
+            < LEAST(1000000, CAST(2500 AS BIGINT) * 1000000
+                             // (SELECT COUNT(*) FROM documents))),
     dg AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(w) >= 3
@@ -7802,17 +7799,18 @@ def _lsh_recall_oracle_sql() -> str:
     ("NS-dedup", "NS2", "NS3"),
     _lsh_recall_oracle_sql(),
     "LSH self-calibration: exact all-pairs word-3-gram Jaccard truth on "
-    "a deterministic half-sample vs the production MinHash(16)/4-band "
-    "candidates — n_truth/n_cand/n_hit, so recall and the verify-stage "
-    "workload factor fall out; the quadratic truth join is why it runs "
-    "on a bounded hash_sample slice "
+    "a deterministic ~2500-doc hash slice (ABSOLUTE size — the integer "
+    "threshold 2500*1e6//count(*) keeps calibration O(1) as the corpus "
+    "grows; slices nest across corpus versions) vs the production "
+    "MinHash(16)/4-band candidates — n_truth/n_cand/n_hit, so recall "
+    "and the verify-stage workload factor fall out "
     "(operators/dedup.py lsh_recall_eval)",
 )
 def ns_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dedup.lsh_recall_eval(
         docs, "doc_id", "text", num_perm=16, bands=4, ngram=3,
-        threshold=0.3, sample_fraction=0.5,
+        threshold=0.3, sample_rows=2500,
     )
 
 
