@@ -51,6 +51,65 @@ def test_bucket_hash_replay_matches_spark(spark):
     assert got == {t: _py_term_bucket(t, 64) for t in terms}
 
 
+def test_incremental_add_matches_rebuild(spark, tmp_path):
+    """Append half the corpus into an index built from the other half:
+    every query must score EXACTLY like a from-scratch rebuild over the
+    union (df derives from postings, N/toktot merge associatively)."""
+    from ubdc_airbnb_spark.operators.tfidf import (
+        add_to_bm25_index,
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "bm25_inc")
+    full = str(tmp_path / "bm25_full")
+    build_bm25_index(base, inc, n_buckets=8)
+    add_to_bm25_index(rest, inc)
+    build_bm25_index(docs, full, n_buckets=8)
+
+    got = [tuple(r) for r in query_bm25_index(spark, inc, QUERY, k=10).collect()]
+    want = [tuple(r) for r in query_bm25_index(spark, full, QUERY, k=10).collect()]
+    assert got == want and len(got) > 0
+
+    # merged constants equal the union corpus constants
+    [pi] = spark.read.parquet(inc + "/params").collect()
+    [pf] = spark.read.parquet(full + "/params").collect()
+    assert (pi.n_docs, pi.toktot, pi.n_buckets) == (pf.n_docs, pf.toktot, pf.n_buckets)
+
+
+def test_incremental_add_appends_only(spark, tmp_path):
+    """An append never rewrites existing postings files — the original
+    build's files survive byte-identical (new files only)."""
+    import os
+
+    from ubdc_airbnb_spark.operators.tfidf import add_to_bm25_index, build_bm25_index
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(base, idx, n_buckets=8)
+
+    def parquet_files(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    out[p] = os.path.getsize(p)
+        return out
+
+    before = parquet_files(os.path.join(idx, "postings"))
+    add_to_bm25_index(rest, idx)
+    after = parquet_files(os.path.join(idx, "postings"))
+    assert set(before) <= set(after)  # nothing deleted
+    assert all(after[p] == sz for p, sz in before.items())  # nothing rewritten
+    assert len(after) > len(before)  # new files landed
+
+
 def test_index_params_and_crash_contract(spark, tmp_path):
     from ubdc_airbnb_spark.operators.tfidf import build_bm25_index, doc_terms
 

@@ -408,6 +408,63 @@ def build_bm25_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "params"))
 
 
+def add_to_bm25_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance for a ``build_bm25_index`` layout — the
+    ``add_to_ivf_index`` pattern applied to lexical retrieval: a daily
+    document drop appends into the index instead of forcing a full
+    corpus re-tokenization.
+
+    Every index constituent is mergeable, so NO existing file is
+    rewritten: postings for the new docs append as new files inside
+    their term-bucket partition directories (same portable md5 bucket
+    function, read from ``params`` so the layout never drifts); doclen
+    rows append; and the corpus constants merge associatively
+    (N' = N + N_new, toktot' = toktot + toktot_new). Document
+    frequencies need no sidecar at all — ``query_bm25_index`` derives
+    df from the pruned postings slice at query time, so appended
+    postings update df by construction. Scores after an append are
+    therefore EXACTLY equal to a from-scratch rebuild over the union
+    corpus (lifecycle-tested).
+
+    Caller contract (same as the IVF append): new doc ids must be new —
+    re-adding an id double-counts its postings. ``params`` updates LAST
+    via atomic replace, so a crashed append under-counts (new postings
+    visible, old constants) rather than phantom-counting."""
+    import os
+
+    from .prefixsum import _pin
+    from .upsert import replace_parquet
+
+    spark = new_docs.sparkSession
+    params_path = os.path.join(path, "params")
+    [p] = spark.read.parquet(params_path).collect()
+    terms = _pin(doc_terms(new_docs, id_col, text_col))
+    (
+        terms.withColumn("term_bucket", term_bucket(F.col("term"), p.n_buckets))
+        .repartition("term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dl.write.mode("append").parquet(os.path.join(path, "doclen"))
+    tot = dl.agg(
+        F.sum("dl").cast("long").alias("toktot"), F.count(F.lit(1)).alias("n_docs")
+    ).collect()[0]
+    replace_parquet(
+        spark.createDataFrame(
+            [(p.n_docs + tot.n_docs, p.toktot + (tot.toktot or 0), p.n_buckets)],
+            "n_docs long, toktot long, n_buckets int",
+        ),
+        params_path,
+    )
+
+
 def query_bm25_index(
     spark,
     path: str,
