@@ -31,7 +31,18 @@ def _c(col: Column | str) -> Column:
 
 def words(col: Column | str) -> Column:
     """Whitespace tokens (empty strings removed)."""
-    return F.filter(F.split(_c(col), r"\s+"), lambda w: F.length(w) > 0)
+    if isinstance(col, str):
+        # single-parse path: one py4j round trip instead of ~10 (the
+        # build phase of a query is pure driver latency at any scale)
+        return F.expr(words_expr(f"`{col}`"))
+    return F.filter(F.split(col, r"\s+"), lambda w: F.length(w) > 0)
+
+
+def words_expr(col_sql: str) -> str:
+    """Spark-SQL text twin of :func:`words` for single-parse expression
+    assembly (NOT the DuckDB oracle dialect — see ``*_sql`` helpers for
+    that). ``col_sql`` is a SQL fragment, already quoted if needed."""
+    return f"filter(split({col_sql}, '\\\\s+'), w -> length(w) > 0)"
 
 
 def whitespace_token_count(col: Column | str) -> Column:
@@ -53,7 +64,9 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     char array (the word_ngrams device) — LINEAR in string length; the
     per-index ``substring(c, i, n)`` form pays an O(i) UTF-8 seek per
     position, quadratic on long documents."""
-    c = _c(col)
+    if isinstance(col, str):
+        return F.expr(char_ngrams_expr(f"`{col}`", n))
+    c = col
     chars = F.split(c, "")
     m = F.greatest(F.length(c) - (n - 1), F.lit(0))
     acc = F.slice(chars, F.lit(1), m)
@@ -61,6 +74,19 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
         nxt = F.slice(chars, F.lit(k + 1), m)
         acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, b))
     return F.when(F.length(c) >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams_expr(col_sql: str, n: int = 3) -> str:
+    """Spark-SQL text twin of :func:`char_ngrams` (single-parse)."""
+    chars = f"split({col_sql}, '')"
+    m = f"greatest(length({col_sql}) - {n - 1}, 0)"
+    acc = f"slice({chars}, 1, {m})"
+    for k in range(1, n):
+        acc = f"zip_with({acc}, slice({chars}, {k + 1}, {m}), (a, b) -> concat(a, b))"
+    return (
+        f"CASE WHEN length({col_sql}) >= {n} THEN {acc} "
+        f"ELSE cast(array() as array<string>) END"
+    )
 
 
 def word_ngrams_arr(ws: Column, n: int = 3) -> Column:
@@ -78,9 +104,32 @@ def word_ngrams_arr(ws: Column, n: int = 3) -> Column:
     return F.when(F.size(ws) >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngrams_arr_expr(arr_sql: str, n: int = 3) -> str:
+    """Spark-SQL text twin of :func:`word_ngrams_arr` over a word-array
+    SQL fragment (single-parse assembly)."""
+    m = f"greatest(size({arr_sql}) - {n - 1}, 0)"
+    acc = f"slice({arr_sql}, 1, {m})"
+    for k in range(1, n):
+        acc = f"zip_with({acc}, slice({arr_sql}, {k + 1}, {m}), (a, b) -> concat(a, ' ', b))"
+    return (
+        f"CASE WHEN size({arr_sql}) >= {n} THEN {acc} "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Array of word n-grams joined by a space (whitespace tokens)."""
+    if isinstance(col, str):
+        return F.expr(word_ngrams_expr(f"`{col}`", n))
     return word_ngrams_arr(words(col), n)
+
+
+def word_ngrams_expr(col_sql: str, n: int = 3) -> str:
+    """Spark-SQL text twin of :func:`word_ngrams` (single-parse assembly;
+    same shifted-slice zip_with construction, so the physical expression
+    is identical to the Column form — only the driver build cost differs:
+    ~1 parse round trip vs ~300 py4j calls)."""
+    return word_ngrams_arr_expr(words_expr(col_sql), n)
 
 
 def punct_ratio(col: Column | str) -> Column:

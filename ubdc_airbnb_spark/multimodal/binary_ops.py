@@ -56,6 +56,19 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+#: session-id -> last Arrow batch size set; makes the per-constructor
+#: conf.set a no-op py4j-wise when the value is unchanged (hot query
+#: constructors run many times per bench/gate session)
+_ARROW_BATCH_LAST: dict[int, str] = {}
+
+
+def _set_arrow_batch(spark, batch_size: int) -> None:
+    val = str(batch_size)
+    if _ARROW_BATCH_LAST.get(id(spark)) != val:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", val)
+        _ARROW_BATCH_LAST[id(spark)] = val
+
+
 def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str = "application/octet-stream") -> DataFrame:
     """Wrap an arbitrary column as a media row: binary content + typed
     metadata struct (digest, byte size, source URI)."""
@@ -120,7 +133,7 @@ def decode_png_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
             yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch(spark, batch_size)
     return _spread(media).mapInPandas(_decode, PNG_STATS_SCHEMA)
 
 
@@ -168,7 +181,7 @@ def decode_wav_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
             yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch(spark, batch_size)
     return _spread(media).mapInPandas(_decode, WAV_STATS_SCHEMA)
 
 
@@ -321,7 +334,7 @@ def frame_sample(
             )
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch(spark, batch_size)
     return _spread(media).mapInPandas(_frames, FRAME_SCHEMA)
 
 
@@ -348,7 +361,7 @@ def decode_fake(media: DataFrame, batch_size: int = 256) -> DataFrame:
             )
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch(spark, batch_size)
     return _spread(media).mapInPandas(_decode, FEATURE_SCHEMA)
 
 
@@ -418,7 +431,7 @@ def resize_pool(media: DataFrame, k: int = 4, batch_size: int = 256) -> DataFram
             )
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch(spark, batch_size)
     return _spread(media).mapInPandas(_pool, POOL_SCHEMA)
 
 
@@ -462,7 +475,7 @@ def audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch(spark, batch_size)
     return _spread(media).mapInPandas(_feat, AUDIO_FEATURES_SCHEMA)
 
 
@@ -506,7 +519,7 @@ def image_features(media: DataFrame, threshold: int = 32, batch_size: int = 256)
             yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch(spark, batch_size)
     return _spread(media).mapInPandas(_feat, IMAGE_FEATURES_SCHEMA)
 
 
@@ -573,7 +586,7 @@ def image_dhash(media: DataFrame, batch_size: int = 256) -> DataFrame:
             yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch(spark, batch_size)
     return _spread(media).mapInPandas(_hash, DHASH_SCHEMA)
 
 
@@ -622,5 +635,5 @@ def audio_fingerprint(media: DataFrame, frame: int = 8, batch_size: int = 256) -
             yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch(spark, batch_size)
     return _spread(media).mapInPandas(_fp, AUDIO_FP_SCHEMA)

@@ -396,50 +396,65 @@ def duplicate_spans(
     Output: (id_col, n_tokens, n_spans, dup_tokens, dup_frac) for EVERY
     input document (zero-filled when nothing repeats).
     """
-    ws = words(F.lower(F.col(text_col)))
-    base = docs.select(F.col(id_col).alias("__id"), ws.alias("__ws"))
-    hits = base.select(
-        "__id",
-        F.posexplode(word_ngrams_arr(F.col("__ws"), k)).alias("pos", "gram"),
-    )
-    dup = hits.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
-    dh = hits.join(dup.select("gram"), "gram").select("__id", "pos")
-    spans = _merge_hit_spans(dh, k)
-    # zero-fill without a join: union the (id, n_tokens) base rows with
-    # the span rows and fold in ONE hash aggregate — no SMJ sort, and
-    # the output comes back hash-partitioned on the doc id
-    merged = base.select(
-        "__id",
-        F.size("__ws").cast("long").alias("n_tokens"),
-        F.lit(0).cast("long").alias("one_span"),
-        F.lit(0).cast("long").alias("span_toks"),
-    ).unionByName(
-        spans.select(
-            "__id",
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(1).cast("long").alias("one_span"),
-            (F.col("e") - F.col("s") + 1).cast("long").alias("span_toks"),
+    from ..functions.textstats import word_ngrams_arr_expr, words_expr
+
+    ws = words_expr(f"lower(`{text_col}`)")
+    grams = word_ngrams_arr_expr("__ws", k)
+    # ONE spark.sql parse for the whole pipeline (same plan as the
+    # equivalent DataFrame chain; avoids ~10 eager per-node analyses of
+    # pure driver latency). Shapes preserved: hash agg on the gram key,
+    # gram-key join-back, two DOC-KEYED windows, and the zero-fill via
+    # UNION ALL + one hash aggregate (no SMJ sort, output comes back
+    # hash-partitioned on the doc id).
+    return docs.sparkSession.sql(
+        f"""
+        WITH base AS (
+          SELECT `{id_col}` AS __id, {ws} AS __ws FROM {{docs}}
+        ),
+        hits AS (
+          SELECT __id, pos, gram
+          FROM base LATERAL VIEW posexplode({grams}) AS pos, gram
+        ),
+        dup AS (SELECT gram FROM hits GROUP BY gram HAVING COUNT(*) >= 2),
+        dh AS (SELECT h.__id, h.pos FROM hits h JOIN dup d ON h.gram = d.gram),
+        marked AS (
+          SELECT __id, pos,
+                 CASE WHEN MAX(pos + {k - 1}) OVER w_prev IS NULL
+                        OR pos > MAX(pos + {k - 1}) OVER w_prev + 1
+                      THEN 1 ELSE 0 END AS is_new
+          FROM dh
+          WINDOW w_prev AS (PARTITION BY __id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        spans AS (
+          SELECT __id, span_id, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
+          FROM (SELECT __id, pos,
+                       SUM(is_new) OVER (PARTITION BY __id ORDER BY pos
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS span_id
+                FROM marked)
+          GROUP BY __id, span_id
+        ),
+        merged AS (
+          SELECT __id, CAST(size(__ws) AS BIGINT) AS n_tokens,
+                 CAST(0 AS BIGINT) AS one_span, CAST(0 AS BIGINT) AS span_toks
+          FROM base
+          UNION ALL
+          SELECT __id, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                 CAST(e - s + 1 AS BIGINT)
+          FROM spans
         )
-    )
-    return (
-        merged.groupBy("__id")
-        .agg(
-            F.max("n_tokens").alias("n_tokens"),
-            F.sum("one_span").alias("n_spans"),
-            F.sum("span_toks").alias("dup_tokens"),
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            "n_tokens",
-            F.col("n_spans").cast("long").alias("n_spans"),
-            F.col("dup_tokens").cast("long").alias("dup_tokens"),
-            F.when(
-                F.col("n_tokens") > 0,
-                F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("dup_frac"),
-        )
+        SELECT __id AS `{id_col}`,
+               MAX(n_tokens) AS n_tokens,
+               CAST(SUM(one_span) AS BIGINT) AS n_spans,
+               CAST(SUM(span_toks) AS BIGINT) AS dup_tokens,
+               CASE WHEN MAX(n_tokens) > 0
+                    THEN CAST(SUM(span_toks) AS DOUBLE)
+                         / CAST(MAX(n_tokens) AS DOUBLE)
+                    ELSE 0.0 END AS dup_frac
+        FROM merged GROUP BY __id
+        """,
+        docs=docs,
     )
 
 

@@ -2283,26 +2283,35 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # 2.2x on this query). The verify side (grams) is pair-candidate
     # bounded at production scale (runs post-LSH on the candidate doc
     # set); a full-corpus verify would switch to shuffle joins.
-    grams = docs.select(
-        F.col("doc_id"),
-        F.array_distinct(textstats.word_ngrams("text", 3)).alias("g"),
-    )
-    j1 = pairs.join(
-        F.broadcast(grams), F.col("id_a") == F.col("doc_id")
-    ).select("id_a", "id_b", F.col("g").alias("ga"))
-    scored = (
-        j1.join(F.broadcast(grams), F.col("id_b") == F.col("doc_id"))
-        .select("id_a", "id_b", "ga", F.col("g").alias("gb"))
-        .withColumn("inter", F.size(F.array_intersect(F.col("ga"), F.col("gb"))))
-        .withColumn("union_n", F.size("ga") + F.size("gb") - F.col("inter"))
-    )
     # threshold 0.3 as exact integer cross-multiplication; counts cast to
-    # long to match DuckDB's len() (BIGINT) dtype-for-dtype
-    return scored.filter(F.col("inter") * 10 >= F.col("union_n") * 3).select(
-        "id_a",
-        "id_b",
-        F.col("inter").cast("long").alias("inter"),
-        F.col("union_n").cast("long").alias("union_n"),
+    # long to match DuckDB's len() (BIGINT) dtype-for-dtype. The verify
+    # stage assembles as ONE spark.sql parse (same plan: both sides
+    # BROADCAST the identical gram subplan → ReuseExchange dedupes it)
+    return spark.sql(
+        f"""
+        WITH grams AS (
+          SELECT doc_id,
+                 array_distinct({textstats.word_ngrams_expr('`text`', 3)}) AS g
+          FROM {{docs}}
+        ),
+        scored AS (
+          SELECT /*+ BROADCAST(ga), BROADCAST(gb) */
+                 p.id_a, p.id_b,
+                 size(array_intersect(ga.g, gb.g)) AS inter,
+                 size(ga.g) + size(gb.g)
+                   - size(array_intersect(ga.g, gb.g)) AS union_n
+          FROM {{pairs}} p
+          JOIN grams ga ON ga.doc_id = p.id_a
+          JOIN grams gb ON gb.doc_id = p.id_b
+        )
+        SELECT id_a, id_b,
+               CAST(inter AS BIGINT) AS inter,
+               CAST(union_n AS BIGINT) AS union_n
+        FROM scored
+        WHERE inter * 10 >= union_n * 3
+        """,
+        docs=docs,
+        pairs=pairs,
     )
 
 
