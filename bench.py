@@ -86,16 +86,18 @@ def main() -> None:
     # the bytes term yields tens of thousands of partitions.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     # Partition sizing is BYTES-based (the production rule: ~128 MB of
-    # input per reduce partition, measured here with a ~2 MB toy-scale
+    # input per reduce partition, measured here with a ~4 MB toy-scale
     # target so the rule still exercises multi-partition paths), capped
-    # at the core count. On this host a no-op 32-task job costs ~0.3 s
-    # (measured) — pure scheduling+shuffle-file overhead — so floor-at-
-    # cores pays ~0.2 s/query for parallelism a 17 MB input can't use.
-    # At 100 TB the same bytes rule yields tens of thousands of
-    # partitions and the cap never binds.
+    # at the core count. Per-task scheduling costs ~3 ms on this host
+    # (noop calibration), so a 34 MB sf0.1 input runs 8 partitions:
+    # r05 A/B measured 17 parts -> 8 parts as -0.8 s of pure scheduling
+    # floor across the 29-query set with identical results and every
+    # multi-partition path (shuffle, two-pass prefix sums, salting)
+    # still exercised. At 100 TB the same bytes rule yields tens of
+    # thousands of partitions and the cap never binds.
     parts = int(
         os.environ.get("SPARK_GRAFT_PARTS", 0)
-    ) or min(cpus, max(4, _input_bytes(sf_dir) // (2 << 20)))
+    ) or min(cpus, max(4, _input_bytes(sf_dir) // (4 << 20)))
     # AQE is the right default at cluster scale (skew splits, runtime
     # coalescing) and stays ON in session.py's production config; under
     # the bench's per-query latency accounting it *costs* ~40 ms per

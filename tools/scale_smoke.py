@@ -151,6 +151,39 @@ def partition_profile(df):
     }
 
 
+def run_curate_profile(spark, sf_dir: str) -> None:
+    """VERDICT r04 item 7: the composed curation pipeline end-to-end at
+    scale, with per-stage wall + casualty accounting — catches
+    cross-stage re-computation that per-gate profiling can't see."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.prefixsum import release_pins
+    from ubdc_airbnb_spark.plans.curation import run_curation
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    t0 = time.perf_counter()
+    res = run_curation(
+        spark,
+        docs,
+        eval_docs=eval_docs,
+        min_tokens=10,
+        min_quality=0.3,
+        max_per_source=10**9,
+    )
+    n_out = res.corpus.count()
+    total = round(time.perf_counter() - t0, 2)
+    release_pins()
+    print(json.dumps({
+        "query": "curate_e2e",
+        "sec": total,
+        "rows_out": n_out,
+        "report": res.report,
+        "stage_seconds": res.stage_seconds,
+    }))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -159,6 +192,11 @@ def main() -> int:
     ap.add_argument("--skew-factor", type=float, default=4.0)
     ap.add_argument("--min-rows", type=int, default=10_000,
                     help="outputs smaller than this skip the skew check")
+    ap.add_argument("--queries", nargs="*", default=None,
+                    help="run only these CHECK entries (sfN growth runs)")
+    ap.add_argument("--curate", action="store_true",
+                    help="also profile the composed curation pipeline "
+                         "end-to-end with per-stage timings")
     args = ap.parse_args()
 
     replicate(args.src, args.out, args.factor)
@@ -189,7 +227,7 @@ def main() -> int:
     spark = get_spark("scale-smoke", extra_conf=extra_conf)
     specs = {s.name: s for s in q_mod.registry()}
     bad = []
-    for name in CHECK:
+    for name in (args.queries if args.queries else CHECK):
         t0 = time.perf_counter()
         df = specs[name].spark(spark, args.out)
         prof = partition_profile(df)
@@ -207,6 +245,8 @@ def main() -> int:
         prefixsum.release_pins()  # per-query pin hygiene, as in the gate
         if skewed:
             bad.append(name)
+    if args.curate:
+        run_curate_profile(spark, args.out)
     print(json.dumps({"verdict": "FAIL" if bad else "PASS", "skewed": bad}))
     return 1 if bad else 0
 

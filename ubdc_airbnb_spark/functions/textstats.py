@@ -156,13 +156,41 @@ def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: long enough, low punctuation,
     some stopwords, sane mean word length. Deterministic rational
     arithmetic (int/int divisions) so any engine reproduces it."""
-    c = _c(col)
+    if isinstance(col, str):
+        return F.expr(quality_score_expr(f"`{col}`"))
+    c = col
     len_ok = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
     punct_pen = F.lit(1.0) - F.least(punct_ratio(c) * F.lit(5.0), F.lit(1.0))
     stop_ok = F.least(stopword_ratio(c) * F.lit(10.0), F.lit(1.0))
     mwl = mean_word_length(c)
     mwl_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     return (len_ok + punct_pen + stop_ok + mwl_ok) / F.lit(4.0)
+
+
+def quality_score_expr(col_sql: str) -> str:
+    """Spark-SQL text twin of :func:`quality_score` (single-parse; all
+    numeric literals carry the ``D`` double suffix so the arithmetic is
+    IEEE-double exactly like the Column form, never DECIMAL)."""
+    c = col_sql
+    ws = words_expr(c)
+    stop = ", ".join(f"'{s}'" for s in LANG_MARKERS["en"])
+    len_ok = f"least(CAST(length({c}) AS DOUBLE) / 200.0D, 1.0D)"
+    punct_ratio_sql = (
+        f"(CAST(length(regexp_replace({c}, '[A-Za-z0-9\\\\s]', '')) AS DOUBLE)"
+        f" / CAST(greatest(length({c}), 1) AS DOUBLE))"
+    )
+    punct_pen = f"(1.0D - least({punct_ratio_sql} * 5.0D, 1.0D))"
+    stop_ratio = (
+        f"(CAST(size(filter({ws}, w -> array_contains(array({stop}), lower(w)))) AS DOUBLE)"
+        f" / CAST(greatest(size({ws}), 1) AS DOUBLE))"
+    )
+    stop_ok = f"least({stop_ratio} * 10.0D, 1.0D)"
+    mwl = (
+        f"(CAST(aggregate({ws}, CAST(0 AS BIGINT), (acc, w) -> acc + length(w)) AS DOUBLE)"
+        f" / CAST(greatest(size({ws}), 1) AS DOUBLE))"
+    )
+    mwl_ok = f"(CASE WHEN {mwl} >= 3.0D AND {mwl} <= 10.0D THEN 1.0D ELSE 0.5D END)"
+    return f"(({len_ok} + {punct_pen} + {stop_ok} + {mwl_ok}) / 4.0D)"
 
 
 def lang_marker_count(col: Column | str, lang: str) -> Column:

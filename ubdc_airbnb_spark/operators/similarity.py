@@ -45,6 +45,37 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_expr(a_sql: str, b_sql: str) -> str:
+    """Spark-SQL text twin of :func:`dot` (single-parse construction;
+    double literals carry the D suffix so arithmetic is IEEE-double
+    exactly like the Column form)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a_sql: str) -> str:
+    """Spark-SQL text twin of :func:`norm`."""
+    return (
+        f"sqrt(aggregate(transform({a_sql}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def cosine_expr(a_sql: str, b_sql: str) -> str:
+    """Spark-SQL text twin of :func:`cosine` — one parse instead of ~90
+    py4j round trips per use (three HOF folds built element-wise)."""
+    return f"({dot_expr(a_sql, b_sql)} / ({norm_expr(a_sql)} * {norm_expr(b_sql)}))"
+
+
+def cosine_cols(a_name: str, b_name: str) -> Column:
+    """:func:`cosine` over two NAMED columns via the single-parse path."""
+    return F.expr(cosine_expr(f"`{a_name}`", f"`{b_name}`"))
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -66,7 +97,7 @@ def brute_force_topk(
     )
     scored = (
         v.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", cosine_cols("q_vec", "n_vec"))
     )
     from pyspark.sql import Window
 
@@ -90,7 +121,7 @@ def threshold_pairs(
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
         a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cos", cosine_cols("vec_a", "vec_b"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
@@ -108,7 +139,7 @@ def assign_ivf_buckets(
     broadcast join + per-vector argmax. Centroid count is small (√n rule
     of thumb), so the broadcast never shuffles the corpus."""
     scored = vectors.join(broadcast(centroids)).withColumn(
-        "cos", cosine(F.col(vec_col), F.col(centroid_vec))
+        "cos", cosine_cols(vec_col, centroid_vec)
     )
     best = first_row_per_key(
         scored,
@@ -229,7 +260,7 @@ def ivf_threshold_pairs(
         .dropDuplicates(["id_a", "id_b"])  # pairs sharing >1 probe bucket
     )
     return (
-        cand.filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        cand.filter(cosine_cols("vec_a", "vec_b") >= threshold)
         .select("id_a", "id_b")
     )
 
@@ -320,7 +351,7 @@ def rp_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        cand.filter(cosine_cols("vec_a", "vec_b") >= threshold)
         .select("id_a", "id_b")
     )
 
@@ -393,7 +424,7 @@ def kmeans_inertia(
     """Sum of (1 - cosine-to-assigned-centroid) — the objective the Lloyd
     loop should not increase (asserted in tests)."""
     scored = vectors.join(broadcast(centroids)).withColumn(
-        "cos", cosine(F.col(vec_col), F.col("centroid_vec"))
+        "cos", cosine_cols(vec_col, "centroid_vec")
     )
     best = first_row_per_key(scored, [id_col], [F.col("cos").desc(), F.col("centroid_id").asc()])
     return best.agg(F.sum(F.lit(1.0) - F.col("cos"))).collect()[0][0]
@@ -433,7 +464,7 @@ def ivf_topk(
     scored = (
         v.join(broadcast(q_bucketed), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", cosine_cols("q_vec", "n_vec"))
     )
     from pyspark.sql import Window
 
@@ -638,7 +669,7 @@ def pq_rerank_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__nv")).alias("cos"),
+            cosine_cols("__qv", "__nv").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
@@ -701,7 +732,7 @@ def rp_lsh_query_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
-        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        cand.withColumn("cos", cosine_cols("qvec", "cvec"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
@@ -728,7 +759,7 @@ def embedding_outliers(
 
     Output: (vec_id, centroid_id, cos, outlier)."""
     scored = vectors.join(broadcast(centroids)).withColumn(
-        "cos", cosine(F.col(vec_col), F.col("centroid_vec"))
+        "cos", cosine_cols(vec_col, "centroid_vec")
     )
     best = first_row_per_key(
         scored, [id_col], [F.col("cos").desc(), F.col("centroid_id").asc()]

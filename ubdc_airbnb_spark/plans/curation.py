@@ -46,10 +46,14 @@ from ..operators.curation import line_quality_filter, ngram_overlap
 from ..operators.graph import connected_components
 
 
+from dataclasses import field
+
+
 @dataclass
 class CurationResult:
     corpus: DataFrame          # surviving docs + split label
     report: dict[str, int]     # stage -> surviving doc count
+    stage_seconds: dict[str, float] = field(default_factory=dict)
 
 
 def run_curation(
@@ -70,12 +74,47 @@ def run_curation(
     pack_budget: int | None = None,
     line_filter: bool = False,
     max_per_source: int | None = None,
+    pin_stages: bool = True,
 ) -> CurationResult:
     """Run the full curation pass (module docstring). ``eval_docs``
     (id, text) enables stage 5; ``url_col`` enables stage 2. The
     report counts survivors after each stage (a driver-side count per
-    stage — bounded, and exactly what the run log needs)."""
-    report: dict[str, int] = {"raw": docs.count()}
+    stage — bounded, and exactly what the run log needs).
+
+    ``pin_stages`` (default on) persists each stage's survivor frame
+    (MEMORY_AND_DISK, spills past memory) and drops the previous
+    stage's pin once the next stage materializes — without it, every
+    per-stage count (and the final corpus evaluation) RE-RUNS all prior
+    stages, turning the linear funnel quadratic in stage count. At most
+    two stage frames are pinned at any moment; the production
+    alternative for a cluster that can't cache the survivor set is a
+    parquet checkpoint per stage, same lifecycle."""
+    import time as _time
+
+    from .. operators.prefixsum import _pin
+
+    report: dict[str, int] = {}
+    stage_seconds: dict[str, float] = {}
+    _prev: list[DataFrame] = []
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        t0 = _time.perf_counter()
+        if pin_stages:
+            df = _pin(df)
+        report[name] = df.count()
+        stage_seconds[name] = round(_time.perf_counter() - t0, 3)
+        if pin_stages:
+            while _prev:
+                try:
+                    _prev.pop().unpersist(blocking=False)
+                except Exception:
+                    pass
+            _prev.append(df)
+        return df
+
+    t0 = _time.perf_counter()
+    report["raw"] = docs.count()
+    stage_seconds["raw"] = round(_time.perf_counter() - t0, 3)
 
     # 0. (optional) C4 line-level cleaning — rewrite text to surviving
     # lines BEFORE any doc-level gate judges it; emptied docs die here
@@ -90,7 +129,7 @@ def run_curation(
                 id_col,
             )
         )
-        report["line_filter"] = docs.count()
+        docs = _materialize(docs, "line_filter")
 
     # 1. quality funnel — sequential AND of the three gates
     n_tokens = textstats.whitespace_token_count(text_col)
@@ -98,7 +137,7 @@ def run_curation(
     if lang is not None:
         kept = kept.filter(F.col("lang") == lang)
     kept = kept.filter(textstats.quality_score(text_col) >= min_quality)
-    report["quality_funnel"] = kept.count()
+    kept = _materialize(kept, "quality_funnel")
 
     # 2. URL-level dedup (cheapest dedup first)
     if url_col is not None:
@@ -108,12 +147,12 @@ def run_curation(
             .agg(F.min(id_col).alias(id_col))
         )
         kept = kept.join(first.select(id_col), id_col, "left_semi")
-        report["url_dedup"] = kept.count()
+        kept = _materialize(kept, "url_dedup")
 
     # 2.5 (optional) domain balancing — hard cap per source
     if max_per_source is not None and "source" in kept.columns:
         kept = sampling.cap_per_group(kept, "source", id_col, max_per_source)
-        report["source_cap"] = kept.count()
+        kept = _materialize(kept, "source_cap")
 
     # 3. exact dedup — digest keep-first
     digest_first = (
@@ -122,7 +161,7 @@ def run_curation(
         .agg(F.min(id_col).alias(id_col))
     )
     kept = kept.join(digest_first.select(id_col), id_col, "left_semi")
-    report["exact_dedup"] = kept.count()
+    kept = _materialize(kept, "exact_dedup")
 
     # 4. near-dup dedup — MinHash+LSH -> components -> keep component min
     sigs = dedup.minhash_signatures(
@@ -134,7 +173,7 @@ def run_curation(
         F.col("id").alias(id_col)
     )
     kept = kept.join(keepers, id_col, "left_semi")
-    report["neardup_dedup"] = kept.count()
+    kept = _materialize(kept, "neardup_dedup")
 
     # 5. decontamination — drop docs overlapping the eval set
     if eval_docs is not None:
@@ -143,7 +182,7 @@ def run_curation(
             F.col("n_overlap") >= decontam_min_overlap
         ).select(id_col).distinct()
         kept = kept.join(contaminated, id_col, "left_anti")
-        report["decontaminated"] = kept.count()
+        kept = _materialize(kept, "decontaminated")
 
     # 6. deterministic split
     corpus = sampling.split(kept, F.col(id_col).cast("string"))
@@ -156,7 +195,7 @@ def run_curation(
             weight = F.when(cond, wt) if weight is None else weight.when(cond, wt)
         weight = weight.otherwise(F.lit(1.0))
         corpus = sampling.upsample(corpus, weight, F.col(id_col).cast("string"))
-        report["mixed"] = corpus.count()
+        corpus = _materialize(corpus, "mixed")
 
     # 8. (optional) sequence packing — pack_id/offset for training shards
     if pack_budget is not None:
@@ -182,4 +221,4 @@ def run_curation(
         )
         report["n_packs"] = corpus.select("pack_id").distinct().count()
 
-    return CurationResult(corpus, report)
+    return CurationResult(corpus, report, stage_seconds)
