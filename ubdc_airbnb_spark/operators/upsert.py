@@ -24,7 +24,13 @@ def upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFra
     (ref get_or_create/update_or_create sites: workunits.py:145,
     managers.py:241-264,356-363)."""
     keys = list(keys)
-    kept_target = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    # MERGE hint: source is same-scale as target by contract (a batch
+    # merging into a table), and Catalyst's post-distinct size estimate
+    # is unreliably small — without the hint the key set gets broadcast
+    # (driver-OOM at corpus scale, caught by the 100x plan audit).
+    kept_target = target.join(
+        source.select(*keys).distinct().hint("merge"), keys, "left_anti"
+    )
     return source.select(*target.columns).unionByName(kept_target)
 
 
@@ -32,7 +38,10 @@ def insert_if_absent(target: DataFrame, source: DataFrame, keys: Sequence[str]) 
     """J10 (get_or_create flavor): WHEN NOT MATCHED INSERT only — existing
     target rows win (placeholder-user semantics, ref managers.py:241-264)."""
     keys = list(keys)
-    new_rows = source.join(target.select(*keys).distinct(), keys, "left_anti")
+    # same-scale contract as upsert(): never broadcast the key set
+    new_rows = source.join(
+        target.select(*keys).distinct().hint("merge"), keys, "left_anti"
+    )
     return target.unionByName(new_rows.select(*target.columns))
 
 

@@ -485,8 +485,10 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("qty_dec") > 150)
         .select("l_orderkey", F.col("qty_dec").cast("double").alias("qty_sum"))
     )
+    # MERGE hint, not broadcast: the HAVING-filtered key set is linear in
+    # orders (100x plan audit caught the old explicit broadcast)
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big.hint("merge"), orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
@@ -974,7 +976,11 @@ def j12_user_state_machine(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.concat(F.lit("real-"), F.col("user_id").cast("string")).alias("first_name"),
     )
-    merged = user_state_merge(users, fetched.select("user_id"), profiles)
+    # this refresh is corpus-wide (every customer), not batch-sized —
+    # override the operator's broadcast-when-small default with MERGE
+    merged = user_state_merge(
+        users, fetched.select("user_id").hint("merge"), profiles.hint("merge")
+    )
     return merged.select(
         "user_id",
         "first_name",
@@ -1385,7 +1391,10 @@ def t2_inflight_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    return joins.anti_join(ev.select("user_id").distinct(), engaged, "user_id")
+    # both sides are user-set-scale aggregates; never broadcast either
+    return joins.anti_join(
+        ev.select("user_id").distinct(), engaged.hint("merge"), "user_id"
+    )
 
 
 @q(
@@ -2178,7 +2187,9 @@ def ns_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
     keep = dedup.exact_duplicates(docs, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
     )
-    return joins.semi_join(docs, keep, "doc_id").select("doc_id", "lang")
+    # the keeper set is corpus-sized (one id per distinct digest) —
+    # MERGE, never broadcast (100x plan audit)
+    return joins.semi_join(docs, keep.hint("merge"), "doc_id").select("doc_id", "lang")
 
 
 def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4, src: str = "documents") -> str:
