@@ -6,9 +6,29 @@ duplicate_spans (Catalyst's post-aggregate size estimate is tiny, so a
 corpus-sized gram/term dictionary sails under the broadcast threshold
 and materializes on the driver).
 
-Flagged != guilty: bounded aggregates (histograms, centroids, params,
-top-k) are legitimately broadcastable. Review each hit; fix real ones
-with an explicit MERGE/SHUFFLE_HASH hint.
+Flagged != guilty — r05 triage taxonomy (all 45 residual sf0.1 flags
+classified):
+
+1. GUILTY (fixed with MERGE hints, r05): build side is an aggregate
+   keyed by a corpus-cardinality key (gram/term/digest/doc/user/node/
+   partkey/suppkey) — its real size grows linearly with the fact table
+   while its estimate stays tiny. Fixed sites: ngram_novelty,
+   duplicate_spans, upsert/insert_if_absent, q17/q18/q20 key sets,
+   t2/j12/ns_dedup_apply, curation keeper sets, tfidf (top_terms df,
+   cosine df-filter + norms, trending prev, bm25 doclen), lm (bigram/
+   unigram model joins x3), containment sizes, connected-components
+   label joins, pagerank rank/outdeg joins, funnel step tables,
+   cohort first-event table, dupe_rate digest groups.
+2. BENIGN — bounded by construction: scalars (totals, averages, max),
+   histograms (fixed bucket count), centroids (k), sketches (w x d),
+   per-source/per-period tables (group cardinality), top-k outputs,
+   eval-set-derived tables (decontamination contract), bloom words
+   (m_bits/32), the 2500-doc lsh_recall sample.
+3. BENIGN — accurate stats: the build side is an InMemoryTableScan of
+   a pinned relation; Spark knows its EXACT materialized size, so the
+   broadcast decision flips to SMJ on its own when the data grows
+   (unlike class 1, where the estimate is structurally wrong at every
+   scale).
 
 Usage: python tools/plan_audit.py <sf_dir> [name ...]
 """

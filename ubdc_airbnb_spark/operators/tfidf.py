@@ -4,8 +4,9 @@ analysis): per-document top terms by tf·idf, all set-based.
 Pipeline: explode words → (doc, term) tf counts → term document
 frequencies (one groupBy on term — the only corpus-wide aggregate,
 map-side combinable) → smooth idf = ln((N+1)/(df+1)) + 1 (sklearn's
-formula) → per-doc rank window. The term-df side is vocabulary-sized
-and broadcasts; the big side shuffles once on (doc, term).
+formula) → per-doc rank window. The term-df side is vocabulary-sized —
+billions of distinct tokens on web text, so it sort-merge-joins (never
+broadcasts); both sides shuffle once on the term key.
 
 tf·idf is rounded to 6 decimals at the boundary: ln() is the only libm
 touchpoint and engines may differ in the last ulp.
@@ -52,7 +53,9 @@ def top_terms(
     terms = doc_terms(df, id_col, text_col)
     n_docs = df.select(id_col).distinct().count()
     dfreq = term_doc_freq(terms, id_col)
-    scored = terms.join(broadcast(dfreq), "term").withColumn(
+    # the df table is VOCAB-sized (billions of distinct tokens on web
+    # text) — MERGE, never broadcast (100x plan audit)
+    scored = terms.join(dfreq.hint("merge"), "term").withColumn(
         "tfidf",
         F.round(
             F.col("tf").cast("double")
@@ -179,7 +182,8 @@ def cosine_similar_pairs(
         dfreq = term_doc_freq(terms, id_col)
         terms = _pin(
             terms.join(
-                broadcast(dfreq.filter(F.col("df") <= max_df).select("term")), "term"
+                dfreq.filter(F.col("df") <= max_df).select("term").hint("merge"),
+                "term",
             )
         )
     norms = terms.groupBy(F.col(id_col).alias("id")).agg(
@@ -199,8 +203,8 @@ def cosine_similar_pairs(
         F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))
     )
     return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
+        dots.join(na.hint("merge"), "id_a")
+        .join(nb.hint("merge"), "id_b")
         .withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "dot", "cos")
@@ -247,7 +251,7 @@ def trending_terms(
     from pyspark.sql import Window
 
     j = (
-        terms.join(prev, ["period", "term"], "left")
+        terms.join(prev.hint("merge"), ["period", "term"], "left")
         .withColumn("prev_cnt", F.coalesce(F.col("prev_cnt"), F.lit(0)))
         .filter(F.col("cnt") >= min_count)
         .withColumn(
@@ -318,7 +322,7 @@ def _bm25_rank(
 
     scored = (
         qterms.join(broadcast(dfreq), "term")
-        .join(dl, id_col)
+        .join(dl.hint("merge"), id_col)
         .join(broadcast(tot))
     )
     avgdl = F.col("toktot").cast("double") / F.col("n_docs").cast("double")

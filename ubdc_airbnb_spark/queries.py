@@ -345,9 +345,12 @@ def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     avg_q = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty")
     )
+    # part subset and per-partkey avg agg are both linear in part at
+    # scale: no explicit broadcast (planner decides from scan stats),
+    # MERGE on the aggregate whose size estimate is unreliable
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(avg_q, F.col("avg_partkey") == F.col("p_partkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_q.hint("merge"), F.col("avg_partkey") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             (_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
@@ -3631,7 +3634,7 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
         "s_suppkey"
     )
     v = (
-        li.join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        li.join(supp_n, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val"))
     )
@@ -3674,10 +3677,14 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("total_rev")
     )
     best = revenue.agg(F.max("total_rev").alias("max_rev"))
+    top = revenue.crossJoin(F.broadcast(best)).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    # the max-filtered side is ~1 row; supplier is a SCALING dim —
+    # broadcast the small side, never the table
     return (
-        revenue.crossJoin(F.broadcast(best))
-        .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        F.broadcast(top)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
     )
 
@@ -3759,7 +3766,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("l_partkey")
     dominant = (
         sq.withColumn("total", F.sum("qty").over(w))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .filter(F.col("qty").cast("double") > F.lit(0.3) * F.col("total").cast("double"))
         .select("l_suppkey")
         .distinct()
@@ -3767,7 +3774,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(dominant), supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(dominant.hint("merge"), supp.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", "n_name")
     )
 
@@ -5979,8 +5986,9 @@ def ns_dupe_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
         F.col("digest").alias("dg"), "keep_id", F.col("n_docs").alias("n")
     )
     is_dupe = ((F.col("n") > 1) & (F.col("doc_id") != F.col("keep_id"))).cast("long")
+    # the digest-group table is corpus-sized — MERGE, never broadcast
     return (
-        d.join(g, "dg")
+        d.join(g.hint("merge"), "dg")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
