@@ -9,7 +9,7 @@ and materializes on the driver).
 Flagged != guilty — r05 triage taxonomy (all 45 residual sf0.1 flags
 classified):
 
-1. GUILTY (fixed with MERGE hints, r05): build side is an aggregate
+1. GUILTY (fixed with SHUFFLE_HASH hints, r05): build side is an aggregate
    keyed by a corpus-cardinality key (gram/term/digest/doc/user/node/
    partkey/suppkey) — its real size grows linearly with the fact table
    while its estimate stays tiny. Fixed sites: ngram_novelty,

@@ -216,13 +216,14 @@ def ngram_novelty(
     on the gram text electing min(id) — map-side partial MIN, uniform
     high-cardinality key — → equi-join back on the gram → per-doc count
     ratio. Two shuffles on hash keys, no window, no broadcast of
-    anything corpus-sized. The join-back carries an explicit MERGE hint:
-    the first-occurrence side is as large as the distinct-gram set
-    (corpus-sized), but Catalyst's post-aggregate size estimate is tiny,
-    so without the hint it picks a broadcast join that materializes the
-    whole gram dictionary on the driver — observed as a 3.3 GiB
-    broadcast at the 100x scale smoke. Sort-merge is the correct
-    big-big plan at any scale; at toy scale the extra sort costs ms.
+    anything corpus-sized. The join-back carries an explicit
+    SHUFFLE_HASH hint: the first-occurrence side is as large as the
+    distinct-gram set (corpus-sized), but Catalyst's post-aggregate size
+    estimate is tiny, so unhinted it picks a broadcast join that
+    materializes the whole gram dictionary on the driver — observed as
+    a 3.3 GiB broadcast at the 100x scale smoke. A hash-partitioned
+    join is safe at any scale (build side = grams/partitions narrow
+    rows), and unlike a MERGE hint it pays no sort on either side.
 
     Output: (id_col, n_distinct_grams, n_novel, novelty) — documents
     with fewer than ``ngram`` words are absent (no grams to judge)."""
@@ -234,7 +235,7 @@ def ngram_novelty(
     )
     first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
     return (
-        grams.join(first.hint("merge"), "gram")
+        grams.join(first.hint("shuffle_hash"), "gram")
         .groupBy(F.col("id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_distinct_grams"),
@@ -422,11 +423,13 @@ def duplicate_spans(
           FROM base LATERAL VIEW posexplode({grams}) AS pos, gram
         ),
         dup AS (SELECT gram FROM hits GROUP BY gram HAVING COUNT(*) >= 2),
-        -- MERGE hint: the repeated-gram set is corpus-sized but its
-        -- post-aggregate size ESTIMATE is tiny; without the hint the
-        -- planner broadcasts the gram dictionary (OOM-crashed the 100x
-        -- scale smoke). Sort-merge is the right big-big plan.
-        dh AS (SELECT /*+ MERGE(d) */ h.__id, h.pos
+        -- SHUFFLE_HASH hint: the repeated-gram set is corpus-sized but
+        -- its post-aggregate size ESTIMATE is tiny; unhinted the planner
+        -- broadcasts the gram dictionary (OOM-crashed the 100x scale
+        -- smoke). Hash-partitioned join is the safe big-big plan, and
+        -- hashing the dictionary side skips both sort passes a MERGE
+        -- hint would pay (build side = grams/partitions rows, narrow).
+        dh AS (SELECT /*+ SHUFFLE_HASH(d) */ h.__id, h.pos
                FROM hits h JOIN dup d ON h.gram = d.gram),
         marked AS (
           SELECT __id, pos,

@@ -327,8 +327,8 @@ def ngram_containment_pairs(
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
     num, den = _threshold_ratio(threshold)
     return (
-        inter.join(sa.hint("merge"), "id_a")
-        .join(sb.hint("merge"), "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn("min_n", F.least(F.col("n_a"), F.col("n_b")))
         .filter(F.col("inter") * den >= F.col("min_n") * num)
         .select(

@@ -47,12 +47,12 @@ def funnel(
     for i, step in enumerate(steps[1:], start=1):
         nxt = (
             events.filter(F.col(type_col) == step)
-            .join(cur.select(entity_col, f"t_{i - 1}").hint("merge"), entity_col)
+            .join(cur.select(entity_col, f"t_{i - 1}").hint("shuffle_hash"), entity_col)
             .filter(F.col(ts_col) > F.col(f"t_{i - 1}"))
             .groupBy(entity_col)
             .agg(F.min(ts_col).alias(f"t_{i}"))
         )
-        cur = cur.join(nxt.hint("merge"), entity_col, "left")
+        cur = cur.join(nxt.hint("shuffle_hash"), entity_col, "left")
     reached = sum(
         (F.col(f"t_{i}").isNotNull().cast("long") for i in range(len(steps))),
         F.lit(0).cast("long"),
@@ -91,7 +91,7 @@ def cohort_retention(
     first = ev.groupBy("ent").agg(F.min("period").alias("cohort_period"))
     sizes = first.groupBy("cohort_period").agg(F.count(F.lit(1)).alias("n_cohort"))
     active = (
-        ev.join(first.hint("merge"), "ent")
+        ev.join(first.hint("shuffle_hash"), "ent")
         .select("ent", "cohort_period", (F.col("period") - F.col("cohort_period")).alias("period_offset"))
         .distinct()
         .groupBy("cohort_period", "period_offset")

@@ -49,12 +49,12 @@ def connected_components(
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(labels.hint("merge"), sym["b"] == labels["id"])
+            sym.join(labels.hint("shuffle_hash"), sym["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
         new_labels = (
-            labels.join(nbr_min.hint("merge"), labels["id"] == nbr_min["a"], "left")
+            labels.join(nbr_min.hint("shuffle_hash"), labels["id"] == nbr_min["a"], "left")
             .select(
                 "id",
                 F.least(
@@ -65,7 +65,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o").hint("merge"), "id")
+            .join(labels.alias("o").hint("shuffle_hash"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
@@ -121,8 +121,8 @@ def pagerank(
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks.hint("merge"), e["src"] == ranks["vertex"])
-            .join(outdeg.hint("merge"), "src")
+            e.join(ranks.hint("shuffle_hash"), e["src"] == ranks["vertex"])
+            .join(outdeg.hint("shuffle_hash"), "src")
             .select(
                 F.col("dst").alias("vertex"),
                 F.floor((F.col("rank") / F.col("outdeg")) * F.lit(1e9))
@@ -134,7 +134,7 @@ def pagerank(
         )
         # dangling mass: ranks of vertices with no out-edge, ppb-exact
         dang = (
-            ranks.join(outdeg.hint("merge"), ranks["vertex"] == outdeg["src"], "left_anti")
+            ranks.join(outdeg.hint("shuffle_hash"), ranks["vertex"] == outdeg["src"], "left_anti")
             .agg(
                 F.coalesce(
                     F.sum(F.floor(F.col("rank") * F.lit(1e9)).cast("long")), F.lit(0)
@@ -142,7 +142,7 @@ def pagerank(
             )
         )
         ranks = (
-            verts.join(contribs.hint("merge"), "vertex", "left")
+            verts.join(contribs.hint("shuffle_hash"), "vertex", "left")
             .join(F.broadcast(dang))
             .select(
                 "vertex",

@@ -96,12 +96,14 @@ def score_documents(
         df.select(F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0)).alias("w"))
         .agg(F.countDistinct("w").alias("vsz"))
     )
-    # bigram/unigram model tables are vocab(^2)-sized — MERGE, never
-    # broadcast (100x plan audit); vsz is one scalar row
+    # bigram/unigram model tables are vocab(^2)-sized — SHUFFLE_HASH,
+    # never broadcast (100x plan audit): both sides hash-partition on
+    # the key (scale-safe) and the per-partition model slice builds the
+    # hash map, skipping both sorts; vsz is one scalar row
     scored = (
-        grams.join(bc.hint("merge"), "bigram")
+        grams.join(bc.hint("shuffle_hash"), "bigram")
         .withColumn("w1", F.substring_index("bigram", " ", 1))
-        .join(cc.hint("merge"), "w1")
+        .join(cc.hint("shuffle_hash"), "w1")
         .join(F.broadcast(vsz))
         .withColumn(
             "p",
@@ -166,8 +168,8 @@ def collocations(
         bc.filter(F.col("c12") >= min_count)
         .withColumn("w1", F.substring_index("bigram", " ", 1))
         .withColumn("w2", F.substring_index("bigram", " ", -1))
-        .join(c1.hint("merge"), "w1")
-        .join(c2.hint("merge"), "w2")
+        .join(c1.hint("shuffle_hash"), "w1")
+        .join(c2.hint("shuffle_hash"), "w2")
         .withColumn(
             "lift",
             (F.col("c12") * F.lit(int(n_bigrams))).cast("double")
@@ -285,11 +287,11 @@ def score_documents_interpolated(
         * ((F.col("c2") + F.lit(1)).cast("double") / (F.col("tt") + F.col("vsz")).cast("double"))
     )
     scored = (
-        grams.join(bc.hint("merge"), "bigram")
+        grams.join(bc.hint("shuffle_hash"), "bigram")
         .withColumn("w1", F.substring_index("bigram", " ", 1))
         .withColumn("w2", F.substring_index("bigram", " ", -1))
-        .join(cc.hint("merge"), "w1")
-        .join(uc.withColumnRenamed("w", "w2").hint("merge"), "w2")
+        .join(cc.hint("shuffle_hash"), "w1")
+        .join(uc.withColumnRenamed("w", "w2").hint("shuffle_hash"), "w2")
         .join(F.broadcast(tots))
         .withColumn("p", p)
         .groupBy(F.col("id").alias(id_col))

@@ -5,8 +5,9 @@ Pipeline: explode words → (doc, term) tf counts → term document
 frequencies (one groupBy on term — the only corpus-wide aggregate,
 map-side combinable) → smooth idf = ln((N+1)/(df+1)) + 1 (sklearn's
 formula) → per-doc rank window. The term-df side is vocabulary-sized —
-billions of distinct tokens on web text, so it sort-merge-joins (never
-broadcasts); both sides shuffle once on the term key.
+billions of distinct tokens on web text, so it hash-joins shuffled on
+the term key (never broadcasts); the per-partition vocabulary slice is
+the hash-map build side.
 
 tf·idf is rounded to 6 decimals at the boundary: ln() is the only libm
 touchpoint and engines may differ in the last ulp.
@@ -54,8 +55,9 @@ def top_terms(
     n_docs = df.select(id_col).distinct().count()
     dfreq = term_doc_freq(terms, id_col)
     # the df table is VOCAB-sized (billions of distinct tokens on web
-    # text) — MERGE, never broadcast (100x plan audit)
-    scored = terms.join(dfreq.hint("merge"), "term").withColumn(
+    # text) — SHUFFLE_HASH, never broadcast (100x plan audit); the
+    # vocab partition slice builds the hash map, no sorts
+    scored = terms.join(dfreq.hint("shuffle_hash"), "term").withColumn(
         "tfidf",
         F.round(
             F.col("tf").cast("double")
@@ -182,7 +184,7 @@ def cosine_similar_pairs(
         dfreq = term_doc_freq(terms, id_col)
         terms = _pin(
             terms.join(
-                dfreq.filter(F.col("df") <= max_df).select("term").hint("merge"),
+                dfreq.filter(F.col("df") <= max_df).select("term").hint("shuffle_hash"),
                 "term",
             )
         )
@@ -203,8 +205,8 @@ def cosine_similar_pairs(
         F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))
     )
     return (
-        dots.join(na.hint("merge"), "id_a")
-        .join(nb.hint("merge"), "id_b")
+        dots.join(na.hint("shuffle_hash"), "id_a")
+        .join(nb.hint("shuffle_hash"), "id_b")
         .withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "dot", "cos")
@@ -251,7 +253,7 @@ def trending_terms(
     from pyspark.sql import Window
 
     j = (
-        terms.join(prev.hint("merge"), ["period", "term"], "left")
+        terms.join(prev.hint("shuffle_hash"), ["period", "term"], "left")
         .withColumn("prev_cnt", F.coalesce(F.col("prev_cnt"), F.lit(0)))
         .filter(F.col("cnt") >= min_count)
         .withColumn(
@@ -322,7 +324,7 @@ def _bm25_rank(
 
     scored = (
         qterms.join(broadcast(dfreq), "term")
-        .join(dl.hint("merge"), id_col)
+        .join(dl.hint("shuffle_hash"), id_col)
         .join(broadcast(tot))
     )
     avgdl = F.col("toktot").cast("double") / F.col("n_docs").cast("double")

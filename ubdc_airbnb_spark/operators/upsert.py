@@ -24,12 +24,14 @@ def upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFra
     (ref get_or_create/update_or_create sites: workunits.py:145,
     managers.py:241-264,356-363)."""
     keys = list(keys)
-    # MERGE hint: source is same-scale as target by contract (a batch
-    # merging into a table), and Catalyst's post-distinct size estimate
-    # is unreliably small — without the hint the key set gets broadcast
+    # SHUFFLE_HASH hint: source is same-scale as target by contract (a
+    # batch merging into a table), and Catalyst's post-distinct size
+    # estimate is unreliably small — unhinted the key set gets broadcast
     # (driver-OOM at corpus scale, caught by the 100x plan audit).
+    # Hash-partitioned join keeps that safety; hashing the narrow key
+    # set skips the two sort passes a MERGE hint would add.
     kept_target = target.join(
-        source.select(*keys).distinct().hint("merge"), keys, "left_anti"
+        source.select(*keys).distinct().hint("shuffle_hash"), keys, "left_anti"
     )
     return source.select(*target.columns).unionByName(kept_target)
 
@@ -40,7 +42,7 @@ def insert_if_absent(target: DataFrame, source: DataFrame, keys: Sequence[str]) 
     keys = list(keys)
     # same-scale contract as upsert(): never broadcast the key set
     new_rows = source.join(
-        target.select(*keys).distinct().hint("merge"), keys, "left_anti"
+        target.select(*keys).distinct().hint("shuffle_hash"), keys, "left_anti"
     )
     return target.unionByName(new_rows.select(*target.columns))
 

@@ -146,9 +146,10 @@ def run_curation(
             .groupBy("__curl")
             .agg(F.min(id_col).alias(id_col))
         )
-        # keeper sets are survivor-scale: MERGE, never broadcast (the
-        # post-aggregate size estimate is unreliably small — 100x audit)
-        kept = kept.join(first.select(id_col).hint("merge"), id_col, "left_semi")
+        # keeper sets are survivor-scale: SHUFFLE_HASH, never broadcast
+        # (the post-aggregate size estimate is unreliably small — 100x
+        # audit); hashing the keeper side skips both sort passes
+        kept = kept.join(first.select(id_col).hint("shuffle_hash"), id_col, "left_semi")
         kept = _materialize(kept, "url_dedup")
 
     # 2.5 (optional) domain balancing — hard cap per source
@@ -162,7 +163,7 @@ def run_curation(
         .groupBy("__d")
         .agg(F.min(id_col).alias(id_col))
     )
-    kept = kept.join(digest_first.select(id_col).hint("merge"), id_col, "left_semi")
+    kept = kept.join(digest_first.select(id_col).hint("shuffle_hash"), id_col, "left_semi")
     kept = _materialize(kept, "exact_dedup")
 
     # 4. near-dup dedup — MinHash+LSH -> components -> keep component min
@@ -174,7 +175,7 @@ def run_curation(
     keepers = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    kept = kept.join(keepers.hint("merge"), id_col, "left_semi")
+    kept = kept.join(keepers.hint("shuffle_hash"), id_col, "left_semi")
     kept = _materialize(kept, "neardup_dedup")
 
     # 5. decontamination — drop docs overlapping the eval set

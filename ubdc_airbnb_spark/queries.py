@@ -350,7 +350,7 @@ def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     # MERGE on the aggregate whose size estimate is unreliable
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(avg_q.hint("merge"), F.col("avg_partkey") == F.col("p_partkey"))
+        .join(avg_q.hint("shuffle_hash"), F.col("avg_partkey") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             (_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
@@ -488,10 +488,11 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("qty_dec") > 150)
         .select("l_orderkey", F.col("qty_dec").cast("double").alias("qty_sum"))
     )
-    # MERGE hint, not broadcast: the HAVING-filtered key set is linear in
-    # orders (100x plan audit caught the old explicit broadcast)
+    # SHUFFLE_HASH, not broadcast: the HAVING-filtered key set is linear
+    # in orders (100x plan audit caught the old explicit broadcast);
+    # hash-partitioned join with the key set as build side, no sorts
     return (
-        orders.join(big.hint("merge"), orders.o_orderkey == big.l_orderkey)
+        orders.join(big.hint("shuffle_hash"), orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
@@ -982,7 +983,7 @@ def j12_user_state_machine(spark: SparkSession, sf: str) -> DataFrame:
     # this refresh is corpus-wide (every customer), not batch-sized —
     # override the operator's broadcast-when-small default with MERGE
     merged = user_state_merge(
-        users, fetched.select("user_id").hint("merge"), profiles.hint("merge")
+        users, fetched.select("user_id").hint("shuffle_hash"), profiles.hint("shuffle_hash")
     )
     return merged.select(
         "user_id",
@@ -1396,7 +1397,7 @@ def t2_inflight_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     # both sides are user-set-scale aggregates; never broadcast either
     return joins.anti_join(
-        ev.select("user_id").distinct(), engaged.hint("merge"), "user_id"
+        ev.select("user_id").distinct(), engaged.hint("shuffle_hash"), "user_id"
     )
 
 
@@ -2191,8 +2192,8 @@ def ns_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     # the keeper set is corpus-sized (one id per distinct digest) —
-    # MERGE, never broadcast (100x plan audit)
-    return joins.semi_join(docs, keep.hint("merge"), "doc_id").select("doc_id", "lang")
+    # SHUFFLE_HASH, never broadcast (100x plan audit)
+    return joins.semi_join(docs, keep.hint("shuffle_hash"), "doc_id").select("doc_id", "lang")
 
 
 def _minhash_oracle_sql(num_perm: int = 16, bands: int = 4, src: str = "documents") -> str:
@@ -3774,7 +3775,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(dominant.hint("merge"), supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(dominant.hint("shuffle_hash"), supp.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", "n_name")
     )
 
@@ -5986,9 +5987,9 @@ def ns_dupe_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
         F.col("digest").alias("dg"), "keep_id", F.col("n_docs").alias("n")
     )
     is_dupe = ((F.col("n") > 1) & (F.col("doc_id") != F.col("keep_id"))).cast("long")
-    # the digest-group table is corpus-sized — MERGE, never broadcast
+    # the digest-group table is corpus-sized — SHUFFLE_HASH, never broadcast
     return (
-        d.join(g.hint("merge"), "dg")
+        d.join(g.hint("shuffle_hash"), "dg")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
