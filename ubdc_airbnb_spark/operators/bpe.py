@@ -115,23 +115,34 @@ def bpe_train(
     by (left, right) lexicographically, so training is deterministic
     across partitionings and engines; stops early when no pair reaches
     ``min_count``."""
+    from .iterstate import CheckpointChain
+
     spark = docs.sparkSession
-    state = initial_symbols(word_frequencies(docs, id_col, text_col)).localCheckpoint()
+    chain = CheckpointChain(spark)
+    state = chain.step(initial_symbols(word_frequencies(docs, id_col, text_col)))
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(n_merges):
-        top = (
-            pair_counts(state)
-            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0].cnt < min_count:
-            break
-        t = top[0]
-        merges.append((step, t.left, t.right, t.cnt))
-        state = merge_pair(state, t.left, t.right)
-        if (step + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint()  # flatten the fold lineage
+    try:
+        for step in range(n_merges):
+            top = (
+                pair_counts(state)
+                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0].cnt < min_count:
+                break
+            t = top[0]
+            merges.append((step, t.left, t.right, t.cnt))
+            state = merge_pair(state, t.left, t.right)
+            if (step + 1) % checkpoint_every == 0:
+                # flatten the fold lineage; the eager step materializes
+                # the new state, so the superseded checkpoint frees NOW
+                # (otherwise n_merges/checkpoint_every vocab-sized RDDs
+                # stay pinned until driver GC)
+                state = chain.step(state)
+                chain.retire(keep=1)
+    finally:
+        chain.close()  # output is a driver-local list: all state is dead
     return spark.createDataFrame(
         merges or [], "step int, left string, right string, cnt long"
     )
@@ -148,6 +159,8 @@ def apply_bpe(
     (id_col, word, pieces array<string>) per token occurrence position
     collapsed to distinct (id, word) — narrow per-row work, no shuffle
     beyond the initial distinct."""
+    from .iterstate import CheckpointChain
+
     toks = docs.select(
         F.col(id_col), F.explode(words(text_col)).alias("w")
     ).select(id_col, F.lower(F.col("w")).alias("word")).distinct()
@@ -156,8 +169,13 @@ def apply_bpe(
         "word",
         F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))).alias("syms"),
     )
+    chain = CheckpointChain(docs.sparkSession)
     for i, (left, right) in enumerate(merges):
         state = merge_pair(state, left, right, keep=(id_col, "word"))
         if (i + 1) % 4 == 0:
-            state = state.localCheckpoint()  # flatten the fold lineage
+            # flatten the fold lineage, freeing the superseded
+            # checkpoint as soon as the new one materializes; the final
+            # checkpoint stays — the returned (lazy) frame reads it
+            state = chain.step(state)
+            chain.retire(keep=1)
     return state.select(id_col, "word", F.col("syms").alias("pieces"))

@@ -37,42 +37,60 @@ def connected_components(
     ``edges`` may be directed/deduplicated — it is symmetrized here.
     Raises if the fixpoint is not reached within ``max_iter`` rounds
     (i.e. diameter > max_iter): no silently-wrong output.
+
+    Storage is O(1) rounds, not O(diameter): each round's label
+    checkpoint is freed as soon as the convergence diff has consumed it
+    (``CheckpointChain``) — without that, a D-round run pins D
+    node-cardinality RDDs simultaneously (OOMed an 8 GiB JVM at sf1 in
+    the r05 registry sweep; fatal at any heap size at 100 TB).
     """
-    sym = (
+    from .iterstate import CheckpointChain
+
+    spark = edges.sparkSession
+    edge_chain = CheckpointChain(spark)  # sym lives for the whole loop
+    label_chain = CheckpointChain(spark)
+    sym = edge_chain.step(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.hint("shuffle_hash"), sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr_min.hint("shuffle_hash"), labels["id"] == nbr_min["a"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+    labels = label_chain.step(
+        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels.hint("shuffle_hash"), sym["b"] == labels["id"])
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint(eager=True)
+            new_labels = label_chain.step(
+                labels.join(
+                    nbr_min.hint("shuffle_hash"), labels["id"] == nbr_min["a"], "left"
+                ).select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o").hint("shuffle_hash"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            label_chain.retire(keep=1)  # prior round consumed — free it
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o").hint("shuffle_hash"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        edge_chain.close()  # returned labels are checkpointed: sym is dead
+        label_chain.close(keep_last=True)
 
 
 def pagerank(
