@@ -39,6 +39,20 @@ def test_bm25_probe_is_partition_pruned(spark, tmp_path):
     assert any("term" in l for l in plan.splitlines() if "PushedFilters" in l)
 
 
+def test_bm25_probe_reads_no_doclen(spark, tmp_path):
+    """The denormalized layout (dl in each posting row) must keep the
+    corpus-sized doclen table entirely OUT of the serve plan — the probe's
+    only file input is the probed postings buckets (+ driver-side params)."""
+    from ubdc_airbnb_spark.operators.tfidf import build_bm25_index, query_bm25_index
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(docs, idx, n_buckets=8)
+    df = query_bm25_index(spark, idx, QUERY, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "doclen" not in plan, "serve plan must not scan the doclen table"
+
+
 def test_bucket_hash_replay_matches_spark(spark):
     from ubdc_airbnb_spark.operators.tfidf import _py_term_bucket, term_bucket
 

@@ -30,6 +30,41 @@ def test_pin_dedupes_same_plan(spark):
     assert len(_PINNED) == 0
 
 
+def test_unpin_removes_registry_entry(spark):
+    """unpin() must drop the _PINNED entry with the cache: a bare
+    unpersist() leaves a dead handle that a later identical _pin returns
+    as 'cached' (silent full-lineage recompute on every pass)."""
+    from ubdc_airbnb_spark.operators.prefixsum import unpin
+
+    release_pins()
+    df = _pin(spark.range(50).selectExpr("id", "id * 3 as v"))
+    assert len(_PINNED) == 1
+    assert unpin(df)
+    assert len(_PINNED) == 0
+    # re-pinning the same semantic plan creates a FRESH live handle
+    again = _pin(spark.range(50).selectExpr("id", "id * 3 as v"))
+    assert again is not df and len(_PINNED) == 1
+    release_pins()
+
+
+def test_curation_rerun_gets_live_pins(spark):
+    """Two back-to-back run_curation calls in one session: the second
+    run's stage pins must be live (the first run's per-stage unpins must
+    not leave dead registry entries the second run would reuse)."""
+    from ubdc_airbnb_spark.plans.curation import run_curation
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    release_pins()
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    r1 = run_curation(spark, docs)
+    r2 = run_curation(spark, docs)
+    assert r1.report == r2.report
+    # every pin left registered must still be genuinely persisted
+    for df in _PINNED.values():
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    release_pins()
+
+
 def test_gate_queries_release_all_pins(spark):
     release_pins()
     before = _persistent_rdd_count(spark)

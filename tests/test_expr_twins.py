@@ -96,3 +96,24 @@ def test_word_ngrams_arr_expr_matches(spark):
             )
         ],
     )
+
+
+def test_nested_field_names_fall_back_to_col_semantics(spark):
+    """A dotted string like 'meta.text' is a NESTED-FIELD path under
+    F.col semantics; the single-parse fast path must not backtick it
+    into a (nonexistent) top-level column — it falls back to the
+    Column-based construction and resolves the struct field."""
+    from ubdc_airbnb_spark.functions import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, ("hello world of spark",))], "id long, meta struct<text: string>"
+    )
+    got = df.select(
+        ts.words("meta.text").alias("ws"),
+        ts.word_ngrams("meta.text", 2).alias("g2"),
+        ts.quality_score("meta.text").alias("q"),
+        ts.char_ngrams("meta.text", 3).alias("c3"),
+    ).first()
+    assert got.ws == ["hello", "world", "of", "spark"]
+    assert got.g2 == ["hello world", "world of", "of spark"]
+    assert 0.0 <= got.q <= 1.0 and len(got.c3) > 0

@@ -32,7 +32,9 @@ def main():
             for f in fs
         )
 
-    parts = min(cpus, max(4, _input_bytes(sf_dir) // (2 << 20)))
+    # keep IDENTICAL to bench.py's partition proxy (4 MB/partition) —
+    # this tool's whole purpose is reproducing bench's exact conditions
+    parts = min(cpus, max(4, _input_bytes(sf_dir) // (4 << 20)))
     spark = get_spark(
         "profile-j1",
         shuffle_partitions=parts,

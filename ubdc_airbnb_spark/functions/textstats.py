@@ -29,13 +29,30 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+import re as _re
+
+_SIMPLE_NAME = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _fast_name(col: Column | str) -> str | None:
+    """Return the backtick-safe identifier for the single-parse fast
+    path, or None when the Column path must be used. Only SIMPLE names
+    qualify: a dotted string like ``meta.text`` means a nested-field
+    path under ``F.col`` semantics, which backtick-quoting would turn
+    into a (nonexistent) literal top-level column name."""
+    if isinstance(col, str) and _SIMPLE_NAME.match(col):
+        return col
+    return None
+
+
 def words(col: Column | str) -> Column:
     """Whitespace tokens (empty strings removed)."""
-    if isinstance(col, str):
+    name = _fast_name(col)
+    if name is not None:
         # single-parse path: one py4j round trip instead of ~10 (the
         # build phase of a query is pure driver latency at any scale)
-        return F.expr(words_expr(f"`{col}`"))
-    return F.filter(F.split(col, r"\s+"), lambda w: F.length(w) > 0)
+        return F.expr(words_expr(f"`{name}`"))
+    return F.filter(F.split(_c(col), r"\s+"), lambda w: F.length(w) > 0)
 
 
 def words_expr(col_sql: str) -> str:
@@ -64,9 +81,10 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     char array (the word_ngrams device) — LINEAR in string length; the
     per-index ``substring(c, i, n)`` form pays an O(i) UTF-8 seek per
     position, quadratic on long documents."""
-    if isinstance(col, str):
-        return F.expr(char_ngrams_expr(f"`{col}`", n))
-    c = col
+    name = _fast_name(col)
+    if name is not None:
+        return F.expr(char_ngrams_expr(f"`{name}`", n))
+    c = _c(col)
     chars = F.split(c, "")
     m = F.greatest(F.length(c) - (n - 1), F.lit(0))
     acc = F.slice(chars, F.lit(1), m)
@@ -119,8 +137,9 @@ def word_ngrams_arr_expr(arr_sql: str, n: int = 3) -> str:
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Array of word n-grams joined by a space (whitespace tokens)."""
-    if isinstance(col, str):
-        return F.expr(word_ngrams_expr(f"`{col}`", n))
+    name = _fast_name(col)
+    if name is not None:
+        return F.expr(word_ngrams_expr(f"`{name}`", n))
     return word_ngrams_arr(words(col), n)
 
 
@@ -156,9 +175,10 @@ def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: long enough, low punctuation,
     some stopwords, sane mean word length. Deterministic rational
     arithmetic (int/int divisions) so any engine reproduces it."""
-    if isinstance(col, str):
-        return F.expr(quality_score_expr(f"`{col}`"))
-    c = col
+    name = _fast_name(col)
+    if name is not None:
+        return F.expr(quality_score_expr(f"`{name}`"))
+    c = _c(col)
     len_ok = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
     punct_pen = F.lit(1.0) - F.least(punct_ratio(c) * F.lit(5.0), F.lit(1.0))
     stop_ok = F.least(stopword_ratio(c) * F.lit(10.0), F.lit(1.0))

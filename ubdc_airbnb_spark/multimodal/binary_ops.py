@@ -56,17 +56,25 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-#: session-id -> last Arrow batch size set; makes the per-constructor
+#: session -> last Arrow batch size set; makes the per-constructor
 #: conf.set a no-op py4j-wise when the value is unchanged (hot query
-#: constructors run many times per bench/gate session)
-_ARROW_BATCH_LAST: dict[int, str] = {}
+#: constructors run many times per bench/gate session). WEAK keys on the
+#: live session object — an id()-keyed dict would survive the session
+#: and can collide with a NEW session allocated at the same CPython
+#: address, silently skipping a conf.set the new session needs (the
+#: executor-OOM guard for binary payload batches). Known residual risk:
+#: external code writing the conf key directly between calls still
+#: staleness this memo; in-repo all writers go through here.
+import weakref
+
+_ARROW_BATCH_LAST: "weakref.WeakKeyDictionary[object, str]" = weakref.WeakKeyDictionary()
 
 
 def _set_arrow_batch(spark, batch_size: int) -> None:
     val = str(batch_size)
-    if _ARROW_BATCH_LAST.get(id(spark)) != val:
+    if _ARROW_BATCH_LAST.get(spark) != val:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", val)
-        _ARROW_BATCH_LAST[id(spark)] = val
+        _ARROW_BATCH_LAST[spark] = val
 
 
 def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str = "application/octet-stream") -> DataFrame:

@@ -494,7 +494,11 @@ def lsh_recall_eval(
 
     if sample_rows is not None:
         n = _count_memo(df)  # corpus constant: parquet metadata / memoized
-        thr = min(_M, (sample_rows * _M) // max(n, 1))
+        # floor of 1: past n > sample_rows*_M docs the integer ratio
+        # floors to 0 and the slice would silently go EMPTY — keep at
+        # least the 1-per-million hash bucket so the harness always
+        # measures something (and shrinks the slice no further)
+        thr = min(_M, max(1, (sample_rows * _M) // max(n, 1)))
         samp = df.filter(hash_bucket(F.col(id_col).cast("string"), salt) < thr)
     elif sample_fraction < 1.0:
         samp = hash_sample(df, F.col(id_col).cast("string"), sample_fraction, salt)

@@ -63,7 +63,22 @@ class CheckpointChain:
     def step(self, df: DataFrame, eager: bool = True) -> DataFrame:
         before = _persistent_ids(self._scala_sc)
         out = df.localCheckpoint(eager=eager)
-        self._gens.append(_persistent_ids(self._scala_sc) - before)
+        ids: set[int] | None = None
+        try:
+            # precise attribution: the checkpointed Dataset's analyzed
+            # plan is a LogicalRDD wrapping exactly the persisted RDD —
+            # claim THAT id, nothing else. (A snapshot diff would also
+            # swallow any foreign cache — e.g. a prefixsum._pin — whose
+            # RDD first materializes during this checkpoint job, and
+            # retire() would then free storage the chain does not own.)
+            lp = out._jdf.queryExecution().analyzed()
+            if lp.getClass().getName() == "org.apache.spark.sql.execution.LogicalRDD":
+                ids = {lp.rdd().id()}
+        except Exception:
+            ids = None
+        if ids is None:  # fallback: snapshot diff (over-approximates)
+            ids = _persistent_ids(self._scala_sc) - before
+        self._gens.append(ids)
         return out
 
     def retire(self, keep: int = 1) -> None:

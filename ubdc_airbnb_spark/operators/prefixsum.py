@@ -119,6 +119,27 @@ def _pin(df: DataFrame) -> DataFrame:
     return df
 
 
+def unpin(df: DataFrame) -> bool:
+    """Unpersist ONE ``_pin`` handle early and drop its registry entry.
+    Callers that manage a pin's lifecycle themselves (e.g. the curation
+    plan's stage-by-stage pinning) must release through here, not via
+    ``df.unpersist()`` directly: a direct unpersist leaves the registry
+    entry behind, so a later ``_pin`` of a semantically identical plan
+    would return the already-dead handle (believing it cached) and every
+    downstream pass would silently recompute the full upstream — the
+    exact quadratic recompute pinning exists to prevent."""
+    hit = False
+    for key, cached in list(_PINNED.items()):
+        if cached is df:
+            del _PINNED[key]
+            hit = True
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        return hit
+    return True
+
+
 def release_pins() -> int:
     """Unpersist every live ``_pin`` handle (non-blocking) and clear the
     registry; returns how many were released. Call after the terminal

@@ -309,7 +309,7 @@ def bm25_topk(
 def _bm25_rank(
     qterms: DataFrame,
     dfreq: DataFrame,
-    dl: DataFrame,
+    dl: DataFrame | None,
     tot: DataFrame,
     id_col: str,
     k: int,
@@ -319,14 +319,20 @@ def _bm25_rank(
     """Shared BM25 scoring tail (inline `bm25_topk` and the persisted
     `query_bm25_index` MUST produce identical rankings, so they share
     this code path): Lucene idf, micro-unit quantized contributions,
-    top-k after limit, ties broken by id."""
+    top-k after limit, ties broken by id.
+
+    ``dl=None`` means ``qterms`` already carries the per-doc length as a
+    ``dl`` column (the denormalized index layout) — no doc-length join at
+    all. When a join IS needed (the inline path, where dl is a corpus-
+    sized post-aggregate whose size estimate lies small), it is
+    SHUFFLE_HASH: broadcast would materialize every doc length on the
+    driver."""
     from pyspark.sql import Window
 
-    scored = (
-        qterms.join(broadcast(dfreq), "term")
-        .join(dl.hint("shuffle_hash"), id_col)
-        .join(broadcast(tot))
-    )
+    scored = qterms.join(broadcast(dfreq), "term")
+    if dl is not None:
+        scored = scored.join(dl.hint("shuffle_hash"), id_col)
+    scored = scored.join(broadcast(tot))
     avgdl = F.col("toktot").cast("double") / F.col("n_docs").cast("double")
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
@@ -378,10 +384,15 @@ def build_bm25_index(
     ``bm25_topk`` re-derives (doc, term, tf) from raw text on EVERY
     query, which is one full corpus tokenization per query at 100 TB):
 
-    - ``postings/`` — (term, doc_id, tf) parquet, partitioned by
+    - ``postings/`` — (term, doc_id, tf, dl) parquet, partitioned by
       ``term_bucket = md5_60bit(term) % n_buckets``: a query touches only
       its terms' bucket partitions (PartitionFilters, plan-asserted).
-    - ``doclen/``   — (doc_id, dl) for the length normalization.
+      ``dl`` (the posting doc's length) is DENORMALIZED into each row —
+      the Lucene-norms device — so the serve path never joins the
+      corpus-sized doc-length table: one long per posting buys a probe
+      plan whose only input is the probed buckets.
+    - ``doclen/``   — (doc_id, dl) sidecar (back-compat + introspection;
+      the probe reads it only for pre-denormalization layouts).
     - ``params/``   — (n_docs, toktot, n_buckets): the corpus constants
       every scoring formula needs, collected once at build time.
 
@@ -394,14 +405,18 @@ def build_bm25_index(
     from .prefixsum import _pin
 
     terms = _pin(doc_terms(docs, id_col, text_col))
+    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     (
-        terms.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+        # dl join is doc-keyed and corpus-scale at build time —
+        # SHUFFLE_HASH (the post-aggregate estimate lies small; a
+        # broadcast would ship every doc length to the driver)
+        terms.join(dl.hint("shuffle_hash"), id_col)
+        .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     # params last: a crashed build leaves no readable index, never a
     # wrong-constant one (same crash contract as ann_index)
@@ -450,14 +465,17 @@ def add_to_bm25_index(
     params_path = os.path.join(path, "params")
     [p] = spark.read.parquet(params_path).collect()
     terms = _pin(doc_terms(new_docs, id_col, text_col))
+    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     (
-        terms.withColumn("term_bucket", term_bucket(F.col("term"), p.n_buckets))
+        # a doc's dl depends only on its own text, so the batch-local
+        # dl denormalizes exactly like the full build's would
+        terms.join(dl.hint("shuffle_hash"), id_col)
+        .withColumn("term_bucket", term_bucket(F.col("term"), p.n_buckets))
         .repartition("term_bucket")
         .write.mode("append")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dl.write.mode("append").parquet(os.path.join(path, "doclen"))
     tot = dl.agg(
         F.sum("dl").cast("long").alias("toktot"), F.count(F.lit(1)).alias("n_docs")
@@ -492,12 +510,18 @@ def query_bm25_index(
     [p] = spark.read.parquet(os.path.join(path, "params")).collect()
     qt = sorted({t.lower() for t in query_terms})
     buckets = sorted({_py_term_bucket(t, p.n_buckets) for t in qt})
-    qterms = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(qt))
-        .select(id_col, "term", "tf")
+    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(qt)
     )
-    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    if "dl" in postings.columns:
+        # denormalized layout: the probe's ONLY input is the probed
+        # buckets — no corpus-sized doc-length join at serve time
+        qterms = postings.select(id_col, "term", "tf", "dl")
+        dl = None
+    else:
+        # pre-denormalization layout (back-compat): join the sidecar
+        qterms = postings.select(id_col, "term", "tf")
+        dl = spark.read.parquet(os.path.join(path, "doclen"))
     dfreq = qterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tot = spark.createDataFrame(
         [(p.toktot, p.n_docs)], "toktot long, n_docs long"

@@ -91,7 +91,7 @@ def run_curation(
     parquet checkpoint per stage, same lifecycle."""
     import time as _time
 
-    from .. operators.prefixsum import _pin
+    from .. operators.prefixsum import _pin, unpin
 
     report: dict[str, int] = {}
     stage_seconds: dict[str, float] = {}
@@ -105,10 +105,11 @@ def run_curation(
         stage_seconds[name] = round(_time.perf_counter() - t0, 3)
         if pin_stages:
             while _prev:
-                try:
-                    _prev.pop().unpersist(blocking=False)
-                except Exception:
-                    pass
+                # release through unpin() so the _PINNED registry entry
+                # dies with the cache — a bare unpersist() would leave a
+                # dead handle that a later identical _pin returns as
+                # "cached" (silent full-lineage recompute per pass)
+                unpin(_prev.pop())
             _prev.append(df)
         return df
 

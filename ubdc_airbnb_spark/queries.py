@@ -347,7 +347,7 @@ def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     )
     # part subset and per-partkey avg agg are both linear in part at
     # scale: no explicit broadcast (planner decides from scan stats),
-    # MERGE on the aggregate whose size estimate is unreliable
+    # SHUFFLE_HASH on the aggregate whose size estimate is unreliable
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_q.hint("shuffle_hash"), F.col("avg_partkey") == F.col("p_partkey"))
@@ -981,7 +981,7 @@ def j12_user_state_machine(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("real-"), F.col("user_id").cast("string")).alias("first_name"),
     )
     # this refresh is corpus-wide (every customer), not batch-sized —
-    # override the operator's broadcast-when-small default with MERGE
+    # override the operator's broadcast-when-small default with SHUFFLE_HASH
     merged = user_state_merge(
         users, fetched.select("user_id").hint("shuffle_hash"), profiles.hint("shuffle_hash")
     )
@@ -7788,8 +7788,8 @@ def _lsh_recall_oracle_sql() -> str:
       SELECT doc_id, text FROM documents
       WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#lshrecall'), 1, 15))
                  AS BIGINT) % 1000000
-            < LEAST(1000000, CAST(2500 AS BIGINT) * 1000000
-                             // (SELECT COUNT(*) FROM documents))),
+            < LEAST(1000000, GREATEST(1, CAST(2500 AS BIGINT) * 1000000
+                             // (SELECT COUNT(*) FROM documents)))),
     dg AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(w) >= 3
