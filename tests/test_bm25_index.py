@@ -135,3 +135,45 @@ def test_index_params_and_crash_contract(spark, tmp_path):
     assert p.n_buckets == 8
     assert p.n_docs == terms.select("doc_id").distinct().count()
     assert p.toktot == terms.agg(F.sum("tf")).collect()[0][0]
+
+
+def test_append_into_legacy_layout_stays_consistent(spark, tmp_path):
+    """Appending into a PRE-denormalization index (postings without dl)
+    must keep the old shape — mixing dl-carrying files into a dl-less
+    directory would make readers see NULL dl on old rows and score them
+    silently wrong. The probe's doclen-sidecar fallback then still
+    matches a from-scratch legacy rebuild."""
+    import os
+
+    from ubdc_airbnb_spark.operators.tfidf import (
+        add_to_bm25_index,
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "bm25_legacy")
+    build_bm25_index(base, idx, n_buckets=8)
+
+    # strip dl from postings to simulate the legacy layout
+    postings_path = os.path.join(idx, "postings")
+    legacy = spark.read.parquet(postings_path).drop("dl")
+    tmp = os.path.join(str(tmp_path), "legacy_tmp")
+    legacy.write.partitionBy("term_bucket").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(postings_path)
+    shutil.move(tmp, postings_path)
+    assert "dl" not in spark.read.parquet(postings_path).columns
+
+    add_to_bm25_index(rest, idx)
+    # still a pure legacy layout (no mixed schema)
+    assert "dl" not in spark.read.parquet(postings_path).columns
+
+    full = str(tmp_path / "bm25_full")
+    build_bm25_index(docs, full, n_buckets=8)
+    got = [tuple(r) for r in query_bm25_index(spark, idx, QUERY, k=10).collect()]
+    want = [tuple(r) for r in query_bm25_index(spark, full, QUERY, k=10).collect()]
+    assert got == want and len(got) > 0

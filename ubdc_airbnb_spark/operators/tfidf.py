@@ -466,11 +466,21 @@ def add_to_bm25_index(
     [p] = spark.read.parquet(params_path).collect()
     terms = _pin(doc_terms(new_docs, id_col, text_col))
     dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    (
+    # match the EXISTING postings layout: appending dl-carrying files
+    # into a pre-denormalization index would mix schemas — readers that
+    # sample a new file's schema would see the old rows' dl as NULL and
+    # score them silently wrong. Old layout keeps appending old-shape
+    # rows (the probe's doclen-sidecar fallback stays correct).
+    denormalized = "dl" in spark.read.parquet(os.path.join(path, "postings")).columns
+    post = (
         # a doc's dl depends only on its own text, so the batch-local
         # dl denormalizes exactly like the full build's would
         terms.join(dl.hint("shuffle_hash"), id_col)
-        .withColumn("term_bucket", term_bucket(F.col("term"), p.n_buckets))
+        if denormalized
+        else terms
+    )
+    (
+        post.withColumn("term_bucket", term_bucket(F.col("term"), p.n_buckets))
         .repartition("term_bucket")
         .write.mode("append")
         .partitionBy("term_bucket")
