@@ -63,3 +63,28 @@ def test_bpe_train_storage_bounded(spark):
     assert merges.count() >= 6
     # train output is a driver-local merge list: NO checkpoint survives
     assert _storage_rdd_count(spark) - base == 0
+
+
+def test_chain_never_frees_foreign_caches(spark):
+    """A cache the chain does not own — e.g. a prefixsum._pin whose RDD
+    first materializes DURING a checkpoint job — must survive step/retire:
+    the chain claims exactly the LogicalRDD id it checkpointed, never a
+    storage-snapshot diff that would swallow bystanders."""
+    from ubdc_airbnb_spark.operators.prefixsum import _pin, release_pins
+
+    release_pins()
+    base = _storage_rdd_count(spark)
+    # pin an upstream frame but do NOT materialize it: its cached RDD
+    # first appears in storage inside the chain's eager checkpoint job
+    pinned = _pin(spark.range(500).selectExpr("id", "id * 7 as v"))
+    chain = CheckpointChain(spark)
+    df = chain.step(pinned.withColumn("w", F.col("v") + 1))
+    df2 = chain.step(df.withColumn("w2", F.col("w") + 1))
+    chain.retire(keep=1)
+    chain.close(keep_last=True)
+    # the pin is still genuinely cached: its storage survives the retire
+    assert pinned.storageLevel.useMemory or pinned.storageLevel.useDisk
+    # and reading it does not recompute from scratch (still materialized)
+    assert pinned.count() == 500 and df2.count() == 500
+    release_pins()
+    assert _storage_rdd_count(spark) - base <= 1  # only df2's checkpoint

@@ -404,19 +404,22 @@ def build_bm25_index(
 
     from .prefixsum import _pin
 
+    from pyspark.sql import Window
+
     terms = _pin(doc_terms(docs, id_col, text_col))
-    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     (
-        # dl join is doc-keyed and corpus-scale at build time —
-        # SHUFFLE_HASH (the post-aggregate estimate lies small; a
-        # broadcast would ship every doc length to the driver)
-        terms.join(dl.hint("shuffle_hash"), id_col)
+        # denormalize dl with ONE doc-keyed window (hash exchange on the
+        # doc id, whole-partition sum) — measurably cheaper than the
+        # aggregate + join-back, which pays the same doc-keyed exchange
+        # TWICE plus the join (2x wall in the sf0.1 A/B, identical rows)
+        terms.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
         .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "postings"))
     )
+    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     # params last: a crashed build leaves no readable index, never a
     # wrong-constant one (same crash contract as ann_index)
@@ -472,13 +475,14 @@ def add_to_bm25_index(
     # score them silently wrong. Old layout keeps appending old-shape
     # rows (the probe's doclen-sidecar fallback stays correct).
     denormalized = "dl" in spark.read.parquet(os.path.join(path, "postings")).columns
-    post = (
+    if denormalized:
         # a doc's dl depends only on its own text, so the batch-local
-        # dl denormalizes exactly like the full build's would
-        terms.join(dl.hint("shuffle_hash"), id_col)
-        if denormalized
-        else terms
-    )
+        # window denormalizes exactly like the full build's would
+        from pyspark.sql import Window
+
+        post = terms.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    else:
+        post = terms
     (
         post.withColumn("term_bucket", term_bucket(F.col("term"), p.n_buckets))
         .repartition("term_bucket")
