@@ -549,3 +549,95 @@ def test_foreach_batch_hll_state_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_bm25_append_matches_batch_build(spark, tmp_path):
+    """Streaming index maintenance = batch build: after ingesting the
+    whole document set through availableNow micro-batches, every query
+    scores EXACTLY like a from-scratch build over the same corpus (df
+    derives from postings, N/toktot merge associatively, dl is per-doc
+    exact), and the probe plan still partition-prunes on term_bucket."""
+    from ubdc_airbnb_spark.operators.tfidf import build_bm25_index, query_bm25_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+
+    idx = str(tmp_path / "bm25_stream")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_bm25_append(stream, idx, n_buckets=8)
+
+    full = str(tmp_path / "bm25_full")
+    build_bm25_index(docs, full, n_buckets=8)
+    query = ["spark", "join", "window"]
+    got = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+    want = [tuple(r) for r in query_bm25_index(spark, full, query, k=10).collect()]
+    assert got == want and len(got) > 0
+
+    # merged constants equal the batch build's (ignoring the batch marker)
+    [pi] = spark.read.parquet(idx + "/params").select("n_docs", "toktot", "n_buckets").collect()
+    [pf] = spark.read.parquet(full + "/params").collect()
+    assert tuple(pi) == (pf.n_docs, pf.toktot, pf.n_buckets)
+
+    # probe is still partition-pruned on term_bucket
+    df = query_bm25_index(spark, idx, query, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert any(
+        "term_bucket" in l for l in plan.splitlines() if "PartitionFilters" in l
+    )
+
+
+def test_foreach_batch_bm25_append_redelivery_is_idempotent(spark, tmp_path):
+    """Re-running the same source into the same index (temp checkpoint ->
+    batch ids restart at 0, the redelivery shape) must not double-count:
+    the __max_batch_id marker skips completed batches, so constants and
+    scores are unchanged."""
+    from ubdc_airbnb_spark.operators.tfidf import query_bm25_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    src = str(tmp_path / "docs_src")
+    docs.repartition(2).write.parquet(src)
+    idx = str(tmp_path / "bm25_stream")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        jobs.foreach_batch_bm25_append(stream, idx, n_buckets=8)
+
+    _run()
+    [p1] = spark.read.parquet(idx + "/params").collect()
+    got1 = [tuple(r) for r in query_bm25_index(spark, idx, ["spark"], k=5).collect()]
+    _run()  # same batches redelivered
+    [p2] = spark.read.parquet(idx + "/params").collect()
+    got2 = [tuple(r) for r in query_bm25_index(spark, idx, ["spark"], k=5).collect()]
+    assert (p1.n_docs, p1.toktot) == (p2.n_docs, p2.toktot)
+    assert got1 == got2 and len(got1) > 0
+
+
+def test_foreach_batch_bm25_append_rejects_batch_built_layout(spark, tmp_path):
+    """Streaming maintenance of a build_bm25_index layout would mix
+    partition depths inside postings/ — it must raise, not corrupt."""
+    import pytest
+
+    from ubdc_airbnb_spark.operators.tfidf import build_bm25_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    idx = str(tmp_path / "bm25_batch")
+    build_bm25_index(docs, idx, n_buckets=8)
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises((ValueError, StreamingQueryException)):
+        jobs.foreach_batch_bm25_append(stream, idx, n_buckets=8)

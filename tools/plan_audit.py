@@ -40,6 +40,34 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: broadcast-over-aggregate sites ADJUDICATED BENIGN (class 2/3 of the
+#: taxonomy above — bounded-by-construction or accurate-stats). The
+#: sweep reports only NEW suspects outside this set, making it a
+#: regression ratchet: a name appearing here means a human traced the
+#: build side to a bounded cardinality (scalar totals, fixed-bin
+#: histograms, k centroids, top-k outputs, query-term dfs, mixture
+#: cells, per-source/period tables, the 2500-doc lsh_recall slice...).
+#: Re-adjudicate before extending this list.
+BENIGN = frozenset(
+    {
+        "a3_cover_union", "j15_bloom_prune_semi", "ns_bigram_lm",
+        "ns_bm25_index", "ns_bm25_topk", "ns_boilerplate_prefix",
+        "ns_ccnet_buckets", "ns_cmsketch_freq", "ns_cohort_retention",
+        "ns_contamination_spans", "ns_decontaminate", "ns_drift_histogram",
+        "ns_dsir_weights", "ns_embed_kmeans", "ns_embed_quantize",
+        "ns_graph_pagerank", "ns_heavy_hitters", "ns_interp_lm",
+        "ns_join_size_probe", "ns_key_skew_report", "ns_label_centroid_sim",
+        "ns_length_buckets", "ns_lsh_recall", "ns_mixture_apply",
+        "ns_mixture_apply_tokens", "ns_mixture_rates", "ns_mixture_tokens",
+        "ns_outlier_mad", "ns_outlier_zscore", "ns_profile_orders",
+        "ns_rate_anomaly", "ns_rolling_active_users",
+        "ns_source_balance_gini", "ns_source_overlap", "ns_temperature_mix",
+        "ns_tfidf_cosine_pairs", "ns_token_budget", "ns_tokenize_vocab",
+        "ns_unigram_kl", "ns_vocab_coverage", "ns_winsorize",
+        "q11_important_parts", "q15_top_supplier", "q22_idle_balances",
+    }
+)
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf10"
@@ -87,6 +115,9 @@ def main() -> None:
             suspects.append(s.name)
         release_pins()
     print("SUSPECTS:", sorted(set(suspects)), flush=True)
+    new = sorted(set(suspects) - BENIGN)
+    print("NEW SUSPECTS (not adjudicated benign):", new, flush=True)
+    sys.exit(1 if new else 0)
 
 
 if __name__ == "__main__":

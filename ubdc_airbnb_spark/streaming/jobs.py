@@ -427,3 +427,109 @@ def hll_state_report(
     state = spark.read.parquet(state_path)
     regs = state.select(*keys, "bucket", F.col("max_v").cast("int").alias("m_j"))
     return hll_estimate_by(regs, keys, b)
+
+
+def foreach_batch_bm25_append(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Persisted-BM25 maintenance in streaming form (the NS96 index fed
+    by a document stream): every micro-batch tokenizes ONLY its own
+    documents and folds into the inverted-index layout, so the index
+    stays queryable (`query_bm25_index`, unchanged) while ingestion
+    runs — no full-corpus retokenization, ever.
+
+    Exactly-once under foreachBatch's at-least-once delivery, with a
+    TWO-level device (the non-atomic multi-directory append needs more
+    than the `__max_batch_id` marker alone):
+
+    - `params` carries `__max_batch_id` in the same atomic swap as the
+      merged corpus constants — a redelivered batch that COMPLETED is
+      skipped outright.
+    - `postings`/`doclen` are additionally partitioned by `__batch` and
+      written with DYNAMIC partition overwrite, so redelivery of a batch
+      that crashed mid-append (files landed, params not yet swapped)
+      overwrites its own partitions instead of double-appending: the
+      fold is idempotent per batch id, and the constants merge stays
+      exact because params still holds the pre-crash values.
+
+    The `__batch` partition column is invisible to the probe
+    (`query_bm25_index` selects by name) and keeps a natural retention/
+    compaction grain. A batch-built index (no `__batch` level) cannot be
+    streaming-maintained — mixed partition depths break parquet
+    discovery — so that case raises instead of corrupting the layout.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from ..operators.tfidf import doc_terms, term_bucket
+    from ..operators.upsert import recover_swap, replace_parquet
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        params_path = os.path.join(index_path, "params")
+        p = None
+        if recover_swap(params_path):  # params exists (repaired if needed)
+            [p] = spark.read.parquet(params_path).collect()
+            if "__max_batch_id" not in p.asDict():
+                raise ValueError(
+                    "foreach_batch_bm25_append: index at %r was built by "
+                    "build_bm25_index (no __batch partition level); "
+                    "streaming maintenance would mix partition depths — "
+                    "use add_to_bm25_index for batch drops, or start the "
+                    "streaming index at a fresh path" % index_path
+                )
+            if batch_id <= p["__max_batch_id"]:
+                return  # completed batch redelivered: skip
+        nb = int(p.n_buckets) if p is not None else n_buckets
+        terms = doc_terms(batch_df, id_col, text_col)
+        dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        post = terms.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy(id_col))
+        )
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                post.withColumn("term_bucket", term_bucket(F.col("term"), nb))
+                .withColumn("__batch", F.lit(batch_id).cast("long"))
+                .repartition("term_bucket")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket", "__batch")
+                .parquet(os.path.join(index_path, "postings"))
+            )
+            (
+                dl.withColumn("__batch", F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy("__batch")
+                .parquet(os.path.join(index_path, "doclen"))
+            )
+        finally:
+            spark.conf.set(mode_key, old_mode)
+        tot = dl.agg(
+            F.sum("dl").cast("long").alias("toktot"),
+            F.count(F.lit(1)).alias("n_docs"),
+        ).collect()[0]
+        replace_parquet(
+            spark.createDataFrame(
+                [
+                    (
+                        (p.n_docs if p is not None else 0) + tot.n_docs,
+                        (p.toktot if p is not None else 0) + (tot.toktot or 0),
+                        nb,
+                        batch_id,
+                    )
+                ],
+                "n_docs long, toktot long, n_buckets int, __max_batch_id long",
+            ),
+            params_path,
+        )
+
+    q = stream.writeStream.foreachBatch(_fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
