@@ -641,3 +641,77 @@ def test_foreach_batch_bm25_append_rejects_batch_built_layout(spark, tmp_path):
 
     with pytest.raises((ValueError, StreamingQueryException)):
         jobs.foreach_batch_bm25_append(stream, idx, n_buckets=8)
+
+
+def test_bm25_compact_then_continue_ingesting(spark, tmp_path):
+    """Compaction collapses the per-batch file generations without
+    changing scores, and ingestion CONTINUES afterwards (durable
+    checkpoint -> monotone batch ids past the marker): final scores
+    equal a from-scratch batch build over everything ingested."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.tfidf import (
+        build_bm25_index,
+        compact_bm25_index,
+        query_bm25_index,
+    )
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "docs_src")
+    first.repartition(3).write.parquet(src)
+    idx = str(tmp_path / "bm25_stream")
+    ckpt = str(tmp_path / "ckpt")
+    query = ["spark", "join", "window"]
+
+    def _ingest():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        jobs.foreach_batch_bm25_append(stream, idx, n_buckets=8, checkpoint=ckpt)
+
+    def _n_files():
+        return sum(
+            1
+            for _r, _d, fs in os.walk(os.path.join(idx, "postings"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    _ingest()
+    before_files = _n_files()
+    got_before = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+    after_files = None
+    compact_bm25_index(spark, idx)
+    after_files = _n_files()
+    got_after = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+    assert got_after == got_before and len(got_after) > 0
+    assert after_files < before_files
+
+    # continue ingesting the second half through the SAME checkpoint
+    second.repartition(3).write.mode("append").parquet(src)
+    _ingest()
+    full = str(tmp_path / "bm25_full")
+    build_bm25_index(docs, full, n_buckets=8)
+    got = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+    want = [tuple(r) for r in query_bm25_index(spark, full, query, k=10).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_bm25_compact_rejects_batch_layout(spark, tmp_path):
+    import pytest
+
+    from ubdc_airbnb_spark.operators.tfidf import build_bm25_index, compact_bm25_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    idx = str(tmp_path / "bm25_batch")
+    build_bm25_index(docs, idx, n_buckets=8)
+    with pytest.raises(ValueError):
+        compact_bm25_index(spark, idx)

@@ -681,3 +681,61 @@ def zipf_slope(
         den.cast("long").alias("slope_den"),
         (num.cast("double") / den.cast("double")).alias("slope"),
     )
+
+
+def compact_bm25_index(spark, path: str) -> int:
+    """Maintenance pass for a streaming-maintained BM25 index
+    (``streaming.jobs.foreach_batch_bm25_append``): every micro-batch
+    leaves one file set per touched (term_bucket, __batch) partition, so
+    a long-running ingest accumulates thousands of small files — at
+    100 TB the probe's task-per-file overhead and the manifest pressure
+    dominate the actual read. Collapses every batch generation into ONE
+    per term bucket (postings and doclen), KEEPING the streaming layout
+    (the ``__batch`` level carries the current marker value) so
+    ingestion continues afterwards with higher batch ids.
+
+    Same temp-write + rename-swap discipline as ``replace_parquet``: the
+    compacted tree is fully durable before the swap, so a probe never
+    observes a partial index and a crash leaves a recoverable
+    ``.__old__``. ``params`` is untouched — compaction moves rows, not
+    counts, and the exactly-once marker stays valid. Run it between
+    ingests (the standard maintenance-window contract, same as
+    ``sources.layout.compact``). Returns the postings parquet-file count
+    after compaction."""
+    import os
+    import shutil
+
+    [p] = spark.read.parquet(os.path.join(path, "params")).collect()
+    if "__max_batch_id" not in p.asDict():
+        raise ValueError(
+            "compact_bm25_index: %r is a batch-built layout (already one "
+            "generation); nothing to compact" % path
+        )
+    marker = int(p["__max_batch_id"])
+    par = spark.sparkContext.defaultParallelism
+
+    def _swap_partitioned(df, base: str, parts: list) -> None:
+        tmp, old = base + ".__tmp__", base + ".__old__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        os.rename(base, old)
+        os.rename(tmp, base)
+        shutil.rmtree(old, ignore_errors=True)
+
+    postings_path = os.path.join(path, "postings")
+    post = spark.read.parquet(postings_path).withColumn(
+        "__batch", F.lit(marker).cast("long")
+    )
+    _swap_partitioned(
+        post.repartition("term_bucket"), postings_path, ["term_bucket", "__batch"]
+    )
+    doclen_path = os.path.join(path, "doclen")
+    dl = spark.read.parquet(doclen_path).withColumn(
+        "__batch", F.lit(marker).cast("long")
+    )
+    _swap_partitioned(dl.repartition(par), doclen_path, ["__batch"])
+    n = 0
+    for _root, _dirs, files in os.walk(postings_path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

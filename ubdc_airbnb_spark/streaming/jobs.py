@@ -435,6 +435,7 @@ def foreach_batch_bm25_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    checkpoint: str | None = None,
 ):
     """Persisted-BM25 maintenance in streaming form (the NS96 index fed
     by a document stream): every micro-batch tokenizes ONLY its own
@@ -530,6 +531,12 @@ def foreach_batch_bm25_append(
             params_path,
         )
 
-    q = stream.writeStream.foreachBatch(_fold).trigger(availableNow=True).start()
+    w = stream.writeStream.foreachBatch(_fold)
+    if checkpoint is not None:
+        # a DURABLE checkpoint keeps batch ids monotone across runs —
+        # required for continued ingestion (a temp checkpoint restarts
+        # ids at 0, which the marker then treats as redelivery)
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
     q.awaitTermination()
     return q
