@@ -102,3 +102,38 @@ def test_rrf_fuse_python_oracle(spark):
     for rank, n in enumerate(order, 1):
         assert got[n] == (want_scores[n], rank)
     assert order[0] == 11
+
+
+def test_ivf_compact_preserves_results_and_drops_files(spark, tmp_path):
+    """compact_partitioned collapses the per-append file generations in
+    each centroid bucket without changing probe results, and the probe
+    stays partition-pruned on centroid_id."""
+    import os
+
+    from ubdc_airbnb_spark.operators.ann_index import (
+        add_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from ubdc_airbnb_spark.sources.layout import compact_partitioned
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), idx, k=8, iters=1)
+    add_to_ivf_index(emb.filter(F.col("vec_id") % 3 == 1), idx)
+    add_to_ivf_index(emb.filter(F.col("vec_id") % 3 == 2), idx)
+
+    def _n_files(sub):
+        root = os.path.join(idx, sub)
+        return sum(
+            1 for _r, _d, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+        )
+
+    q = emb.filter(F.col("vec_id") < 2)
+    before = [tuple(r) for r in query_ivf_index(spark, idx, q, k=10, probes=8).collect()]
+    nf_before = _n_files("assignments")
+    compact_partitioned(spark, os.path.join(idx, "assignments"), ["centroid_id"])
+    nf_after = _n_files("assignments")
+    after = [tuple(r) for r in query_ivf_index(spark, idx, q, k=10, probes=8).collect()]
+    assert sorted(after) == sorted(before) and len(after) > 0
+    assert nf_after < nf_before

@@ -67,3 +67,38 @@ def test_add_to_index_makes_batch_discoverable(spark, tmp_path):
     dup_id = dup.collect()[0].doc_id
     got = {(r.corpus_id, r.new_id) for r in query_lsh_index(spark, idx, dup).collect()}
     assert (dup_id - 100000, dup_id) in got
+
+
+def test_lsh_compact_preserves_collisions_and_drops_files(spark, tmp_path):
+    import os
+
+    from ubdc_airbnb_spark.operators.dedup_index import (
+        add_to_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+    )
+    from ubdc_airbnb_spark.sources.layout import compact_partitioned
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(docs.filter(F.col("doc_id") < 30), idx, n_buckets=8)
+    add_to_lsh_index(docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)), idx)
+    add_to_lsh_index(docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50)), idx)
+
+    probe = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    before = {tuple(r) for r in query_lsh_index(spark, idx, probe).collect()}
+
+    def _n_files():
+        root = os.path.join(idx, "banded")
+        return sum(
+            1 for _r, _d, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+        )
+
+    nf_before = _n_files()
+    compact_partitioned(spark, os.path.join(idx, "banded"), ["key_bucket"])
+    nf_after = _n_files()
+    after = {tuple(r) for r in query_lsh_index(spark, idx, probe).collect()}
+    assert after == before and len(after) > 0
+    assert nf_after < nf_before

@@ -14,7 +14,10 @@ reference's B-tree/GIN indexes become partition pruning + min/max stats
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_clustered(
@@ -171,3 +174,43 @@ def read_training_shard(spark, path: str, shard: int) -> DataFrame:
             f"or checksum {got.x}!={man.key_xor}"
         )
     return data.orderBy("position")
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_cols: Sequence[str],
+) -> int:
+    """Small-file compaction for a PARTITIONED parquet table — the
+    maintenance pass for append-style index layouts (`add_to_ivf_index`
+    buckets on centroid_id, `add_to_lsh_index` on key_bucket): each
+    incremental drop appends a fresh file set into every touched
+    partition, so a long append history accumulates thousands of small
+    files and the probe's task-per-file overhead dominates the read.
+
+    Rewrites the table to ONE file set per partition value (the
+    repartition shuffles rows onto their partition key, so each output
+    directory is written by a single task), preserving the directory
+    layout the readers partition-prune on. Same temp-write +
+    rename-swap discipline as :func:`compact`: the compacted tree is
+    durable before the swap, readers never see a partial table, a crash
+    leaves a recoverable ``.__old__``. Run between appends (the
+    standard maintenance-window contract). Returns the parquet file
+    count after compaction."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    cols = list(partition_cols)
+    df = spark.read.parquet(base).repartition(*[F.col(c) for c in cols])
+    tmp, old = base + ".__tmp__", base + ".__old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.write.mode("overwrite").partitionBy(*cols).parquet(tmp)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
+    n = 0
+    for _root, _dirs, files in os.walk(base):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
