@@ -151,10 +151,17 @@ def partition_profile(df):
     }
 
 
-def run_curate_profile(spark, sf_dir: str) -> None:
+def run_curate_profile(spark, sf_dir: str, factor: int = 1) -> None:
     """VERDICT r04 item 7: the composed curation pipeline end-to-end at
     scale, with per-stage wall + casualty accounting — catches
-    cross-stage re-computation that per-gate profiling can't see."""
+    cross-stage re-computation that per-gate profiling can't see.
+
+    The eval set is drawn from the ORIGINAL id range only (replica ids
+    are orig + i*(max_orig+1), so ids < (max+1)/factor are the i=0
+    copies): a plain ``id % 97`` over all replicas would, at high
+    factors, give nearly every distinct text an eval-id replica and
+    decontamination would empty the corpus — a harness artifact, not a
+    pipeline property (observed at factor=100: rows_out 0)."""
     from pyspark.sql import functions as F
 
     from ubdc_airbnb_spark.operators.prefixsum import release_pins
@@ -162,7 +169,11 @@ def run_curate_profile(spark, sf_dir: str) -> None:
     from ubdc_airbnb_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    eval_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    orig_limit = (int(max_id) + 1) // max(factor, 1)
+    eval_docs = docs.filter(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < orig_limit)
+    ).select("doc_id", "text")
     t0 = time.perf_counter()
     res = run_curation(
         spark,
@@ -246,7 +257,7 @@ def main() -> int:
         if skewed:
             bad.append(name)
     if args.curate:
-        run_curate_profile(spark, args.out)
+        run_curate_profile(spark, args.out, factor=args.factor)
     print(json.dumps({"verdict": "FAIL" if bad else "PASS", "skewed": bad}))
     return 1 if bad else 0
 
