@@ -185,10 +185,16 @@ def centroid_probes(
 
     def _probed(cents: Column) -> Column:
         vec = F.col(vec_col)
+        # reference the materialized __vnorm column, NOT the norm(vec)
+        # fold: a captured expression re-evaluates per array element
+        # (the HOF-capture trap), paying the O(D) query-norm once per
+        # CENTROID instead of once per row
         scores = F.transform(
             cents,
             lambda c: F.struct(
-                (-(dot(vec, c["cvec"]) / (norm(vec) * norm(c["cvec"])))).alias("negcos"),
+                (-(dot(vec, c["cvec"]) / (F.col("__vnorm") * norm(c["cvec"])))).alias(
+                    "negcos"
+                ),
                 c["cid"].alias("cid"),
             ),
         )
@@ -224,9 +230,11 @@ def centroid_probes(
             broadcast(cents_one), "__one"
         ).drop("__one")
         cents_col = F.col("__cents")
-    return src.select(
-        id_col, vec_col, F.explode(_probed(cents_col)).alias("__pr")
-    ).select(id_col, vec_col, F.col("__pr.cid").alias(centroid_id))
+    return (
+        src.withColumn("__vnorm", norm(F.col(vec_col)))
+        .select(id_col, vec_col, F.explode(_probed(cents_col)).alias("__pr"))
+        .select(id_col, vec_col, F.col("__pr.cid").alias(centroid_id))
+    )
 
 
 def ivf_threshold_pairs(
