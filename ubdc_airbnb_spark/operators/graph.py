@@ -128,14 +128,26 @@ def pagerank(
     documented the leak as a simplification).
 
     Output: (vertex, rank) for every vertex appearing as src or dst."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    verts = (
+    from .iterstate import CheckpointChain
+
+    # materialize the STATIC graph tables once — without the checkpoint,
+    # every iteration re-evaluates `e`'s full upstream (the caller's
+    # fact-table join + distinct): at the 100x smoke that was one whole
+    # input re-scan per use per iteration (pagerank wall was pure scan
+    # growth). verts/outdeg then derive from the checkpointed edge list.
+    spark = edges.sparkSession
+    static_chain = CheckpointChain(spark)
+    e = static_chain.step(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    verts = static_chain.step(
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
     )
     n = verts.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = static_chain.step(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
+    rank_chain = CheckpointChain(spark)
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contribs = (
@@ -175,4 +187,16 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # ranks_{i+1} references ranks_i twice (contribs + dangling), so
+        # an unchecked plan tree doubles per round — flatten periodically,
+        # freeing the superseded generation immediately (O(1) storage)
+        if rank_chain.live_generations() == 0 or (_ + 1) % 5 == 0:
+            ranks = rank_chain.step(ranks)
+            rank_chain.retire(keep=1)
+    # materialize the final ranks BEFORE releasing the static graph
+    # tables: the returned frame reads its own checkpoint, never the
+    # (now-freed) edge/degree storage
+    ranks = rank_chain.step(ranks)
+    rank_chain.close(keep_last=True)
+    static_chain.close()
     return ranks
