@@ -177,3 +177,24 @@ def test_append_into_legacy_layout_stays_consistent(spark, tmp_path):
     got = [tuple(r) for r in query_bm25_index(spark, idx, QUERY, k=10).collect()]
     want = [tuple(r) for r in query_bm25_index(spark, full, QUERY, k=10).collect()]
     assert got == want and len(got) > 0
+
+
+def test_add_rejects_streaming_layout(spark, tmp_path):
+    """add_to_bm25_index on a streaming-maintained index (postings at
+    term_bucket/__batch depth, params carrying __max_batch_id) must
+    raise: its shallow append would mix partition depths and its params
+    swap would drop the exactly-once marker."""
+    import pytest
+
+    from ubdc_airbnb_spark.operators.tfidf import add_to_bm25_index
+    from ubdc_airbnb_spark.streaming import jobs
+
+    docs = load_table(spark, SF, "documents").limit(60)
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "bm25_stream")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    jobs.foreach_batch_bm25_append(stream, idx, n_buckets=8)
+
+    with pytest.raises(ValueError, match="streaming-maintained"):
+        add_to_bm25_index(docs.limit(5), idx)

@@ -140,3 +140,23 @@ def test_training_shards_roundtrip_and_integrity(spark, tmp_path):
         raise AssertionError("expected integrity failure")
     except ValueError as e:
         assert "integrity" in str(e) or "missing" in str(e)
+
+
+def test_compact_partitioned_recovers_crashed_swap(spark, tmp_path):
+    """A compaction crash between the two renames leaves no table at the
+    base path; the IVF/LSH probes don't self-repair, so the compactor
+    must call recover_swap at entry and succeed on re-run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.sources.layout import compact_partitioned
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(200).withColumn("b", (F.col("id") % 4).cast("int"))
+    df.repartition(8).write.partitionBy("b").parquet(base)
+    want = df.count()
+
+    os.rename(base, base + ".__old__")  # crash state: swap half-done
+    compact_partitioned(spark, base, ["b"])
+    assert spark.read.parquet(base).count() == want

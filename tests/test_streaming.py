@@ -715,3 +715,104 @@ def test_bm25_compact_rejects_batch_layout(spark, tmp_path):
     build_bm25_index(docs, idx, n_buckets=8)
     with pytest.raises(ValueError):
         compact_bm25_index(spark, idx)
+
+
+def test_bm25_compact_drops_orphan_batches(spark, tmp_path):
+    """A crashed ingest leaves files at __batch=N with params still at
+    N-1 (the orphan state the dynamic-overwrite redelivery repairs).
+    Compaction must NOT fold those orphans into the durable generation —
+    doing so would make the redelivery double-count them. After
+    compacting, scores equal the committed corpus and the orphan docs
+    are absent from postings."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.tfidf import (
+        compact_bm25_index,
+        doc_terms,
+        query_bm25_index,
+        term_bucket,
+    )
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    committed = docs.filter(F.col("doc_id") % 2 == 0)
+    orphan = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    src = str(tmp_path / "docs_src")
+    committed.repartition(2).write.parquet(src)
+    idx = str(tmp_path / "bm25_stream")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_bm25_append(stream, idx, n_buckets=8)
+    [p] = spark.read.parquet(idx + "/params").collect()
+    marker = int(p["__max_batch_id"])
+    query = ["spark", "join", "window"]
+    want = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+
+    # simulate the crash: orphan batch's files land, params never swaps
+    terms = doc_terms(orphan, "doc_id", "text")
+    post = terms.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    (
+        post.withColumn("term_bucket", term_bucket(F.col("term"), 8))
+        .withColumn("__batch", F.lit(marker + 1).cast("long"))
+        .write.mode("append")
+        .partitionBy("term_bucket", "__batch")
+        .parquet(os.path.join(idx, "postings"))
+    )
+    (
+        terms.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .withColumn("__batch", F.lit(marker + 1).cast("long"))
+        .write.mode("append")
+        .partitionBy("__batch")
+        .parquet(os.path.join(idx, "doclen"))
+    )
+
+    compact_bm25_index(spark, idx)
+    got = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+    assert got == want and len(got) > 0
+    orphan_ids = [r.doc_id for r in orphan.select("doc_id").collect()]
+    assert (
+        spark.read.parquet(os.path.join(idx, "postings"))
+        .filter(F.col("doc_id").isin(orphan_ids))
+        .count()
+        == 0
+    )
+    # marker untouched: the redelivered batch (> marker) still folds
+    [p2] = spark.read.parquet(idx + "/params").collect()
+    assert int(p2["__max_batch_id"]) == marker
+
+
+def test_bm25_compact_recovers_crashed_swap(spark, tmp_path):
+    """A compactor crash between its two renames leaves no table at
+    postings/ — re-running the compactor must self-repair via
+    recover_swap instead of failing the read."""
+    import os
+
+    from ubdc_airbnb_spark.operators.tfidf import compact_bm25_index, query_bm25_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    src = str(tmp_path / "docs_src")
+    docs.repartition(2).write.parquet(src)
+    idx = str(tmp_path / "bm25_stream")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_bm25_append(stream, idx, n_buckets=8)
+    query = ["spark", "join"]
+    want = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+
+    # crash state (c) of the swap: base renamed away, tmp promoted never
+    postings = os.path.join(idx, "postings")
+    os.rename(postings, postings + ".__old__")
+    compact_bm25_index(spark, idx)  # must repair, then compact
+    got = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+    assert got == want and len(got) > 0

@@ -467,6 +467,17 @@ def add_to_bm25_index(
     spark = new_docs.sparkSession
     params_path = os.path.join(path, "params")
     [p] = spark.read.parquet(params_path).collect()
+    if "__max_batch_id" in p.asDict():
+        # streaming-maintained layout: postings live one level deeper
+        # (term_bucket/__batch) — appending at term_bucket depth would
+        # mix partition depths (breaking discovery on the next read),
+        # and the params swap below would drop the exactly-once marker
+        raise ValueError(
+            "add_to_bm25_index: index at %r is streaming-maintained "
+            "(params carries __max_batch_id); use "
+            "streaming.jobs.foreach_batch_bm25_append to fold new "
+            "documents into it" % path
+        )
     terms = _pin(doc_terms(new_docs, id_col, text_col))
     dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # match the EXISTING postings layout: appending dl-carrying files
@@ -705,6 +716,8 @@ def compact_bm25_index(spark, path: str) -> int:
     import os
     import shutil
 
+    from .upsert import recover_swap
+
     [p] = spark.read.parquet(os.path.join(path, "params")).collect()
     if "__max_batch_id" not in p.asDict():
         raise ValueError(
@@ -724,15 +737,28 @@ def compact_bm25_index(spark, path: str) -> int:
         shutil.rmtree(old, ignore_errors=True)
 
     postings_path = os.path.join(path, "postings")
-    post = spark.read.parquet(postings_path).withColumn(
-        "__batch", F.lit(marker).cast("long")
+    doclen_path = os.path.join(path, "doclen")
+    # a prior compaction crashed between its two renames → no table at
+    # base; the index readers don't self-repair, so repair here before
+    # reading (recover_swap handles all three crash states)
+    recover_swap(postings_path)
+    recover_swap(doclen_path)
+    # drop ORPHANED partitions (__batch > marker): a crashed ingest left
+    # their files but never committed the batch to params, so the stream
+    # will redeliver it — folding orphans into the durable generation
+    # would make the redelivery's dynamic-overwrite double-count them
+    post = (
+        spark.read.parquet(postings_path)
+        .filter(F.col("__batch") <= marker)
+        .withColumn("__batch", F.lit(marker).cast("long"))
     )
     _swap_partitioned(
         post.repartition("term_bucket"), postings_path, ["term_bucket", "__batch"]
     )
-    doclen_path = os.path.join(path, "doclen")
-    dl = spark.read.parquet(doclen_path).withColumn(
-        "__batch", F.lit(marker).cast("long")
+    dl = (
+        spark.read.parquet(doclen_path)
+        .filter(F.col("__batch") <= marker)
+        .withColumn("__batch", F.lit(marker).cast("long"))
     )
     _swap_partitioned(dl.repartition(par), doclen_path, ["__batch"])
     n = 0

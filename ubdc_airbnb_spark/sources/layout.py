@@ -200,7 +200,13 @@ def compact_partitioned(
     import os
     import shutil
 
+    from ..operators.upsert import recover_swap
+
     base = path.rstrip("/")
+    # a prior compaction crashed between its two renames → no table at
+    # base; the IVF/LSH probes don't self-repair, so repair before
+    # reading (recover_swap handles all three crash states)
+    recover_swap(base)
     cols = list(partition_cols)
     df = spark.read.parquet(base).repartition(*[F.col(c) for c in cols])
     tmp, old = base + ".__tmp__", base + ".__old__"

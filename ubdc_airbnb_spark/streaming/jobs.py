@@ -467,6 +467,7 @@ def foreach_batch_bm25_append(
 
     from pyspark.sql import Window
 
+    from ..operators.prefixsum import _pin, unpin
     from ..operators.tfidf import doc_terms, term_bucket
     from ..operators.upsert import recover_swap, replace_parquet
 
@@ -487,35 +488,41 @@ def foreach_batch_bm25_append(
             if batch_id <= p["__max_batch_id"]:
                 return  # completed batch redelivered: skip
         nb = int(p.n_buckets) if p is not None else n_buckets
-        terms = doc_terms(batch_df, id_col, text_col)
-        dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-        post = terms.withColumn(
-            "dl", F.sum("tf").over(Window.partitionBy(id_col))
-        )
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        old_mode = spark.conf.get(mode_key, "static")
-        spark.conf.set(mode_key, "dynamic")
+        # pin: postings write, doclen write, and the tot collect all
+        # derive from this one tokenization — unpinned, each re-tokenizes
+        # the micro-batch
+        terms = _pin(doc_terms(batch_df, id_col, text_col))
         try:
-            (
-                post.withColumn("term_bucket", term_bucket(F.col("term"), nb))
-                .withColumn("__batch", F.lit(batch_id).cast("long"))
-                .repartition("term_bucket")
-                .write.mode("overwrite")
-                .partitionBy("term_bucket", "__batch")
-                .parquet(os.path.join(index_path, "postings"))
+            dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+            post = terms.withColumn(
+                "dl", F.sum("tf").over(Window.partitionBy(id_col))
             )
-            (
-                dl.withColumn("__batch", F.lit(batch_id).cast("long"))
-                .write.mode("overwrite")
-                .partitionBy("__batch")
-                .parquet(os.path.join(index_path, "doclen"))
-            )
+            mode_key = "spark.sql.sources.partitionOverwriteMode"
+            old_mode = spark.conf.get(mode_key, "static")
+            spark.conf.set(mode_key, "dynamic")
+            try:
+                (
+                    post.withColumn("term_bucket", term_bucket(F.col("term"), nb))
+                    .withColumn("__batch", F.lit(batch_id).cast("long"))
+                    .repartition("term_bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("term_bucket", "__batch")
+                    .parquet(os.path.join(index_path, "postings"))
+                )
+                (
+                    dl.withColumn("__batch", F.lit(batch_id).cast("long"))
+                    .write.mode("overwrite")
+                    .partitionBy("__batch")
+                    .parquet(os.path.join(index_path, "doclen"))
+                )
+            finally:
+                spark.conf.set(mode_key, old_mode)
+            tot = dl.agg(
+                F.sum("dl").cast("long").alias("toktot"),
+                F.count(F.lit(1)).alias("n_docs"),
+            ).collect()[0]
         finally:
-            spark.conf.set(mode_key, old_mode)
-        tot = dl.agg(
-            F.sum("dl").cast("long").alias("toktot"),
-            F.count(F.lit(1)).alias("n_docs"),
-        ).collect()[0]
+            unpin(terms)
         replace_parquet(
             spark.createDataFrame(
                 [
