@@ -816,3 +816,249 @@ def test_bm25_compact_recovers_crashed_swap(spark, tmp_path):
     compact_bm25_index(spark, idx)  # must repair, then compact
     got = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
     assert got == want and len(got) > 0
+
+
+def _ivf_stream(spark, src, idx, ckpt=None):
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return jobs.foreach_batch_ivf_append(stream, idx, checkpoint=ckpt)
+
+
+def test_foreach_batch_ivf_append_matches_batch_build(spark, tmp_path):
+    """Streaming IVF maintenance = batch build over the same corpus with
+    the SAME centroids: identical probe results, merged n_vectors, and
+    the probe plan still partition-prunes on centroid_id."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.ann_index import build_ivf_index, query_ivf_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_stream")
+    build_ivf_index(base, idx, k=4, iters=2, streaming=True)
+    src = str(tmp_path / "emb_src")
+    rest.repartition(3).write.parquet(src)
+    _ivf_stream(spark, src, idx)
+
+    # batch twin: same centroids (copied), same corpus
+    full = str(tmp_path / "ivf_full")
+    cents = spark.read.parquet(idx + "/centroids")
+    build_ivf_index(emb, full, centroids=cents)
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    got = sorted(tuple(r) for r in query_ivf_index(spark, idx, qs, k=5, probes=2).collect())
+    want = sorted(tuple(r) for r in query_ivf_index(spark, full, qs, k=5, probes=2).collect())
+    assert got == want and len(got) > 0
+
+    [pi] = spark.read.parquet(idx + "/params").collect()
+    [pf] = spark.read.parquet(full + "/params").collect()
+    assert pi.n_vectors == pf.n_vectors
+
+    df = query_ivf_index(spark, idx, qs, k=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert any("centroid_id" in l for l in plan.splitlines() if "PartitionFilters" in l)
+
+
+def test_foreach_batch_ivf_append_redelivery_is_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.ann_index import build_ivf_index, query_ivf_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf_stream")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx, k=4, iters=1, streaming=True)
+    src = str(tmp_path / "emb_src")
+    emb.filter(F.col("vec_id") % 2 == 1).limit(100).repartition(2).write.parquet(src)
+
+    _ivf_stream(spark, src, idx)  # temp checkpoint: ids restart at 0 on rerun
+    [p1] = spark.read.parquet(idx + "/params").collect()
+    qs = emb.filter(F.col("vec_id") < 3)
+    got1 = sorted(tuple(r) for r in query_ivf_index(spark, idx, qs, k=5).collect())
+    _ivf_stream(spark, src, idx)  # same batches redelivered
+    [p2] = spark.read.parquet(idx + "/params").collect()
+    got2 = sorted(tuple(r) for r in query_ivf_index(spark, idx, qs, k=5).collect())
+    assert p1.n_vectors == p2.n_vectors
+    assert got1 == got2 and len(got1) > 0
+
+
+def test_foreach_batch_ivf_append_rejects_batch_built_layout(spark, tmp_path):
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ubdc_airbnb_spark.operators.ann_index import build_ivf_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    idx = str(tmp_path / "ivf_batch")
+    build_ivf_index(emb, idx, k=4, iters=1)  # no streaming layout
+    src = str(tmp_path / "emb_src")
+    emb.write.parquet(src)
+    with pytest.raises((ValueError, StreamingQueryException)):
+        _ivf_stream(spark, src, idx)
+
+
+def test_ivf_add_rejects_streaming_layout_and_compact_continues(spark, tmp_path):
+    """add_to_ivf_index must refuse a streaming layout; compaction
+    collapses batch generations (dropping orphans) without changing
+    probe results, and ingestion continues past the marker."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.ann_index import (
+        add_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from ubdc_airbnb_spark.sources.layout import compact_streaming_partitioned
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") % 4 == 1)
+    second = emb.filter(F.col("vec_id") % 4 == 3)
+    idx = str(tmp_path / "ivf_stream")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), idx, k=4, iters=1, streaming=True)
+
+    with pytest.raises(ValueError, match="streaming-maintained"):
+        add_to_ivf_index(first, idx)
+
+    src = str(tmp_path / "emb_src")
+    ckpt = str(tmp_path / "ckpt")
+    first.repartition(3).write.parquet(src)
+    _ivf_stream(spark, src, idx, ckpt)
+    [p] = spark.read.parquet(idx + "/params").collect()
+    marker = int(p["__max_batch_id"])
+    qs = emb.filter(F.col("vec_id") < 5)
+    want = sorted(tuple(r) for r in query_ivf_index(spark, idx, qs, k=5).collect())
+
+    # orphan batch: files land at marker+1, params never swaps
+    orphan = second.limit(20)
+    from ubdc_airbnb_spark.operators.similarity import assign_ivf_buckets
+
+    cents = spark.read.parquet(idx + "/centroids")
+    (
+        assign_ivf_buckets(orphan, cents, "vec_id", "embedding")
+        .withColumn("__batch", F.lit(marker + 1).cast("long"))
+        .write.mode("append")
+        .partitionBy("centroid_id", "__batch")
+        .parquet(os.path.join(idx, "assignments"))
+    )
+
+    def _n_files():
+        return sum(
+            1
+            for _r, _d, fs in os.walk(os.path.join(idx, "assignments"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = _n_files()
+    compact_streaming_partitioned(spark, os.path.join(idx, "assignments"), ["centroid_id"], marker)
+    assert _n_files() < before
+    got = sorted(tuple(r) for r in query_ivf_index(spark, idx, qs, k=5).collect())
+    assert got == want  # orphans dropped, durable generation intact
+
+    # ingestion continues through the SAME checkpoint past the marker
+    second.repartition(3).write.mode("append").parquet(src)
+    _ivf_stream(spark, src, idx, ckpt)
+    full = str(tmp_path / "ivf_full")
+    build_ivf_index(
+        emb.filter((F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 4 == 1) | (F.col("vec_id") % 4 == 3)),
+        full,
+        centroids=cents,
+    )
+    got2 = sorted(tuple(r) for r in query_ivf_index(spark, idx, qs, k=5).collect())
+    want2 = sorted(tuple(r) for r in query_ivf_index(spark, full, qs, k=5).collect())
+    assert got2 == want2 and len(got2) > 0
+
+
+def _lsh_stream(spark, src, idx, ckpt=None):
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return jobs.foreach_batch_lsh_append(stream, idx, checkpoint=ckpt)
+
+
+def test_foreach_batch_lsh_append_matches_batch_build(spark, tmp_path):
+    """Streaming LSH maintenance = batch build: identical candidate
+    screens for a probe batch, partition-pruned on key_bucket."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.dedup_index import build_lsh_index, query_lsh_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "lsh_stream")
+    build_lsh_index(base, idx, n_buckets=8, streaming=True)
+    src = str(tmp_path / "docs_src")
+    rest.repartition(3).write.parquet(src)
+    _lsh_stream(spark, src, idx)
+
+    full = str(tmp_path / "lsh_full")
+    build_lsh_index(docs, full, n_buckets=8)
+
+    probe = docs.filter(F.col("doc_id") % 10 == 0).limit(40)
+    got = sorted(tuple(r) for r in query_lsh_index(spark, idx, probe).collect())
+    want = sorted(tuple(r) for r in query_lsh_index(spark, full, probe).collect())
+    assert got == want and len(got) > 0
+
+
+def test_foreach_batch_lsh_append_redelivery_and_compaction(spark, tmp_path):
+    """Redelivery (temp checkpoint -> ids restart) must not duplicate
+    banded rows; compaction collapses generations without changing the
+    screen and ingestion continues afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.dedup_index import build_lsh_index, query_lsh_index
+    from ubdc_airbnb_spark.sources.layout import compact_streaming_partitioned
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1).limit(80)
+    idx = str(tmp_path / "lsh_stream")
+    build_lsh_index(base, idx, n_buckets=8, streaming=True)
+    src = str(tmp_path / "docs_src")
+    rest.repartition(2).write.parquet(src)
+
+    _lsh_stream(spark, src, idx)
+    n1 = spark.read.parquet(os.path.join(idx, "banded")).count()
+    _lsh_stream(spark, src, idx)  # redelivered
+    n2 = spark.read.parquet(os.path.join(idx, "banded")).count()
+    assert n1 == n2
+
+    probe = docs.filter(F.col("doc_id") % 10 == 0).limit(40)
+    want = sorted(tuple(r) for r in query_lsh_index(spark, idx, probe).collect())
+    [p] = spark.read.parquet(idx + "/params").collect()
+    compact_streaming_partitioned(
+        spark, os.path.join(idx, "banded"), ["key_bucket"], int(p["__max_batch_id"])
+    )
+    got = sorted(tuple(r) for r in query_lsh_index(spark, idx, probe).collect())
+    assert got == want and len(got) > 0
+
+
+def test_lsh_add_rejects_streaming_layout(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.dedup_index import add_to_lsh_index, build_lsh_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = str(tmp_path / "lsh_stream")
+    build_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), idx, n_buckets=8, streaming=True)
+    with pytest.raises(ValueError, match="streaming-maintained"):
+        add_to_lsh_index(docs.limit(5), idx)

@@ -40,9 +40,17 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    streaming: bool = False,
 ) -> None:
     """Train centroids (deterministic Lloyd, decimal-exact means) — or
-    take pre-supplied ones — and write the bucket-partitioned index."""
+    take pre-supplied ones — and write the bucket-partitioned index.
+
+    ``streaming=True`` lays the assignments out one partition level
+    deeper — ``centroid_id/__batch`` with the build as generation ``-1``
+    — and stamps ``__max_batch_id = -1`` into params, so the index can
+    be maintained by ``streaming.jobs.foreach_batch_ivf_append`` (stream
+    batch ids start at 0). The probe is unaffected: it selects columns
+    by name and partition-prunes on the first level."""
     spark = vectors.sparkSession
     cents = (
         centroids
@@ -52,10 +60,14 @@ def build_ivf_index(
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     assigned = assign_ivf_buckets(vectors, cents, id_col, vec_col)
+    parts = ["centroid_id"]
+    if streaming:
+        assigned = assigned.withColumn("__batch", F.lit(-1).cast("long"))
+        parts.append("__batch")
     (
         assigned.repartition("centroid_id")
         .write.mode("overwrite")
-        .partitionBy("centroid_id")
+        .partitionBy(*parts)
         .parquet(os.path.join(path, "assignments"))
     )
     n = vectors.count()
@@ -65,9 +77,16 @@ def build_ivf_index(
     # k/iters arguments (no training ran), so k = actual bucket count
     if centroids is not None:
         k, iters = cents.count(), 0
-    spark.createDataFrame(
-        [(k, iters, dim, n)], "k int, iters int, dim int, n_vectors long"
-    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
+    if streaming:
+        params = spark.createDataFrame(
+            [(k, iters, dim, n, -1)],
+            "k int, iters int, dim int, n_vectors long, __max_batch_id long",
+        )
+    else:
+        params = spark.createDataFrame(
+            [(k, iters, dim, n)], "k int, iters int, dim int, n_vectors long"
+        )
+    params.write.mode("overwrite").parquet(os.path.join(path, "params"))
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -140,6 +159,19 @@ def add_to_ivf_index(
     vs fresh centroids to decide), not per batch. Update ``params`` last
     so a crashed append under-counts rather than phantom-counts."""
     spark = new_vectors.sparkSession
+    params_path = os.path.join(path, "params")
+    [p] = spark.read.parquet(params_path).collect()
+    if "__max_batch_id" in p.asDict():
+        # streaming-maintained layout: assignments live one level deeper
+        # (centroid_id/__batch) — appending at centroid_id depth would
+        # mix partition depths, and the params swap below would drop the
+        # exactly-once marker
+        raise ValueError(
+            "add_to_ivf_index: index at %r is streaming-maintained "
+            "(params carries __max_batch_id); use "
+            "streaming.jobs.foreach_batch_ivf_append to fold new "
+            "vectors into it" % path
+        )
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     assigned = assign_ivf_buckets(new_vectors, cents, id_col, vec_col)
     (
@@ -148,8 +180,6 @@ def add_to_ivf_index(
         .partitionBy("centroid_id")
         .parquet(os.path.join(path, "assignments"))
     )
-    params_path = os.path.join(path, "params")
-    [p] = spark.read.parquet(params_path).collect()
     n_new = new_vectors.count()
     from .upsert import replace_parquet
 

@@ -91,9 +91,8 @@ def minhash_signatures(
     is one groupBy(id) with map-side partial min aggregation.
     """
     from ..functions.hashing import MERSENNE31
-    from ..functions.textstats import word_ngrams
+    from ..functions.textstats import char_ngrams_expr, word_ngrams_expr
 
-    shingler = char_ngrams if shingle == "char" else word_ngrams
     # Classic affine-rehash MinHash: ONE md5 per shingle, then each of the
     # num_perm "permutations" is h_i(g) = (a_i*h(g) + b_i) mod p — cheap
     # 64-bit arithmetic. The whole signature is a per-row narrow select
@@ -105,22 +104,25 @@ def minhash_signatures(
     params = [
         (rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31)) for _ in range(num_perm)
     ]
-    base = df.select(
-        F.col(id_col),
-        F.transform(
-            F.array_distinct(shingler(text_col, ngram)),
-            lambda g: md5_long(g) % MERSENNE31,
-        ).alias("hv"),
+    # Both stages are assembled as SQL strings and parsed JVM-side in ONE
+    # call each: building the shingle-hash transform and the num_perm
+    # min-folds with per-element Column lambdas costs hundreds of py4j
+    # round-trips (~0.07 s of pure driver latency per query at any scale).
+    sh_expr = (
+        char_ngrams_expr(f"`{text_col}`", ngram)
+        if shingle == "char"
+        else word_ngrams_expr(f"`{text_col}`", ngram)
     )
-    # The num_perm min-fold expressions are assembled as ONE SQL string and
-    # parsed JVM-side in a single call: building them with per-perm Column
-    # lambdas costs hundreds of py4j round-trips (~0.4 s of pure driver
-    # latency per query at any scale).
+    base = df.selectExpr(
+        f"`{id_col}`",
+        f"transform(array_distinct({sh_expr}), "
+        f"g -> CAST(CONV(SUBSTRING(MD5(g), 1, 15), 16, 10) AS BIGINT) % {MERSENNE31}L) AS hv",
+    )
     terms = ",".join(
         f"array_min(transform(hv, h -> (h * {a}L + {b}L) % {MERSENNE31}L))"
         for a, b in params
     )
-    return base.select(F.col(id_col), F.expr(f"array({terms})").alias("sig"))
+    return base.selectExpr(f"`{id_col}`", f"array({terms}) AS sig")
 
 
 def banded_signatures(
@@ -180,17 +182,16 @@ def lsh_candidate_pairs(
             .select("band_id", "band_key")
         )
         banded = banded.join(small, ["band_id", "band_key"], "left_semi")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # the self-join tail as ONE parameterized parse (same plan; the
+    # alias/condition Column chain is ~20 py4j calls of driver latency)
+    return banded.sparkSession.sql(
+        f"""
+        SELECT DISTINCT a.`{id_col}` AS id_a, b.`{id_col}` AS id_b
+        FROM {{banded}} a JOIN {{banded}} b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.`{id_col}` < b.`{id_col}`
+        """,
+        banded=banded,
     )
 
 
@@ -221,18 +222,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     # construction is ~400 py4j round-trips (~0.8 s of driver latency per
     # query). popcount of bit b is an arithmetic fold (cheaper than
     # filter+size: no per-bit array allocation); vote sum = 2*cnt - n.
+    from ..functions.textstats import words_expr
+
     sketch_sql = " + ".join(
         f"IF(2 * aggregate(__hs, 0, (acc, h) -> acc"
         f" + CAST(shiftright(h, {b}) & 1 AS INT)) - size(__hs) > 0, {1 << b}L, 0L)"
         for b in range(bits)
     )
     return (
-        df.select(
-            F.col(id_col),
-            F.transform(F.array_distinct(words(text_col)), lambda w: md5_long(w)).alias("__hs"),
+        df.selectExpr(
+            f"`{id_col}`",
+            f"transform(array_distinct({words_expr(f'`{text_col}`')}), "
+            "w -> CAST(CONV(SUBSTRING(MD5(w), 1, 15), 16, 10) AS BIGINT)) AS __hs",
         )
-        .filter(F.size(F.col("__hs")) > 0)
-        .select(id_col, F.expr(sketch_sql).alias("simhash"))
+        .filter("size(__hs) > 0")
+        .selectExpr(f"`{id_col}`", f"({sketch_sql}) AS simhash")
     )
 
 

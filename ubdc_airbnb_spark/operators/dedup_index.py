@@ -48,23 +48,44 @@ def build_lsh_index(
     ngram: int = 3,
     shingle: str = "word",
     n_buckets: int = 64,
+    streaming: bool = False,
 ) -> None:
     """Shingle+MinHash+band the corpus once and persist the banded rows
     bucket-partitioned. Params written LAST (crash leaves no readable
-    index, never a half-described one)."""
+    index, never a half-described one).
+
+    ``streaming=True`` lays the banded rows out one partition level
+    deeper — ``key_bucket/__batch`` with the build as generation ``-1``
+    — and stamps ``__max_batch_id = -1`` into params, so the index can
+    be maintained by ``streaming.jobs.foreach_batch_lsh_append`` (stream
+    batch ids start at 0). The probe is unaffected: it selects columns
+    by name and partition-prunes on the first level."""
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, ngram, shingle)
-    banded = banded_signatures(sigs, id_col, num_perm, bands)
+    banded = banded_signatures(sigs, id_col, num_perm, bands).withColumn(
+        "key_bucket", _key_bucket(n_buckets)
+    )
+    parts = ["key_bucket"]
+    if streaming:
+        banded = banded.withColumn("__batch", F.lit(-1).cast("long"))
+        parts.append("__batch")
     (
-        banded.withColumn("key_bucket", _key_bucket(n_buckets))
-        .repartition("key_bucket")
+        banded.repartition("key_bucket")
         .write.mode("overwrite")
-        .partitionBy("key_bucket")
+        .partitionBy(*parts)
         .parquet(os.path.join(path, "banded"))
     )
-    docs.sparkSession.createDataFrame(
-        [(num_perm, bands, ngram, shingle, n_buckets)],
-        "num_perm int, bands int, ngram int, shingle string, n_buckets int",
-    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
+    if streaming:
+        params = docs.sparkSession.createDataFrame(
+            [(num_perm, bands, ngram, shingle, n_buckets, -1)],
+            "num_perm int, bands int, ngram int, shingle string, "
+            "n_buckets int, __max_batch_id long",
+        )
+    else:
+        params = docs.sparkSession.createDataFrame(
+            [(num_perm, bands, ngram, shingle, n_buckets)],
+            "num_perm int, bands int, ngram int, shingle string, n_buckets int",
+        )
+    params.write.mode("overwrite").parquet(os.path.join(path, "params"))
 
 
 def query_lsh_index(
@@ -120,6 +141,16 @@ def add_to_lsh_index(
     (banding constants are fixed at build)."""
     spark = new_docs.sparkSession
     [p] = spark.read.parquet(os.path.join(path, "params")).collect()
+    if "__max_batch_id" in p.asDict():
+        # streaming-maintained layout: banded rows live one level deeper
+        # (key_bucket/__batch) — appending at key_bucket depth would mix
+        # partition depths and break discovery on the next read
+        raise ValueError(
+            "add_to_lsh_index: index at %r is streaming-maintained "
+            "(params carries __max_batch_id); use "
+            "streaming.jobs.foreach_batch_lsh_append to fold new "
+            "documents into it" % path
+        )
     sigs = minhash_signatures(
         new_docs, id_col, text_col, p.num_perm, p.ngram, p.shingle
     )

@@ -99,29 +99,30 @@ def score_documents(
     # bigram/unigram model tables are vocab(^2)-sized — SHUFFLE_HASH,
     # never broadcast (100x plan audit): both sides hash-partition on
     # the key (scale-safe) and the per-partition model slice builds the
-    # hash map, skipping both sorts; vsz is one scalar row
-    scored = (
-        grams.join(bc.hint("shuffle_hash"), "bigram")
-        .withColumn("w1", F.substring_index("bigram", " ", 1))
-        .join(cc.hint("shuffle_hash"), "w1")
-        .join(F.broadcast(vsz))
-        .withColumn(
-            "p",
-            ((F.col("c12") + F.lit(1)).cast("double") / (F.col("c1") + F.col("vsz")).cast("double")),
-        )
-        .groupBy(F.col("id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.floor(F.col("p") * F.lit(1e9)).cast("long")).alias("sum_ppb"),
-        )
-    )
-    return scored.select(
-        id_col,
-        "n_bigrams",
-        (
-            (F.col("sum_ppb").cast("double") / F.lit(1e9))
-            / F.col("n_bigrams").cast("double")
-        ).alias("avg_cond_p"),
+    # hash map, skipping both sorts; vsz is one scalar row. The scoring
+    # tail assembles as ONE parameterized parse (same plan; the Column
+    # chain costs ~35 py4j calls of driver latency per build).
+    return grams.sparkSession.sql(
+        f"""
+        SELECT `{id_col}`, n_bigrams,
+               (CAST(sum_ppb AS DOUBLE) / 1e9) / CAST(n_bigrams AS DOUBLE) AS avg_cond_p
+        FROM (
+          SELECT /*+ SHUFFLE_HASH(b, c), BROADCAST(v) */
+                 g.id AS `{id_col}`,
+                 COUNT(*) AS n_bigrams,
+                 SUM(CAST(FLOOR(
+                   (CAST(b.c12 + 1 AS DOUBLE) / CAST(c.c1 + v.vsz AS DOUBLE)) * 1e9
+                 ) AS BIGINT)) AS sum_ppb
+          FROM {{grams}} g
+          JOIN {{bc}} b ON g.bigram = b.bigram
+          JOIN {{cc}} c ON substring_index(g.bigram, ' ', 1) = c.w1
+          CROSS JOIN {{vsz}} v
+          GROUP BY g.id)
+        """,
+        grams=grams,
+        bc=bc,
+        cc=cc,
+        vsz=vsz,
     )
 
 

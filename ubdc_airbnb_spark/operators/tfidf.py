@@ -188,28 +188,31 @@ def cosine_similar_pairs(
                 "term",
             )
         )
-    norms = terms.groupBy(F.col(id_col).alias("id")).agg(
-        F.sum(F.col("tf") * F.col("tf")).alias("n2")
-    )
-    a = terms.select(F.col(id_col).alias("id_a"), "term", F.col("tf").alias("tf_a"))
-    b = terms.select(F.col(id_col).alias("id_b"), "term", F.col("tf").alias("tf_b"))
-    dots = (
-        a.join(b, ["term"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
-    )
-    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2_a"))
-    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2_b"))
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))
-    )
-    return (
-        dots.join(na.hint("shuffle_hash"), "id_a")
-        .join(nb.hint("shuffle_hash"), "id_b")
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "dot", "cos")
+    # the whole tail as ONE parameterized parse (same plan: inverted-
+    # index self-join, norm join-backs pinned to SHUFFLE_HASH — the
+    # doc-cardinality norms table must never broadcast off its lying
+    # post-aggregate estimate; the Column chain costs ~40 py4j calls)
+    return terms.sparkSession.sql(
+        f"""
+        WITH dots AS (
+          SELECT a.`{id_col}` AS id_a, b.`{id_col}` AS id_b,
+                 SUM(a.tf * b.tf) AS dot
+          FROM {{terms}} a JOIN {{terms}} b
+            ON a.term = b.term AND a.`{id_col}` < b.`{id_col}`
+          GROUP BY a.`{id_col}`, b.`{id_col}`
+        ),
+        norms AS (
+          SELECT `{id_col}` AS id, SUM(tf * tf) AS n2 FROM {{terms}} GROUP BY `{id_col}`
+        )
+        SELECT id_a, id_b, dot, cos FROM (
+          SELECT /*+ SHUFFLE_HASH(na, nb) */ id_a, id_b, dot,
+                 CAST(dot AS DOUBLE)
+                   / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos
+          FROM dots JOIN norms na ON na.id = id_a
+                    JOIN norms nb ON nb.id = id_b)
+        WHERE cos >= {float(threshold)!r}
+        """,
+        terms=terms,
     )
 
 

@@ -36,6 +36,28 @@ def _dec_sum(c: F.Column) -> F.Column:
     return F.sum(c.cast("decimal(18,2)")).cast("double")
 
 
+#: table -> (sf_dir, id(df)) currently bound as that temp view, so the
+#: single-parse SQL builders re-register only when the binding changes
+#: (a cache refresh or a different sf_dir), not on every call
+_VIEW_BOUND: dict[str, tuple[str, int]] = {}
+
+
+def _sqlv(spark: SparkSession, sf: str, tables: tuple[str, ...], stmt: str) -> DataFrame:
+    """Build a query as ONE JVM-side SQL parse over temp views bound to
+    the (possibly warm-cached) tables. The equivalent Column-by-Column
+    construction costs 50-300 py4j round trips per plan build — ~0.1 s
+    of constant driver latency per query at ANY data scale (profiled;
+    see BENCH_NOTES.md). View registration is memoized per table
+    binding, so in steady state the whole build is one py4j call."""
+    for t in tables:
+        df = load_table(spark, sf, t)
+        key = (sf, id(df))
+        if _VIEW_BOUND.get(t) != key:
+            df.createOrReplaceTempView(t)
+            _VIEW_BOUND[t] = key
+    return spark.sql(stmt)
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -83,24 +105,24 @@ def registry() -> list[QuerySpec]:
     "TPC-H Q1 shape — grouped aggregate with map-side partial agg",
 )
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    return (
-        li.filter(F.expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
-        .groupBy("l_returnflag", "l_linestatus")
-        # each aggregate as ONE parsed SQL string: the equivalent Column
-        # chain costs ~400 py4j round-trips per plan build (~0.1 s of
-        # driver latency per query at ANY data scale — profiled)
-        .agg(
-            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_qty"),
-            F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_base_price"),
-            F.expr(
-                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
-                " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
-            ).alias("sum_disc_price"),
-            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").alias("avg_qty"),
-            F.expr("CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").alias("avg_disc"),
-            F.expr("COUNT(*)").alias("count_order"),
-        )
+    # whole-query single parse (the oracle SQL is ANSI and valid Spark
+    # SQL verbatim): one py4j call instead of a Column-by-Column chain
+    return _sqlv(
+        spark,
+        sf,
+        ("lineitem",),
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
     )
 
 
@@ -120,26 +142,26 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     "TPC-H Q3 shape — join + grouped agg + deterministic top-k",
 )
 def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf, "orders").filter(
-        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15 00:00:00'")
-    )
-    li = load_table(spark, sf, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
+    # single parse, fact-first join order: SHUFFLE_HASH(orders) pins the
+    # lineitem⋈orders join to a shuffled hash join (orders build side) —
+    # without it Catalyst broadcasts the 600k-row FACT table off its
+    # pruned-scan size estimate at toy SF (measured 2× slower here and
+    # the wrong side to broadcast at any larger scale); customer is a
+    # true dim and broadcasts
+    return _sqlv(
+        spark,
+        sf,
+        ("customer", "orders", "lineitem"),
+        """
+        SELECT /*+ BROADCAST(customer), SHUFFLE_HASH(orders) */ l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
     )
 
 
@@ -162,31 +184,30 @@ def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "TPC-H Q5 shape — star join with broadcast dims",
 )
 def q5_region_volume(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    orders = load_table(spark, sf, "orders")
-    cust = load_table(spark, sf, "customer")
-    supp = load_table(spark, sf, "supplier")
-    nation = load_table(spark, sf, "nation")
-    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    # single parse; the dims stay broadcast (hint mirrors the Column
+    # form). Join order preserved: lineitem⋈orders⋈customer build the
+    # fact spine, then the broadcast dims attach. orders/customer also
+    # auto-broadcast at toy SF off their HONEST scan-size estimates
+    # (fastest measured variant); past the 10 MB threshold the planner
+    # degrades those joins to shuffles on its own — unlike the lying
+    # post-aggregate estimates, scan sizes grow with the data.
+    return _sqlv(
+        spark,
+        sf,
+        ("lineitem", "orders", "customer", "supplier", "nation", "region"),
+        """
+        SELECT /*+ BROADCAST(supplier, nation, region) */ n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        """,
     )
 
 
@@ -205,24 +226,19 @@ def q5_region_volume(spark: SparkSession, sf: str) -> DataFrame:
     "TPC-H Q6 shape — multi-predicate scan fully pushed into parquet",
 )
 def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
-            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
-            & (F.col("l_discount") >= 0.03)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_discount").cast("decimal(18,2)")
-            )
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    return _sqlv(
+        spark,
+        sf,
+        ("lineitem",),
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """,
     )
 
 
@@ -244,28 +260,22 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "TPC-H Q10 shape — returned-item revenue per customer, top 20",
 )
 def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
-    cust = load_table(spark, sf, "customer")
-    orders = load_table(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
-        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-07-01 00:00:00'"))
-    )
-    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
-    nation = load_table(spark, sf, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
+    return _sqlv(
+        spark,
+        sf,
+        ("customer", "orders", "lineitem", "nation"),
+        """
+        SELECT /*+ BROADCAST(nation), SHUFFLE_HASH(orders, customer) */ c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
     )
 
 
@@ -1722,10 +1732,12 @@ def j1_prefix_cover_semi(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("user_id") * 13) % 1024).alias("y"),
     )
     pts = ev.withColumn("quadkey", quadkey.tile_to_quadkey("x", "y", 10))
-    # VALUES → LocalRelation: skips the createDataFrame RDD round-trip
-    # (~0.2 s of driver latency under the bench's per-query timing)
-    covers = spark.sql("SELECT * FROM VALUES ('02'), ('031'), ('1'), ('2301') AS t(qk_prefix)")
-    return joins.prefix_semi_join(pts, covers, keep=["event_id"]).select("event_id")
+    # the cover is a 4-prefix constant, so go straight to the J1 kernel's
+    # driver-resident fast path (prefix_filter — the same codegen'd
+    # substring-IN-set filter prefix_semi_join compiles to after its
+    # fetch-or-overflow probe; skipping the probe saves one eager take()
+    # job of pure driver latency per build)
+    return joins.prefix_filter(pts, ["02", "031", "1", "2301"]).select("event_id")
 
 
 @q(

@@ -220,3 +220,52 @@ def compact_partitioned(
     for _root, _dirs, files in os.walk(base):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+def compact_streaming_partitioned(
+    spark,
+    path: str,
+    partition_cols: Sequence[str],
+    marker: int,
+) -> int:
+    """:func:`compact_partitioned` for a STREAMING-maintained layout
+    (``foreach_batch_*_append``): every micro-batch leaves one file set
+    per touched ``(*partition_cols, __batch)`` partition, so a long
+    ingest accumulates thousands of small files. Collapses every batch
+    generation into ONE per first-level partition value, KEEPING the
+    ``__batch`` level (at the current ``marker`` value) so ingestion
+    continues afterwards with higher batch ids.
+
+    Orphan discipline (the crashed-ingest case): partitions with
+    ``__batch > marker`` were written by a batch that never committed to
+    ``params`` — the stream WILL redeliver that batch, and its dynamic
+    partition overwrite is what makes redelivery idempotent. Folding
+    orphans into the durable generation would turn that redelivery into
+    a double-append, so they are dropped here instead. Self-repairs a
+    half-done rename swap at entry (recover_swap). Returns the parquet
+    file count after compaction."""
+    import os
+    import shutil
+
+    from ..operators.upsert import recover_swap
+
+    base = path.rstrip("/")
+    recover_swap(base)
+    cols = list(partition_cols)
+    df = (
+        spark.read.parquet(base)
+        .filter(F.col("__batch") <= marker)
+        .withColumn("__batch", F.lit(marker).cast("long"))
+        .repartition(*[F.col(c) for c in cols])
+    )
+    tmp, old = base + ".__tmp__", base + ".__old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.write.mode("overwrite").partitionBy(*cols, "__batch").parquet(tmp)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
+    n = 0
+    for _root, _dirs, files in os.walk(base):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

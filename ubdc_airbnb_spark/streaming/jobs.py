@@ -547,3 +547,174 @@ def foreach_batch_bm25_append(
     q = w.trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def foreach_batch_ivf_append(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+):
+    """Persisted-IVF maintenance in streaming form (NS76 fed by an
+    embedding stream): every micro-batch routes through the index's own
+    centroids (broadcast argmax — the same assignment the batch build
+    ran) and folds into the bucket-partitioned layout, so the index
+    stays queryable (``query_ivf_index``, unchanged) while ingestion
+    runs. Centroids never retrain per batch — drift is a scheduled
+    rebuild decision, exactly as in ``add_to_ivf_index``.
+
+    Exactly-once under foreachBatch's at-least-once delivery — the same
+    TWO-level device as ``foreach_batch_bm25_append``:
+
+    - ``params`` carries ``__max_batch_id`` in the same atomic swap as
+      the merged ``n_vectors`` count — a redelivered batch that
+      COMPLETED is skipped outright.
+    - ``assignments`` is additionally partitioned by ``__batch`` and
+      written with DYNAMIC partition overwrite, so redelivery of a batch
+      that crashed mid-append overwrites its own partitions instead of
+      double-appending.
+
+    Requires a ``build_ivf_index(..., streaming=True)`` layout (the
+    ``__batch`` level must exist from the start — mixed partition depths
+    break parquet discovery — and the stream cannot bootstrap an index:
+    centroids need training). Compact between ingests with
+    ``sources.layout.compact_streaming_partitioned`` at the current
+    marker."""
+    import os
+
+    from ..operators.similarity import assign_ivf_buckets
+    from ..operators.upsert import recover_swap, replace_parquet
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        params_path = os.path.join(index_path, "params")
+        if not recover_swap(params_path):
+            raise ValueError(
+                "foreach_batch_ivf_append: no index at %r — build one "
+                "first with build_ivf_index(..., streaming=True) (the "
+                "stream cannot train centroids)" % index_path
+            )
+        [p] = spark.read.parquet(params_path).collect()
+        if "__max_batch_id" not in p.asDict():
+            raise ValueError(
+                "foreach_batch_ivf_append: index at %r was built without "
+                "streaming=True (no __batch partition level); streaming "
+                "maintenance would mix partition depths — use "
+                "add_to_ivf_index for batch drops, or rebuild with "
+                "build_ivf_index(..., streaming=True)" % index_path
+            )
+        if batch_id <= p["__max_batch_id"]:
+            return  # completed batch redelivered: skip
+        cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+        assigned = assign_ivf_buckets(batch_df, cents, id_col, vec_col)
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                assigned.withColumn("__batch", F.lit(batch_id).cast("long"))
+                .repartition("centroid_id")
+                .write.mode("overwrite")
+                .partitionBy("centroid_id", "__batch")
+                .parquet(os.path.join(index_path, "assignments"))
+            )
+        finally:
+            spark.conf.set(mode_key, old_mode)
+        n_new = batch_df.count()
+        replace_parquet(
+            spark.createDataFrame(
+                [(p.k, p.iters, p.dim, p.n_vectors + n_new, batch_id)],
+                "k int, iters int, dim int, n_vectors long, __max_batch_id long",
+            ),
+            params_path,
+        )
+
+    w = stream.writeStream.foreachBatch(_fold)
+    if checkpoint is not None:
+        # durable checkpoint keeps batch ids monotone across runs (a
+        # temp checkpoint restarts ids at 0 = treated as redelivery)
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
+
+
+def foreach_batch_lsh_append(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+):
+    """Persisted-LSH-dedup maintenance in streaming form (NS97 fed by a
+    document stream): every micro-batch is shingled/MinHashed/banded
+    with the index's OWN recorded constants and folds into the
+    bucket-partitioned banding, so the index stays queryable
+    (``query_lsh_index``, unchanged) while ingestion runs.
+
+    Same two-level exactly-once device as ``foreach_batch_ivf_append``
+    (marker in params' atomic swap + per-``__batch`` dynamic partition
+    overwrite). Requires a ``build_lsh_index(..., streaming=True)``
+    layout — banding constants are fixed at build, so the stream cannot
+    bootstrap an index either. Compact between ingests with
+    ``sources.layout.compact_streaming_partitioned``."""
+    import os
+
+    from ..operators.dedup import banded_signatures, minhash_signatures
+    from ..operators.dedup_index import _key_bucket
+    from ..operators.upsert import recover_swap, replace_parquet
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        params_path = os.path.join(index_path, "params")
+        if not recover_swap(params_path):
+            raise ValueError(
+                "foreach_batch_lsh_append: no index at %r — build one "
+                "first with build_lsh_index(..., streaming=True) (the "
+                "banding constants are fixed at build)" % index_path
+            )
+        [p] = spark.read.parquet(params_path).collect()
+        if "__max_batch_id" not in p.asDict():
+            raise ValueError(
+                "foreach_batch_lsh_append: index at %r was built without "
+                "streaming=True (no __batch partition level); streaming "
+                "maintenance would mix partition depths — use "
+                "add_to_lsh_index for batch drops, or rebuild with "
+                "build_lsh_index(..., streaming=True)" % index_path
+            )
+        if batch_id <= p["__max_batch_id"]:
+            return  # completed batch redelivered: skip
+        sigs = minhash_signatures(
+            batch_df, id_col, text_col, p.num_perm, p.ngram, p.shingle
+        )
+        banded = banded_signatures(sigs, id_col, p.num_perm, p.bands)
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                banded.withColumn("key_bucket", _key_bucket(p.n_buckets))
+                .withColumn("__batch", F.lit(batch_id).cast("long"))
+                .repartition("key_bucket")
+                .write.mode("overwrite")
+                .partitionBy("key_bucket", "__batch")
+                .parquet(os.path.join(index_path, "banded"))
+            )
+        finally:
+            spark.conf.set(mode_key, old_mode)
+        replace_parquet(
+            spark.createDataFrame(
+                [(p.num_perm, p.bands, p.ngram, p.shingle, p.n_buckets, batch_id)],
+                "num_perm int, bands int, ngram int, shingle string, "
+                "n_buckets int, __max_batch_id long",
+            ),
+            params_path,
+        )
+
+    w = stream.writeStream.foreachBatch(_fold)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
