@@ -160,3 +160,132 @@ def test_compact_partitioned_recovers_crashed_swap(spark, tmp_path):
     os.rename(base, base + ".__old__")  # crash state: swap half-done
     compact_partitioned(spark, base, ["b"])
     assert spark.read.parquet(base).count() == want
+
+
+def test_manifest_replace_atomicity_and_crash_windows(spark, tmp_path):
+    """Manifest-pointer swap: readers always see a complete generation;
+    a crash between the generation write and the pointer swap leaves an
+    orphan that the next replace GCs; the pointer file is the only
+    mutation (no directory rename)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.sources.layout import (
+        current_path,
+        is_manifest_table,
+        manifest_gc,
+        manifest_init,
+        manifest_replace,
+    )
+
+    base = str(tmp_path / "tbl")
+    df1 = spark.range(100).withColumn("v", F.lit(1))
+    manifest_init(df1, base)
+    assert is_manifest_table(base)
+    assert spark.read.parquet(current_path(base)).agg(F.sum("v")).first()[0] == 100
+
+    # crash window: a half-written generation lands, pointer never swaps
+    orphan = os.path.join(base, "gen-00000001")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").write(b"garbage")
+    # readers are unaffected — the pointer still names gen 0
+    assert current_path(base).endswith("gen-00000000")
+    assert spark.read.parquet(current_path(base)).count() == 100
+
+    # the next replace must not reuse the orphan's name, and GCs it
+    df2 = spark.range(50).withColumn("v", F.lit(2))
+    manifest_replace(lambda d: df2.write.mode("overwrite").parquet(d), base)
+    assert spark.read.parquet(current_path(base)).agg(F.sum("v")).first()[0] == 100
+    gens = sorted(d for d in os.listdir(base) if d.startswith("gen-"))
+    assert len(gens) == 1  # orphan + superseded gen both collected
+    with open(os.path.join(base, "CURRENT")) as f:
+        assert json.load(f)["generation"] == gens[0]
+
+    assert manifest_gc(base) == 0  # nothing left to collect
+
+
+def test_replace_parquet_routes_manifest_tables(spark, tmp_path):
+    """upsert.replace_parquet must swap manifest-managed tables via the
+    pointer (object-store-safe), leaving no rename artifacts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.upsert import replace_parquet
+    from ubdc_airbnb_spark.sources.layout import current_path, manifest_init
+
+    base = str(tmp_path / "params")
+    manifest_init(spark.range(3).withColumn("v", F.lit(1)), base)
+    replace_parquet(spark.range(5).withColumn("v", F.lit(2)), base)
+    got = spark.read.parquet(current_path(base))
+    assert got.count() == 5 and got.agg(F.max("v")).first()[0] == 2
+    assert not os.path.exists(base + ".__old__")
+    assert not os.path.exists(base + ".__tmp__")
+
+
+def test_compact_partitioned_manifest_table(spark, tmp_path):
+    """compact_partitioned on a manifest-managed table compacts into a
+    fresh generation and repoints — row-identical, generations GC'd."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.sources.layout import (
+        compact_partitioned,
+        current_path,
+        manifest_init,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(400).withColumn("b", (F.col("id") % 4).cast("int"))
+    manifest_init(df.repartition(8), base, ["b"])
+    want = sorted(tuple(r) for r in spark.read.parquet(current_path(base)).collect())
+    n_before = sum(
+        1 for _r, _d, fs in os.walk(current_path(base)) for f in fs if f.endswith(".parquet")
+    )
+    compact_partitioned(spark, base, ["b"])
+    got = sorted(tuple(r) for r in spark.read.parquet(current_path(base)).collect())
+    assert got == want
+    n_after = sum(
+        1 for _r, _d, fs in os.walk(current_path(base)) for f in fs if f.endswith(".parquet")
+    )
+    assert n_after < n_before
+    assert len([d for d in os.listdir(base) if d.startswith("gen-")]) == 1
+
+
+def test_bm25_object_store_safe_lifecycle(spark, tmp_path):
+    """object_store_safe BM25 index: build + append + query are
+    score-identical to the plain layout, with every full-table replace
+    going through the pointer (no rename artifacts anywhere)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.tfidf import (
+        add_to_bm25_index,
+        build_bm25_index,
+        query_bm25_index,
+    )
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base_half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    oss = str(tmp_path / "bm25_oss")
+    plain = str(tmp_path / "bm25_plain")
+    build_bm25_index(base_half, oss, n_buckets=8, object_store_safe=True)
+    add_to_bm25_index(rest, oss)
+    build_bm25_index(docs, plain, n_buckets=8)
+
+    query = ["spark", "join", "window"]
+    got = [tuple(r) for r in query_bm25_index(spark, oss, query, k=10).collect()]
+    want = [tuple(r) for r in query_bm25_index(spark, plain, query, k=10).collect()]
+    assert got == want and len(got) > 0
+
+    for comp in ("postings", "doclen", "params"):
+        d = os.path.join(oss, comp)
+        assert os.path.exists(os.path.join(d, "CURRENT")), comp
+        assert not os.path.exists(d + ".__old__")
+        assert not os.path.exists(d + ".__tmp__")

@@ -375,12 +375,24 @@ def _py_term_bucket(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
 
 
+def _comp(path: str, name: str) -> str:
+    """Resolve an index component directory, following the manifest
+    pointer when the component is manifest-managed (``object_store_safe``
+    builds) — a no-op for plain layouts."""
+    import os
+
+    from ..sources.layout import current_path
+
+    return current_path(os.path.join(path, name))
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    object_store_safe: bool = False,
 ) -> None:
     """Build-once inverted-index layout for BM25 serve-many (the NS76
     persisted-IVF pattern applied to lexical retrieval — the inline
@@ -402,15 +414,23 @@ def build_bm25_index(
     ``n_buckets`` sizes partitions, not correctness: at corpus scale set
     it so each bucket is a few hundred MB (vocabulary hashes uniformly —
     only stopword terms skew WITHIN a bucket, and those rows are exactly
-    what a query's ``term IN`` filter discards at the scan)."""
-    import os
+    what a query's ``term IN`` filter discards at the scan).
 
-    from .prefixsum import _pin
+    ``object_store_safe=True`` lays every component out as a
+    manifest-managed generation table (``sources.layout``): future
+    full-table replaces (params merges, compaction) swap a one-line
+    pointer file instead of renaming directories — atomic on S3-class
+    stores, where rename is copy+delete. Probes and appends resolve
+    components through the pointer transparently."""
+    import os
 
     from pyspark.sql import Window
 
+    from ..sources.layout import manifest_init
+    from .prefixsum import _pin
+
     terms = _pin(doc_terms(docs, id_col, text_col))
-    (
+    post = (
         # denormalize dl with ONE doc-keyed window (hash exchange on the
         # doc id, whole-partition sum) — measurably cheaper than the
         # aggregate + join-back, which pays the same doc-keyed exchange
@@ -418,17 +438,32 @@ def build_bm25_index(
         terms.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
         .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
         .repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(os.path.join(path, "postings"))
     )
     dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    tot_df = lambda: dl.agg(  # noqa: E731 — tiny local thunk
+        F.sum("dl").cast("long").alias("toktot"), F.count(F.lit(1)).alias("n_docs")
+    ).collect()[0]
+    if object_store_safe:
+        manifest_init(post, os.path.join(path, "postings"), ["term_bucket"])
+        manifest_init(dl, os.path.join(path, "doclen"))
+        tot = tot_df()
+        # params last: a crashed build leaves no readable index, never a
+        # wrong-constant one (same crash contract as ann_index)
+        manifest_init(
+            docs.sparkSession.createDataFrame(
+                [(tot.n_docs, tot.toktot, n_buckets)],
+                "n_docs long, toktot long, n_buckets int",
+            ),
+            os.path.join(path, "params"),
+        )
+        return
+    post.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        os.path.join(path, "postings")
+    )
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     # params last: a crashed build leaves no readable index, never a
     # wrong-constant one (same crash contract as ann_index)
-    tot = dl.agg(
-        F.sum("dl").cast("long").alias("toktot"), F.count(F.lit(1)).alias("n_docs")
-    ).collect()[0]
+    tot = tot_df()
     docs.sparkSession.createDataFrame(
         [(tot.n_docs, tot.toktot, n_buckets)],
         "n_docs long, toktot long, n_buckets int",
@@ -469,7 +504,7 @@ def add_to_bm25_index(
 
     spark = new_docs.sparkSession
     params_path = os.path.join(path, "params")
-    [p] = spark.read.parquet(params_path).collect()
+    [p] = spark.read.parquet(_comp(path, "params")).collect()
     if "__max_batch_id" in p.asDict():
         # streaming-maintained layout: postings live one level deeper
         # (term_bucket/__batch) — appending at term_bucket depth would
@@ -488,7 +523,7 @@ def add_to_bm25_index(
     # sample a new file's schema would see the old rows' dl as NULL and
     # score them silently wrong. Old layout keeps appending old-shape
     # rows (the probe's doclen-sidecar fallback stays correct).
-    denormalized = "dl" in spark.read.parquet(os.path.join(path, "postings")).columns
+    denormalized = "dl" in spark.read.parquet(_comp(path, "postings")).columns
     if denormalized:
         # a doc's dl depends only on its own text, so the batch-local
         # window denormalizes exactly like the full build's would
@@ -502,9 +537,9 @@ def add_to_bm25_index(
         .repartition("term_bucket")
         .write.mode("append")
         .partitionBy("term_bucket")
-        .parquet(os.path.join(path, "postings"))
+        .parquet(_comp(path, "postings"))  # appends land in the live generation
     )
-    dl.write.mode("append").parquet(os.path.join(path, "doclen"))
+    dl.write.mode("append").parquet(_comp(path, "doclen"))
     tot = dl.agg(
         F.sum("dl").cast("long").alias("toktot"), F.count(F.lit(1)).alias("n_docs")
     ).collect()[0]
@@ -535,10 +570,10 @@ def query_bm25_index(
     tokenization."""
     import os
 
-    [p] = spark.read.parquet(os.path.join(path, "params")).collect()
+    [p] = spark.read.parquet(_comp(path, "params")).collect()
     qt = sorted({t.lower() for t in query_terms})
     buckets = sorted({_py_term_bucket(t, p.n_buckets) for t in qt})
-    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+    postings = spark.read.parquet(_comp(path, "postings")).filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(qt)
     )
     if "dl" in postings.columns:
@@ -549,7 +584,7 @@ def query_bm25_index(
     else:
         # pre-denormalization layout (back-compat): join the sidecar
         qterms = postings.select(id_col, "term", "tf")
-        dl = spark.read.parquet(os.path.join(path, "doclen"))
+        dl = spark.read.parquet(_comp(path, "doclen"))
     dfreq = qterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tot = spark.createDataFrame(
         [(p.toktot, p.n_docs)], "toktot long, n_docs long"
@@ -721,7 +756,7 @@ def compact_bm25_index(spark, path: str) -> int:
 
     from .upsert import recover_swap
 
-    [p] = spark.read.parquet(os.path.join(path, "params")).collect()
+    [p] = spark.read.parquet(_comp(path, "params")).collect()
     if "__max_batch_id" not in p.asDict():
         raise ValueError(
             "compact_bm25_index: %r is a batch-built layout (already one "
@@ -730,7 +765,16 @@ def compact_bm25_index(spark, path: str) -> int:
     marker = int(p["__max_batch_id"])
     par = spark.sparkContext.defaultParallelism
 
+    from ..sources.layout import current_path, is_manifest_table, manifest_replace
+
     def _swap_partitioned(df, base: str, parts: list) -> None:
+        if is_manifest_table(base):
+            # object-store-safe: new generation + one-key pointer swap
+            manifest_replace(
+                lambda d: df.write.mode("overwrite").partitionBy(*parts).parquet(d),
+                base,
+            )
+            return
         tmp, old = base + ".__tmp__", base + ".__old__"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
@@ -751,7 +795,7 @@ def compact_bm25_index(spark, path: str) -> int:
     # will redeliver it — folding orphans into the durable generation
     # would make the redelivery's dynamic-overwrite double-count them
     post = (
-        spark.read.parquet(postings_path)
+        spark.read.parquet(current_path(postings_path))
         .filter(F.col("__batch") <= marker)
         .withColumn("__batch", F.lit(marker).cast("long"))
     )
@@ -759,7 +803,7 @@ def compact_bm25_index(spark, path: str) -> int:
         post.repartition("term_bucket"), postings_path, ["term_bucket", "__batch"]
     )
     dl = (
-        spark.read.parquet(doclen_path)
+        spark.read.parquet(current_path(doclen_path))
         .filter(F.col("__batch") <= marker)
         .withColumn("__batch", F.lit(marker).cast("long"))
     )

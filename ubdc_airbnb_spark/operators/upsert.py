@@ -133,13 +133,27 @@ def upsert_parquet(
 
 
 def replace_parquet(spark_df: DataFrame, path: str) -> None:
-    """Full-table atomic replace with the same temp-write + rename-swap
-    discipline as :func:`upsert_parquet` — for tables whose new state is
+    """Full-table atomic replace — for tables whose new state is
     computed wholesale (grid subdivision removes parents; AOI delete
-    removes rows), where a keyed MERGE can't express row removal."""
+    removes rows), where a keyed MERGE can't express row removal.
+
+    Plain directories use the temp-write + rename-swap discipline of
+    :func:`upsert_parquet` (POSIX-atomic). Manifest-managed tables
+    (``sources.layout`` generation layout) swap by atomically rewriting
+    the small ``CURRENT`` pointer file instead — the object-store-safe
+    path, where directory rename is copy+delete and leaves a window
+    with no table at all (SCALE.md §atomic-swap)."""
     import os
 
-    if not os.path.exists(path.rstrip("/")):
+    from ..sources.layout import is_manifest_table, manifest_replace
+
+    base = path.rstrip("/")
+    if is_manifest_table(base):
+        manifest_replace(
+            lambda dest: spark_df.write.mode("overwrite").parquet(dest), base
+        )
+        return
+    if not os.path.exists(base):
         spark_df.write.mode("overwrite").parquet(path)
         return
     _swap_write(spark_df, path)

@@ -37,6 +37,114 @@ def write_clustered(
     )
 
 
+#: Pointer file name for manifest-managed tables (generation layout).
+MANIFEST = "CURRENT"
+
+
+def current_path(base: str) -> str:
+    """Resolve the ACTIVE generation of a manifest-managed table; plain
+    parquet directories resolve to themselves (back-compat no-op).
+
+    Manifest layout: ``base/gen-<n>/`` immutable generation directories
+    plus ``base/CURRENT`` — a one-line JSON pointer naming the live
+    generation. Readers go through this resolver, so replacing a table
+    is one small-file swap instead of a directory rename: on POSIX the
+    pointer is ``os.replace``d (atomic); on S3-class object stores it is
+    a single-key PUT (atomic per key), which directory rename-swap is
+    NOT (rename there is copy+delete, with a visible window where the
+    table is missing). See SCALE.md §atomic-swap."""
+    import json
+    import os
+
+    m = os.path.join(base.rstrip("/"), MANIFEST)
+    if os.path.exists(m):
+        with open(m) as f:
+            gen = json.load(f)["generation"]
+        return os.path.join(base.rstrip("/"), gen)
+    return base
+
+
+def is_manifest_table(base: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(base.rstrip("/"), MANIFEST))
+
+
+def manifest_replace(write_fn, base: str) -> str:
+    """Atomically replace a manifest-managed table's contents — the
+    object-store-safe counterpart of the rename-swap in
+    ``upsert.replace_parquet``.
+
+    ``write_fn(dest)`` writes the complete new table into a FRESH
+    generation directory (never touching the live one); then the
+    ``CURRENT`` pointer file is atomically replaced and superseded
+    generations are garbage-collected. Crash windows:
+
+    - during ``write_fn`` → half-written orphan generation; the pointer
+      still names the old generation, readers unaffected; the orphan is
+      GC'd by the next successful replace (or ``manifest_gc``).
+    - after the pointer swap, before GC → both generations exist,
+      readers already see the new one; next replace GCs the old.
+
+    There is NO window where the table is missing or partial — the
+    property rename-swap loses on object storage. GC of the superseded
+    generation assumes the maintenance-window contract (no reader holds
+    an open scan of the old generation), the same contract the
+    compactors already document. Returns the new generation's path."""
+    import json
+    import os
+    import shutil
+
+    b = base.rstrip("/")
+    os.makedirs(b, exist_ok=True)
+    cur = os.path.join(b, MANIFEST)
+    gens = sorted(d for d in os.listdir(b) if d.startswith("gen-"))
+    nxt = "gen-%08d" % ((int(gens[-1][4:]) + 1) if gens else 0)
+    dest = os.path.join(b, nxt)
+    write_fn(dest)
+    tmp = cur + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"generation": nxt}, f)
+    os.replace(tmp, cur)  # POSIX-atomic; object store: one single-key PUT
+    for d in gens:  # GC every superseded/orphan generation
+        if d != nxt:
+            shutil.rmtree(os.path.join(b, d), ignore_errors=True)
+    return dest
+
+
+def manifest_init(df: DataFrame, base: str, partition_cols: Sequence[str] = ()) -> str:
+    """First write of a manifest-managed table (generation 0 + pointer)."""
+
+    def _w(dest: str) -> None:
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(dest)
+
+    return manifest_replace(_w, base)
+
+
+def manifest_gc(base: str) -> int:
+    """Drop orphan generations (crashed replaces) without writing; keeps
+    the pointed-at generation. Returns the number removed."""
+    import json
+    import os
+    import shutil
+
+    b = base.rstrip("/")
+    cur = os.path.join(b, MANIFEST)
+    if not os.path.exists(cur):
+        return 0
+    with open(cur) as f:
+        live = json.load(f)["generation"]
+    n = 0
+    for d in sorted(os.listdir(b)):
+        if d.startswith("gen-") and d != live:
+            shutil.rmtree(os.path.join(b, d), ignore_errors=True)
+            n += 1
+    return n
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -203,11 +311,25 @@ def compact_partitioned(
     from ..operators.upsert import recover_swap
 
     base = path.rstrip("/")
+    cols = list(partition_cols)
+    if is_manifest_table(base):
+        # object-store-safe path: new generation + pointer swap (crashed
+        # prior attempts left only orphan generations — GC'd on success)
+        df = spark.read.parquet(current_path(base)).repartition(
+            *[F.col(c) for c in cols]
+        )
+        dest = manifest_replace(
+            lambda d: df.write.mode("overwrite").partitionBy(*cols).parquet(d),
+            base,
+        )
+        n = 0
+        for _root, _dirs, files in os.walk(dest):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
     # a prior compaction crashed between its two renames → no table at
     # base; the IVF/LSH probes don't self-repair, so repair before
     # reading (recover_swap handles all three crash states)
     recover_swap(base)
-    cols = list(partition_cols)
     df = spark.read.parquet(base).repartition(*[F.col(c) for c in cols])
     tmp, old = base + ".__tmp__", base + ".__old__"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -250,6 +372,23 @@ def compact_streaming_partitioned(
     from ..operators.upsert import recover_swap
 
     base = path.rstrip("/")
+    if is_manifest_table(base):
+        df = (
+            spark.read.parquet(current_path(base))
+            .filter(F.col("__batch") <= marker)
+            .withColumn("__batch", F.lit(marker).cast("long"))
+            .repartition(*[F.col(c) for c in partition_cols])
+        )
+        dest = manifest_replace(
+            lambda d: df.write.mode("overwrite")
+            .partitionBy(*partition_cols, "__batch")
+            .parquet(d),
+            base,
+        )
+        n = 0
+        for _root, _dirs, files in os.walk(dest):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
     recover_swap(base)
     cols = list(partition_cols)
     df = (

@@ -285,7 +285,15 @@ def foreach_batch_incremental_agg(
         batch_state = partial_state(batch_df, keys, value_col)
         stamped = batch_state.withColumn("__max_batch_id", F.lit(batch_id).cast("long"))
         if not recover_swap(state_path):  # VERIFIED missing -> first batch
-            stamped.write.mode("overwrite").parquet(state_path)
+            # write-then-rename even for the FIRST batch: a crash mid-
+            # write must leave a lone partial tmp (which recover_swap
+            # discards on redelivery) — a partial table AT state_path
+            # would wedge every subsequent read (r06 exactly-once audit)
+            import os
+
+            tmp = state_path.rstrip("/") + ".__tmp__"
+            stamped.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, state_path.rstrip("/"))
             return
         existing = spark.read.parquet(state_path)  # real errors re-raise
         if "__max_batch_id" in existing.columns:
@@ -328,7 +336,12 @@ def foreach_batch_checksum_state(stream: DataFrame, state_path: str, text_col: s
         )
         stamped = part.withColumn("__max_batch_id", F.lit(batch_id).cast("long"))
         if not recover_swap(state_path):
-            stamped.write.mode("overwrite").parquet(state_path)
+            # first-batch write-then-rename (see foreach_batch_incremental_agg)
+            import os
+
+            tmp = state_path.rstrip("/") + ".__tmp__"
+            stamped.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, state_path.rstrip("/"))
             return
         existing = spark.read.parquet(state_path)
         last = existing.agg(F.max("__max_batch_id")).first()[0]
@@ -470,13 +483,14 @@ def foreach_batch_bm25_append(
     from ..operators.prefixsum import _pin, unpin
     from ..operators.tfidf import doc_terms, term_bucket
     from ..operators.upsert import recover_swap, replace_parquet
+    from ..sources.layout import current_path
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         params_path = os.path.join(index_path, "params")
         p = None
         if recover_swap(params_path):  # params exists (repaired if needed)
-            [p] = spark.read.parquet(params_path).collect()
+            [p] = spark.read.parquet(current_path(params_path)).collect()
             if "__max_batch_id" not in p.asDict():
                 raise ValueError(
                     "foreach_batch_bm25_append: index at %r was built by "
@@ -507,13 +521,13 @@ def foreach_batch_bm25_append(
                     .repartition("term_bucket")
                     .write.mode("overwrite")
                     .partitionBy("term_bucket", "__batch")
-                    .parquet(os.path.join(index_path, "postings"))
+                    .parquet(current_path(os.path.join(index_path, "postings")))
                 )
                 (
                     dl.withColumn("__batch", F.lit(batch_id).cast("long"))
                     .write.mode("overwrite")
                     .partitionBy("__batch")
-                    .parquet(os.path.join(index_path, "doclen"))
+                    .parquet(current_path(os.path.join(index_path, "doclen")))
                 )
             finally:
                 spark.conf.set(mode_key, old_mode)
