@@ -27,7 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: heavyweight gate queries (sketching / pair-joins / clustering) run
 #: LAST so a driver-side time budget always records the cheap majority;
 #: ORDERED cheapest-first (sf0.1 bench cost) so when the rotation window
-#: reaches the slow block, a budget cut truncates the priciest tail
+#: reaches the slow block, a budget cut truncates the priciest tail.
+#: NOTE (r06): 14 of these are the only never-driver-certified entries and
+#: are ordered FIRST this round — once CORRECTNESS_r06 lands them, every
+#: registry entry is certified, the rotation becomes moot, and this
+#: ordering machinery can be simplified to plain registry order.
 _SLOW_ORDER = (
     "ns_embed_topk",
     "ns_dedup_simhash",
