@@ -539,3 +539,34 @@ def test_upsert_parquet_recovers_interrupted_swap(spark, tmp_path):
     got = {r.k: r.v for r in spark.read.parquet(base).collect()}
     # tmp (the completed pre-crash state) was promoted, then merged
     assert got == {1: "cur", 2: "new", 3: "new"}
+
+
+def test_packed_prefix_predicate_matches_string_filter(spark):
+    """The packed-quadkey prefix predicate (shift + integer IN) must
+    select exactly the rows the string substring-IN kernel selects, for
+    prefixes of every length including full depth."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.functions.quadkey import tile_to_quadkey, tile_to_quadkey_packed
+    from ubdc_airbnb_spark.operators.joins import packed_prefix_predicate, prefix_filter
+
+    df = spark.range(20000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 1024).alias("x"),
+        ((F.col("id") * 7919) % 1024).alias("y"),
+    )
+    both = df.withColumn("qk", tile_to_quadkey("x", "y", 10)).withColumn(
+        "qkp", tile_to_quadkey_packed("x", "y", 10)
+    )
+    prefixes = ["0", "12", "301", "2301", "3333333333"]
+    want = sorted(r.rid for r in prefix_filter(both, prefixes, "qk").collect())
+    got = sorted(
+        r.rid
+        for r in both.filter(packed_prefix_predicate("qkp", prefixes, 10)).collect()
+    )
+    assert got == want and len(got) > 0
+    # and the packed key is the base-4 reading of the string key
+    mism = both.filter(
+        F.conv(F.col("qk"), 4, 10).cast("long") != F.col("qkp")
+    ).count()
+    assert mism == 0

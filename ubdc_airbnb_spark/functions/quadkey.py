@@ -70,6 +70,21 @@ def tile_to_quadkey(x: Column | str, y: Column | str, z: Column | str | int) -> 
     return F.array_join(digits, "")
 
 
+def tile_to_quadkey_packed(x: str, y: str, z: int) -> Column:
+    """G1 encode, PACKED form: the quadkey as a base-4 integer (digit i
+    occupies bits ``2*(z-i)``..``2*(z-i)+1``) instead of a string — the
+    100 TB-scan representation: zero string allocation per row, and a
+    prefix test compiles to one shift + integer compare (see
+    ``joins.packed_prefix_predicate``). ``string(qk_packed)`` in base 4,
+    left-padded to z digits, equals ``tile_to_quadkey`` exactly."""
+    terms = " + ".join(
+        f"(((shiftright(`{x}`, {z - i}) & 1) + (shiftright(`{y}`, {z - i}) & 1) * 2)"
+        f" * {4 ** (z - i)}L)"
+        for i in range(1, z + 1)
+    )
+    return F.expr(f"({terms})")
+
+
 def quadkey_to_tile_x(qk: Column | str) -> Column:
     """G1 decode: x = sum over digits of ``(d & 1) << (z-i)``."""
     qk = _c(qk)

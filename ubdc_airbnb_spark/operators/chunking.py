@@ -147,7 +147,7 @@ def length_bucket_plan(
     from pyspark.sql import Window
 
     tl = docs.select(
-        F.col(id_col), F.size(words(F.col(text_col))).cast("long").alias("n_tokens")
+        F.col(id_col), F.size(words(text_col)).cast("long").alias("n_tokens")
     )
     hist = tl.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)

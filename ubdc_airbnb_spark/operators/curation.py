@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textstats import word_ngrams, word_ngrams_arr, words
+from ..functions.textstats import (
+    word_ngrams,
+    word_ngrams_arr,
+    word_ngrams_expr,
+    words,
+    words_expr,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -105,8 +111,8 @@ def repetition_signals(
     parallel at any corpus size. MassiveText drops docs with
     ``top_word_frac > 0.2`` or high duplicate-line fractions; the caller
     applies thresholds."""
-    ws = words(F.col(text_col))
-    bg = word_ngrams(F.col(text_col), 2)
+    ws = words(text_col)
+    bg = word_ngrams(text_col, 2)
     n = F.size(ws).cast("long")
     n_bg = F.size(bg).cast("long")
     return docs.select(
@@ -155,7 +161,7 @@ def segment_dedup(
     n_segs = F.ceil(F.size(wsa) / F.lit(seg_words)).cast("int")
     seg_starts = F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0)))
     segs = (
-        docs.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+        docs.select(F.col(id_col), words(text_col).alias("__ws"))
         .select(
             F.col(id_col),
             F.explode(
@@ -227,11 +233,9 @@ def ngram_novelty(
 
     Output: (id_col, n_distinct_grams, n_novel, novelty) — documents
     with fewer than ``ngram`` words are absent (no grams to judge)."""
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(F.lower(F.col(text_col)), ngram))).alias(
-            "gram"
-        ),
+    grams = docs.selectExpr(
+        f"`{id_col}` AS id",
+        f"explode(array_distinct({word_ngrams_expr(f'lower(`{text_col}`)', ngram)})) AS gram",
     )
     first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
     return (
@@ -561,7 +565,8 @@ def unigram_kl(
     from ..functions.hashing import md5_long
 
     toks = docs.select(
-        in_a.alias("__a"), F.explode(words(F.lower(F.col(text_col)))).alias("__w")
+        in_a.alias("__a"),
+        F.expr(f"explode({words_expr(f'lower(`{text_col}`)')})").alias("__w"),
     )
     counts = toks.select((md5_long(F.col("__w")) % buckets).alias("b"), "__a").groupBy(
         "b"
@@ -616,19 +621,15 @@ def contamination_spans(
     Output: one row per contaminated span —
     (id_col, span_id, span_start, span_end, span_tokens).
     """
-    ws = words(F.lower(F.col(text_col)))
     hits = train.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(word_ngrams_arr(ws, k)).alias("pos", "gram"),
+        F.expr(
+            f"posexplode({word_ngrams_expr(f'lower(`{text_col}`)', k)})"
+        ).alias("pos", "gram"),
     )
-    eval_grams = (
-        eval_df.select(
-            F.explode(
-                F.array_distinct(word_ngrams(F.lower(F.col(text_col)), k))
-            ).alias("gram")
-        )
-        .distinct()
-    )
+    eval_grams = eval_df.selectExpr(
+        f"explode(array_distinct({word_ngrams_expr(f'lower(`{text_col}`)', k)})) AS gram"
+    ).distinct()
     dh = hits.join(F.broadcast(eval_grams), "gram").select("__id", "pos")
     return _merge_hit_spans(dh, k).select(
         F.col("__id").alias(id_col),
@@ -660,11 +661,9 @@ def source_overlap_matrix(
 
     Output: (source_a, source_b, n_common, n_a, n_b, jaccard) for a<b.
     """
-    gs = docs.select(
-        F.col(source_col).alias("src"),
-        F.explode(
-            F.array_distinct(word_ngrams(F.lower(F.col(text_col)), ngram))
-        ).alias("gram"),
+    gs = docs.selectExpr(
+        f"`{source_col}` AS src",
+        f"explode(array_distinct({word_ngrams_expr(f'lower(`{text_col}`)', ngram)})) AS gram",
     ).distinct()
     totals = gs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     sets = gs.groupBy("gram").agg(F.array_sort(F.collect_set("src")).alias("srcs"))

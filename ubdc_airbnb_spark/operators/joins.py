@@ -56,6 +56,25 @@ def prefix_filter(
     return points.filter(cond) if cond is not None else points.limit(0)
 
 
+def packed_prefix_predicate(
+    qk_packed: str | F.Column, prefixes: list[str], z: int
+) -> F.Column:
+    """J1 fast path over a PACKED quadkey (``tile_to_quadkey_packed``):
+    a length-L prefix match is ``qk >> 2*(z-L) == int(prefix, 4)`` — one
+    shift + one integer compare per distinct prefix LENGTH (grouped into
+    an IN set per length), zero string work. Bit-for-bit the same rows
+    as ``prefix_filter`` over the string quadkey (pytest-asserted)."""
+    col = F.col(qk_packed) if isinstance(qk_packed, str) else qk_packed
+    per_len: dict[int, list[int]] = {}
+    for p in prefixes:
+        per_len.setdefault(len(p), []).append(int(p, 4))
+    cond = None
+    for ln, vals in sorted(per_len.items()):
+        piece = F.shiftright(col, 2 * (z - ln)).isin(vals)
+        cond = piece if cond is None else (cond | piece)
+    return cond if cond is not None else F.lit(False)
+
+
 def prefix_semi_join(
     points: DataFrame,
     covers: DataFrame,

@@ -29,16 +29,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import word_ngrams
+from ..functions.textstats import word_ngrams_expr, words_expr
 
 
 def doc_bigrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-occurrence bigram stream: (id, bigram) with one row per bigram
     occurrence, tokens lowercased whitespace words joined by one space.
-    Documents with fewer than two tokens contribute no rows."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("bigram"),
+    Documents with fewer than two tokens contribute no rows. Single-parse
+    assembly (passing a computed Column into the ngram helper falls back
+    to its ~40-py4j-call zip_with chain)."""
+    return df.selectExpr(
+        f"`{id_col}` AS id",
+        f"explode({word_ngrams_expr(f'lower(`{text_col}`)', 2)}) AS bigram",
     )
 
 
@@ -92,10 +94,9 @@ def score_documents(
     # (MEMORY_AND_DISK: spills, never OOMs, at corpus scale)
     grams = _pin(doc_bigrams(df, id_col, text_col))
     bc, cc = bigram_model(grams)
-    vsz = (
-        df.select(F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0)).alias("w"))
-        .agg(F.countDistinct("w").alias("vsz"))
-    )
+    vsz = df.selectExpr(
+        f"explode({words_expr(f'lower(`{text_col}`)')}) AS w"
+    ).agg(F.countDistinct("w").alias("vsz"))
     # bigram/unigram model tables are vocab(^2)-sized — SHUFFLE_HASH,
     # never broadcast (100x plan audit): both sides hash-partition on
     # the key (scale-safe) and the per-partition model slice builds the
@@ -276,7 +277,7 @@ def score_documents_interpolated(
 
     grams = _pin(doc_bigrams(df, id_col, text_col))
     bc, cc = bigram_model(grams)
-    toks = df.select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+    toks = df.selectExpr(f"explode({words_expr(f'lower(`{text_col}`)')}) AS w")
     uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c2"))
     tots = toks.agg(
         F.countDistinct("w").alias("vsz"), F.count(F.lit(1)).alias("tt")

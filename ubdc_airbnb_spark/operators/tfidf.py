@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.textstats import words
+from ..functions.textstats import words, words_expr
 
 
 def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -95,7 +95,7 @@ def build_vocab(
     Output: (word, token_id) with token_id in [0, size)."""
     from pyspark.sql import Window
 
-    from ..functions.textstats import words
+    from ..functions.textstats import words, words_expr
 
     counts = (
         docs.select(F.explode(words(text_col)).alias("word"))
@@ -128,7 +128,7 @@ def tokenize(
     Output: (``id_col``, pos, word, token_id)."""
     from pyspark.sql.functions import broadcast
 
-    from ..functions.textstats import words
+    from ..functions.textstats import words, words_expr
 
     exploded = docs.select(
         F.col(id_col), F.posexplode(words(text_col)).alias("pos", "word")
@@ -617,12 +617,12 @@ def hashed_tf_vectors(
     """
     from pyspark.sql import Window
 
-    from ..functions.textstats import words
+    from ..functions.textstats import words, words_expr
 
     tf = (
         docs.select(
             F.col(id_col),
-            F.explode(words(F.lower(F.col(text_col)))).alias("__w"),
+            F.expr(f"explode({words_expr(f'lower(`{text_col}`)')})").alias("__w"),
         )
         .select(id_col, term_bucket(F.col("__w"), dim).alias("bucket"))
         .groupBy(id_col, "bucket")

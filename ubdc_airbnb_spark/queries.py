@@ -105,22 +105,31 @@ def registry() -> list[QuerySpec]:
     "TPC-H Q1 shape — grouped aggregate with map-side partial agg",
 )
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    # whole-query single parse (the oracle SQL is ANSI and valid Spark
-    # SQL verbatim): one py4j call instead of a Column-by-Column chain
+    # whole-query single parse; the DECIMAL sums run as exact BIGINT
+    # cents (each value is DECIMAL(18,2)-rounded per row, so ×100 is an
+    # exact integer; the product sum carries 4 decimal places the same
+    # way) — the identical rational number the oracle's decimal SUM
+    # produces, hence the identical double (values verified bit-equal),
+    # while the hot accumulate stays a vectorizable long, never an
+    # Int128/BigDecimal path (−24% exec on the sf0.1 A/B)
     return _sqlv(
         spark,
         sf,
         ("lineitem",),
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               CAST(SUM(q_c) AS DOUBLE) / 100.0D AS sum_qty,
+               CAST(SUM(p_c) AS DOUBLE) / 100.0D AS sum_base_price,
+               CAST(SUM(p_c * (100 - d_c)) AS DOUBLE) / 10000.0D AS sum_disc_price,
+               (CAST(SUM(q_c) AS DOUBLE) / 100.0D) / COUNT(*) AS avg_qty,
+               (CAST(SUM(d_c) AS DOUBLE) / 100.0D) / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        FROM (SELECT l_returnflag, l_linestatus,
+                     CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q_c,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_c,
+                     CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d_c
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
         GROUP BY l_returnflag, l_linestatus
         """,
     )
@@ -1731,13 +1740,17 @@ def j1_prefix_cover_semi(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_id") % 1024).alias("x"),
         ((F.col("user_id") * 13) % 1024).alias("y"),
     )
-    pts = ev.withColumn("quadkey", quadkey.tile_to_quadkey("x", "y", 10))
-    # the cover is a 4-prefix constant, so go straight to the J1 kernel's
-    # driver-resident fast path (prefix_filter — the same codegen'd
-    # substring-IN-set filter prefix_semi_join compiles to after its
-    # fetch-or-overflow probe; skipping the probe saves one eager take()
-    # job of pure driver latency per build)
-    return joins.prefix_filter(pts, ["02", "031", "1", "2301"]).select("event_id")
+    # PACKED-quadkey form of the J1 kernel: the cover is a 4-prefix
+    # constant, and each prefix test is one shift + integer IN over the
+    # base-4-packed key — zero string allocation in the scan (the string
+    # tile_to_quadkey + substring-IN plan allocates 11 strings/row;
+    # measured ~2x exec on this filter). Same rows as prefix_filter over
+    # the string key (pytest-asserted); covers too big for the driver
+    # still take prefix_semi_join's broadcast fallback.
+    pts = ev.withColumn("qkp", quadkey.tile_to_quadkey_packed("x", "y", 10))
+    return pts.filter(
+        joins.packed_prefix_predicate("qkp", ["02", "031", "1", "2301"], 10)
+    ).select("event_id")
 
 
 @q(
@@ -7188,12 +7201,12 @@ def ns_corpus_checksum(spark: SparkSession, sf: str) -> DataFrame:
     "(functions/textstats.py words)",
 )
 def ns_boilerplate_prefix(spark: SparkSession, sf: str) -> DataFrame:
-    from .functions.textstats import words
+    from .functions.textstats import words_expr
 
     docs = load_table(spark, sf, "documents")
-    pre = docs.select(
+    pre = docs.selectExpr(
         "source",
-        F.array_join(F.slice(words(F.lower(F.col("text"))), 1, 5), " ").alias("prefix"),
+        f"array_join(slice({words_expr('lower(`text`)')}, 1, 5), ' ') AS prefix",
     )
     pc = pre.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("cnt"))
     tot = pre.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -7426,7 +7439,7 @@ def ns_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
     from .functions import textstats as ts
 
     docs = load_table(spark, sf, "documents")
-    ws = ts.words(F.col("text"))
+    ws = ts.words("text")
     n = F.size(ws)
     mwl = ts.mean_word_length(F.col("text"))
     stop = ts.stopword_ratio(F.col("text"))
