@@ -73,3 +73,69 @@ def test_write_shards_cli(tmp_path, capsys):
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("shard=")]
     assert len(lines) == 2
+
+
+def test_cli_compact_index_bm25_streaming(spark, tmp_path, capsys):
+    """compact-index on a streaming-maintained BM25 layout collapses the
+    per-batch generations without changing probe scores."""
+    import os
+
+    from ubdc_airbnb_spark.operators.tfidf import query_bm25_index
+    from ubdc_airbnb_spark.streaming import jobs
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    idx = str(tmp_path / "bm25")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.foreach_batch_bm25_append(stream, idx, n_buckets=8)
+    want = [tuple(r) for r in query_bm25_index(spark, idx, ["spark", "join"], k=5).collect()]
+
+    def _n_files():
+        return sum(
+            1
+            for _r, _d, fs in os.walk(os.path.join(idx, "postings"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = _n_files()
+    rc = cli.main(["compact-index", "--path", idx, "--kind", "bm25"])
+    assert rc == 0
+    assert _n_files() < before
+    got = [tuple(r) for r in query_bm25_index(spark, idx, ["spark", "join"], k=5).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_cli_compact_index_ivf_and_lsh(spark, tmp_path, capsys):
+    import os
+
+    from ubdc_airbnb_spark.operators.ann_index import (
+        add_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from ubdc_airbnb_spark.operators.dedup_index import add_to_lsh_index, build_lsh_index
+
+    emb = load_table(spark, SF, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), ivf, k=4, iters=1)
+    add_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), ivf)
+    qs = emb.filter(F.col("vec_id") < 3)
+    want = sorted(tuple(r) for r in query_ivf_index(spark, ivf, qs, k=5).collect())
+    rc = cli.main(["compact-index", "--path", ivf, "--kind", "ivf"])
+    assert rc == 0
+    got = sorted(tuple(r) for r in query_ivf_index(spark, ivf, qs, k=5).collect())
+    assert got == want and len(got) > 0
+
+    docs = load_table(spark, SF, "documents")
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), lsh, n_buckets=8)
+    add_to_lsh_index(docs.filter(F.col("doc_id") % 2 == 1).limit(50), lsh)
+    rc = cli.main(["compact-index", "--path", lsh, "--kind", "lsh"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(lsh, "banded"))

@@ -749,6 +749,61 @@ def cmd_screen_drop(args) -> int:
     return 0
 
 
+def cmd_compact_index(args) -> int:
+    """Maintenance pass for a persisted index: collapse append/ingest
+    file generations (streaming layouts keep their exactly-once marker;
+    orphaned uncommitted batches are dropped) and GC orphan manifest
+    generations left by crashed swaps."""
+    import os
+
+    from .sources import layout
+
+    spark = _spark()
+    path = args.path.rstrip("/")
+
+    def _marker(params_path):
+        [p_] = spark.read.parquet(layout.current_path(params_path)).collect()
+        d = p_.asDict()
+        return int(d["__max_batch_id"]) if "__max_batch_id" in d else None
+
+    if args.kind == "bm25":
+        from .operators.tfidf import compact_bm25_index
+
+        if _marker(os.path.join(path, "params")) is not None:
+            n = compact_bm25_index(spark, path)
+        else:
+            n = layout.compact_partitioned(
+                spark, os.path.join(path, "postings"), ["term_bucket"]
+            )
+            layout.compact(spark, os.path.join(path, "doclen"))
+        comps = ("postings", "doclen", "params")
+    elif args.kind == "ivf":
+        comp, parts = "assignments", ["centroid_id"]
+        m = _marker(os.path.join(path, "params"))
+        base = os.path.join(path, comp)
+        n = (
+            layout.compact_streaming_partitioned(spark, base, parts, m)
+            if m is not None
+            else layout.compact_partitioned(spark, base, parts)
+        )
+        comps = (comp, "centroids", "params")
+    elif args.kind == "lsh":
+        comp, parts = "banded", ["key_bucket"]
+        m = _marker(os.path.join(path, "params"))
+        base = os.path.join(path, comp)
+        n = (
+            layout.compact_streaming_partitioned(spark, base, parts, m)
+            if m is not None
+            else layout.compact_partitioned(spark, base, parts)
+        )
+        comps = (comp, "params")
+    else:  # pragma: no cover - argparse choices guard
+        raise ValueError(args.kind)
+    gc = sum(layout.manifest_gc(os.path.join(path, c)) for c in comps)
+    print(f"compacted {args.kind} index at {path}: {n} parquet files, {gc} orphan generations collected")
+    return 0
+
+
 def cmd_dsir_score(args) -> int:
     """DSIR importance weights of every document against a target slice
     given as a boolean SQL expression (e.g. "lang = 'en'")."""
@@ -905,6 +960,11 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--output", default=None, help="write candidate pairs parquet instead of printing")
     sd.add_argument("--limit", type=int, default=20)
     sd.set_defaults(fn=cmd_screen_drop)
+
+    ci = sub.add_parser("compact-index", help="compact a persisted index's file generations + GC orphan manifest generations")
+    ci.add_argument("--path", required=True, help="index root (build_*_index layout)")
+    ci.add_argument("--kind", required=True, choices=["bm25", "ivf", "lsh"])
+    ci.set_defaults(fn=cmd_compact_index)
 
     ds = sub.add_parser("dsir-score", help="DSIR importance weights against a target slice")
     ds.add_argument("--input", default=None, help="parquet docs dir (default: --sf-dir documents table)")
