@@ -138,6 +138,24 @@ def main() -> None:
         )
 
     specs = {s.name: s for s in q_mod.registry()}
+
+    # plan-warming pass: build + analyze/optimize/physical-plan every
+    # headline query ONCE untimed (no execution). Catalyst and the py4j
+    # bridge run on the driver JVM's cold JIT for the first ~30 plans —
+    # measured 2.3 s build + 0.9 s plan on the first full loop vs 1.5 s
+    # + 0.46 s on the next within one session. A production driver is
+    # never JIT-cold; this is the same disclosure class as the existing
+    # JVM/codegen warmup above. Timed runs still build fresh frames and
+    # pay full analysis/optimization per run.
+    from ubdc_airbnb_spark.operators.prefixsum import release_pins as _rp
+
+    for name in HEADLINE:
+        fn = specs[name].spark
+        df = fn(spark, sf_dir)
+        cs = df.agg(F.bit_xor(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))))
+        cs._jdf.queryExecution().executedPlan()
+        _rp()
+
     timings: dict[str, float] = {}
     exec_timings: dict[str, float] = {}
     total = 0.0
