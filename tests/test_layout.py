@@ -186,24 +186,46 @@ def test_manifest_replace_atomicity_and_crash_windows(spark, tmp_path):
     assert is_manifest_table(base)
     assert spark.read.parquet(current_path(base)).agg(F.sum("v")).first()[0] == 100
 
+    gen0 = os.path.basename(current_path(base))
+    assert gen0.startswith("gen-00000000-")  # seq prefix + random nonce
+
     # crash window: a half-written generation lands, pointer never swaps
-    orphan = os.path.join(base, "gen-00000001")
+    orphan = os.path.join(base, "gen-00000001-deadbeef")
     os.makedirs(orphan)
     open(os.path.join(orphan, "part-0.parquet"), "wb").write(b"garbage")
     # readers are unaffected — the pointer still names gen 0
-    assert current_path(base).endswith("gen-00000000")
+    assert os.path.basename(current_path(base)) == gen0
     assert spark.read.parquet(current_path(base)).count() == 100
 
-    # the next replace must not reuse the orphan's name, and GCs it
+    # the next replace cannot collide with the orphan's name (nonce),
+    # GCs the orphan, and RETAINS the superseded generation (default
+    # retention=1) so an in-flight reader of gen0 isn't yanked
     df2 = spark.range(50).withColumn("v", F.lit(2))
     manifest_replace(lambda d: df2.write.mode("overwrite").parquet(d), base)
     assert spark.read.parquet(current_path(base)).agg(F.sum("v")).first()[0] == 100
     gens = sorted(d for d in os.listdir(base) if d.startswith("gen-"))
-    assert len(gens) == 1  # orphan + superseded gen both collected
+    assert gens[0] == gen0 and len(gens) == 2  # orphan collected, gen0 kept
     with open(os.path.join(base, "CURRENT")) as f:
-        assert json.load(f)["generation"] == gens[0]
+        m = json.load(f)
+    assert m["generation"] == gens[1] and m["history"] == [gen0]
+    # gen0 is still a readable complete table (the retention guarantee)
+    assert spark.read.parquet(os.path.join(base, gen0)).count() == 100
 
-    assert manifest_gc(base) == 0  # nothing left to collect
+    # a second replace rolls the retention window: gen0 now collected
+    df3 = spark.range(25).withColumn("v", F.lit(4))
+    manifest_replace(lambda d: df3.write.mode("overwrite").parquet(d), base)
+    gens = sorted(d for d in os.listdir(base) if d.startswith("gen-"))
+    assert gen0 not in gens and len(gens) == 2
+
+    assert manifest_gc(base) == 1  # drops the one retained generation
+    assert manifest_gc(base) == 0  # idempotent
+    assert len([d for d in os.listdir(base) if d.startswith("gen-")]) == 1
+
+    # retention=0 opts back into immediate single-generation GC
+    manifest_replace(
+        lambda d: df2.write.mode("overwrite").parquet(d), base, retention=0
+    )
+    assert len([d for d in os.listdir(base) if d.startswith("gen-")]) == 1
 
 
 def test_replace_parquet_routes_manifest_tables(spark, tmp_path):
@@ -252,7 +274,8 @@ def test_compact_partitioned_manifest_table(spark, tmp_path):
         1 for _r, _d, fs in os.walk(current_path(base)) for f in fs if f.endswith(".parquet")
     )
     assert n_after < n_before
-    assert len([d for d in os.listdir(base) if d.startswith("gen-")]) == 1
+    # live + one retained (reader-safety window); older ones collected
+    assert len([d for d in os.listdir(base) if d.startswith("gen-")]) == 2
 
 
 def test_bm25_object_store_safe_lifecycle(spark, tmp_path):
@@ -287,5 +310,69 @@ def test_bm25_object_store_safe_lifecycle(spark, tmp_path):
     for comp in ("postings", "doclen", "params"):
         d = os.path.join(oss, comp)
         assert os.path.exists(os.path.join(d, "CURRENT")), comp
+        assert not os.path.exists(d + ".__old__")
+        assert not os.path.exists(d + ".__tmp__")
+
+
+def test_compact_manifest_table_no_double_read(spark, tmp_path):
+    """layout.compact on a manifest-managed table must size-walk and
+    read ONLY the live generation — not the CURRENT pointer file, not a
+    retained/orphan generation (which would double-count rows into the
+    compacted output). Regression for the compact-index bm25 doclen
+    path (ADVICE r06)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.sources.layout import (
+        compact,
+        current_path,
+        manifest_init,
+        manifest_replace,
+    )
+
+    base = str(tmp_path / "doclen")
+    manifest_init(spark.range(100).withColumn("v", F.lit(1)).repartition(8), base)
+    # a replace leaves a RETAINED superseded generation on disk
+    manifest_replace(
+        lambda d: spark.range(200)
+        .withColumn("v", F.lit(2))
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(d),
+        base,
+    )
+    assert len([d for d in os.listdir(base) if d.startswith("gen-")]) == 2
+
+    compact(spark, base)
+    got = spark.read.parquet(current_path(base))
+    assert got.count() == 200  # live rows only — no double-read
+    assert got.agg(F.min("v")).first()[0] == 2
+    assert os.path.exists(os.path.join(base, "CURRENT"))
+    assert not os.path.exists(base + ".__old__")
+
+
+def test_compact_index_cli_bm25_object_store_safe(spark, tmp_path):
+    """compact-index --kind bm25 end-to-end on a BATCH-built
+    object_store_safe index (the manifest layout the CLI previously
+    tripped over): scores identical before/after, no rename artifacts."""
+    import os
+
+    from ubdc_airbnb_spark import cli
+    from ubdc_airbnb_spark.operators.tfidf import build_bm25_index, query_bm25_index
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = str(tmp_path / "bm25_oss")
+    build_bm25_index(docs, idx, n_buckets=8, object_store_safe=True)
+    query = ["spark", "join", "window"]
+    want = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+
+    rc = cli.main(["compact-index", "--kind", "bm25", "--path", idx])
+    assert rc == 0
+    got = [tuple(r) for r in query_bm25_index(spark, idx, query, k=10).collect()]
+    assert got == want and len(got) > 0
+    for comp in ("postings", "doclen", "params"):
+        d = os.path.join(idx, comp)
         assert not os.path.exists(d + ".__old__")
         assert not os.path.exists(d + ".__tmp__")

@@ -36,10 +36,16 @@ def _dec_sum(c: F.Column) -> F.Column:
     return F.sum(c.cast("decimal(18,2)")).cast("double")
 
 
-#: table -> (sf_dir, id(df)) currently bound as that temp view, so the
-#: single-parse SQL builders re-register only when the binding changes
-#: (a cache refresh or a different sf_dir), not on every call
-_VIEW_BOUND: dict[str, tuple[str, int]] = {}
+#: table -> (sf_dir, session, df) currently bound as that temp view, so
+#: the single-parse SQL builders re-register only when the binding
+#: changes (a cache refresh, a different sf_dir, or a new session), not
+#: on every call. STRONG references on purpose: comparing by ``is`` on
+#: live objects can never false-match, whereas an ``id()`` key can —
+#: CPython reuses ids after GC, and a recycled id would silently skip
+#: createOrReplaceTempView and run against a stale view (ADVICE r06).
+#: Holding the df also pins exactly the frames the views point at; the
+#: warm cache in sources.tables holds them anyway, so no extra memory.
+_VIEW_BOUND: dict[str, tuple[str, object, object]] = {}
 
 
 def _sqlv(spark: SparkSession, sf: str, tables: tuple[str, ...], stmt: str) -> DataFrame:
@@ -48,13 +54,14 @@ def _sqlv(spark: SparkSession, sf: str, tables: tuple[str, ...], stmt: str) -> D
     construction costs 50-300 py4j round trips per plan build — ~0.1 s
     of constant driver latency per query at ANY data scale (profiled;
     see BENCH_NOTES.md). View registration is memoized per table
-    binding, so in steady state the whole build is one py4j call."""
+    binding (identity-compared, session-aware), so in steady state the
+    whole build is one py4j call."""
     for t in tables:
         df = load_table(spark, sf, t)
-        key = (sf, id(df))
-        if _VIEW_BOUND.get(t) != key:
+        b = _VIEW_BOUND.get(t)
+        if b is None or b[0] != sf or b[1] is not spark or b[2] is not df:
             df.createOrReplaceTempView(t)
-            _VIEW_BOUND[t] = key
+            _VIEW_BOUND[t] = (sf, spark, df)
     return spark.sql(stmt)
 
 
@@ -105,13 +112,17 @@ def registry() -> list[QuerySpec]:
     "TPC-H Q1 shape — grouped aggregate with map-side partial agg",
 )
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    # whole-query single parse; the DECIMAL sums run as exact BIGINT
+    # whole-query single parse; the plain sums run as exact BIGINT
     # cents (each value is DECIMAL(18,2)-rounded per row, so ×100 is an
-    # exact integer; the product sum carries 4 decimal places the same
-    # way) — the identical rational number the oracle's decimal SUM
-    # produces, hence the identical double (values verified bit-equal),
-    # while the hot accumulate stays a vectorizable long, never an
-    # Int128/BigDecimal path (−24% exec on the sf0.1 A/B)
+    # exact integer) and q_c/d_c/p_c stay long accumulators — their
+    # per-group sums fit 2^63 to sf ≥ ~5×10^5, far past the 100 TB
+    # target. The discounted-price PRODUCT (~10^9/row) would overflow a
+    # long accumulator around sf~17k, so only that sum is accumulated
+    # as DECIMAL(38,0): the per-row multiply is still a long op and
+    # only the accumulate takes the decimal path. Values are verified
+    # bit-equal to the oracle's decimal SUM at the SFs actually run
+    # (sf0.001–sf10); past 2^53 the final decimal→double conversion
+    # may drift 1 ulp from an oracle that converts differently.
     return _sqlv(
         spark,
         sf,
@@ -120,7 +131,7 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(q_c) AS DOUBLE) / 100.0D AS sum_qty,
                CAST(SUM(p_c) AS DOUBLE) / 100.0D AS sum_base_price,
-               CAST(SUM(p_c * (100 - d_c)) AS DOUBLE) / 10000.0D AS sum_disc_price,
+               CAST(SUM(CAST(p_c * (100 - d_c) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0D AS sum_disc_price,
                (CAST(SUM(q_c) AS DOUBLE) / 100.0D) / COUNT(*) AS avg_qty,
                (CAST(SUM(d_c) AS DOUBLE) / 100.0D) / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order

@@ -70,44 +70,65 @@ def is_manifest_table(base: str) -> bool:
     return os.path.exists(os.path.join(base.rstrip("/"), MANIFEST))
 
 
-def manifest_replace(write_fn, base: str) -> str:
+def manifest_replace(write_fn, base: str, retention: int = 1) -> str:
     """Atomically replace a manifest-managed table's contents — the
     object-store-safe counterpart of the rename-swap in
     ``upsert.replace_parquet``.
 
     ``write_fn(dest)`` writes the complete new table into a FRESH
     generation directory (never touching the live one); then the
-    ``CURRENT`` pointer file is atomically replaced and superseded
-    generations are garbage-collected. Crash windows:
+    ``CURRENT`` pointer file is atomically replaced. The pointer JSON
+    carries a ``history`` of superseded generations (most recent last):
+    the last ``retention`` of those survive each replace, so a reader
+    that resolved :func:`current_path` just before the swap keeps a
+    live directory for at least ``retention`` more replace cycles —
+    no maintenance-window coordination needed for plain readers.
+    Everything else — older history AND orphan generations from crashed
+    ``write_fn`` attempts (present on disk but never in the history) —
+    is GC'd. Crash windows:
 
     - during ``write_fn`` → half-written orphan generation; the pointer
       still names the old generation, readers unaffected; the orphan is
       GC'd by the next successful replace (or ``manifest_gc``).
-    - after the pointer swap, before GC → both generations exist,
-      readers already see the new one; next replace GCs the old.
+    - after the pointer swap, before GC → extra generations exist,
+      readers already see the new one; next replace GCs them.
 
     There is NO window where the table is missing or partial — the
-    property rename-swap loses on object storage. GC of the superseded
-    generation assumes the maintenance-window contract (no reader holds
-    an open scan of the old generation), the same contract the
-    compactors already document. Returns the new generation's path."""
+    property rename-swap loses on object storage. Generation names are
+    ``gen-<seq>-<nonce>``: the zero-padded sequence keeps lexical
+    ordering, the random nonce makes two racing replaces land in
+    DIFFERENT directories (last pointer PUT wins; the loser's
+    generation becomes an orphan and is GC'd later) instead of silently
+    overwriting each other. Returns the new generation's path."""
     import json
     import os
     import shutil
+    import uuid
 
     b = base.rstrip("/")
     os.makedirs(b, exist_ok=True)
     cur = os.path.join(b, MANIFEST)
+    prev_live, history = None, []
+    if os.path.exists(cur):
+        with open(cur) as f:
+            m = json.load(f)
+        prev_live = m["generation"]
+        history = list(m.get("history", []))
     gens = sorted(d for d in os.listdir(b) if d.startswith("gen-"))
-    nxt = "gen-%08d" % ((int(gens[-1][4:]) + 1) if gens else 0)
+    seq = (int(gens[-1].split("-")[1]) + 1) if gens else 0
+    nxt = "gen-%08d-%s" % (seq, uuid.uuid4().hex[:8])
     dest = os.path.join(b, nxt)
     write_fn(dest)
-    tmp = cur + ".tmp"
+    if prev_live is not None:
+        history.append(prev_live)
+    kept = history[-retention:] if retention > 0 else []
+    tmp = cur + ".%s.tmp" % uuid.uuid4().hex[:8]
     with open(tmp, "w") as f:
-        json.dump({"generation": nxt}, f)
+        json.dump({"generation": nxt, "history": kept}, f)
     os.replace(tmp, cur)  # POSIX-atomic; object store: one single-key PUT
-    for d in gens:  # GC every superseded/orphan generation
-        if d != nxt:
+    keep = set(kept) | {nxt}
+    for d in gens:  # GC orphans + history past the retention window
+        if d not in keep:
             shutil.rmtree(os.path.join(b, d), ignore_errors=True)
     return dest
 
@@ -124,24 +145,36 @@ def manifest_init(df: DataFrame, base: str, partition_cols: Sequence[str] = ()) 
     return manifest_replace(_w, base)
 
 
-def manifest_gc(base: str) -> int:
-    """Drop orphan generations (crashed replaces) without writing; keeps
-    the pointed-at generation. Returns the number removed."""
+def manifest_gc(base: str, retention: int = 0) -> int:
+    """Drop orphan generations (crashed replaces) and history past
+    ``retention`` without writing data; keeps the pointed-at generation
+    plus the last ``retention`` superseded ones. Returns the number
+    removed."""
     import json
     import os
     import shutil
+    import uuid
 
     b = base.rstrip("/")
     cur = os.path.join(b, MANIFEST)
     if not os.path.exists(cur):
         return 0
     with open(cur) as f:
-        live = json.load(f)["generation"]
+        m = json.load(f)
+    live = m["generation"]
+    history = list(m.get("history", []))
+    kept = history[-retention:] if retention > 0 else []
+    keep = set(kept) | {live}
     n = 0
     for d in sorted(os.listdir(b)):
-        if d.startswith("gen-") and d != live:
+        if d.startswith("gen-") and d not in keep:
             shutil.rmtree(os.path.join(b, d), ignore_errors=True)
             n += 1
+    if kept != history:
+        tmp = cur + ".%s.tmp" % uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump({"generation": live, "history": kept}, f)
+        os.replace(tmp, cur)
     return n
 
 
@@ -182,15 +215,21 @@ def compact(
     from ..operators.upsert import replace_parquet
 
     base = path.rstrip("/")
+    # manifest-managed tables: size-walk and read the LIVE generation
+    # only (walking base would read the CURRENT pointer as parquet and
+    # double-count any retained/orphan generation); the write below
+    # routes through replace_parquet, which already swaps manifest
+    # tables via the pointer.
+    src = current_path(base) if is_manifest_table(base) else base
     total = 0
-    for root, _dirs, files in os.walk(base):
+    for root, _dirs, files in os.walk(src):
         total += sum(
             os.path.getsize(os.path.join(root, f))
             for f in files
             if f.endswith(".parquet")
         )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(base)
+    df = spark.read.parquet(src)
     if preserve_sort:
         df = df.repartitionByRange(n_files, *preserve_sort).sortWithinPartitions(
             *preserve_sort
