@@ -101,29 +101,40 @@ def score_documents(
     # never broadcast (100x plan audit): both sides hash-partition on
     # the key (scale-safe) and the per-partition model slice builds the
     # hash map, skipping both sorts; vsz is one scalar row. The scoring
-    # tail assembles as ONE parameterized parse (same plan; the Column
-    # chain costs ~35 py4j calls of driver latency per build).
-    return grams.sparkSession.sql(
-        f"""
-        SELECT `{id_col}`, n_bigrams,
-               (CAST(sum_ppb AS DOUBLE) / 1e9) / CAST(n_bigrams AS DOUBLE) AS avg_cond_p
-        FROM (
-          SELECT /*+ SHUFFLE_HASH(b, c), BROADCAST(v) */
-                 g.id AS `{id_col}`,
-                 COUNT(*) AS n_bigrams,
-                 SUM(CAST(FLOOR(
-                   (CAST(b.c12 + 1 AS DOUBLE) / CAST(c.c1 + v.vsz AS DOUBLE)) * 1e9
-                 ) AS BIGINT)) AS sum_ppb
-          FROM {{grams}} g
-          JOIN {{bc}} b ON g.bigram = b.bigram
-          JOIN {{cc}} c ON substring_index(g.bigram, ' ', 1) = c.w1
-          CROSS JOIN {{vsz}} v
-          GROUP BY g.id)
-        """,
-        grams=grams,
-        bc=bc,
-        cc=cc,
-        vsz=vsz,
+    # tail stays in Column form ON PURPOSE: the r06 parameterized-SQL
+    # rewrite (a211ee1) silently lost the ``_pin`` cache reuse —
+    # ``spark.sql(stmt, grams=grams, ...)`` re-analyzes the substituted
+    # relations in a way the CacheManager no longer matches against the
+    # pinned InMemoryRelation, so all three consumers (scoring stream,
+    # bigram counts, context counts) re-ran tokenize+explode from the
+    # documents table. Plan evidence: the SQL form shows three
+    # ``Generate explode`` branches over InMemoryTableScan[text]; this
+    # form shows InMemoryTableScan[id, bigram]. Exec 0.27 s vs 0.42 s
+    # at sf0.1 (interleaved best-of-3, two passes, hash-identical) —
+    # and the gap GROWS with corpus size since it is a full re-tokenize.
+    scored = (
+        grams.join(bc.hint("shuffle_hash"), "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(cc.hint("shuffle_hash"), "w1")
+        .join(F.broadcast(vsz))
+        .withColumn(
+            "p",
+            (F.col("c12") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("vsz")).cast("double"),
+        )
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.floor(F.col("p") * F.lit(1e9)).cast("long")).alias("sum_ppb"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        (
+            (F.col("sum_ppb").cast("double") / F.lit(1e9))
+            / F.col("n_bigrams").cast("double")
+        ).alias("avg_cond_p"),
     )
 
 
