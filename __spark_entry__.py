@@ -4,6 +4,10 @@
 ``queries()``   — every implemented SURVEY §2 operator as (spark, sf_dir)
                   callables (see ubdc_airbnb_spark/queries.py).
 ``oracle_sql()``— matching DuckDB SQL for the value-hash correctness gate.
+
+Entries come back in plain registry order: every registry entry has been
+driver-certified green (cumulative r01-r06, 221/221), so the
+certification-rotation ordering that used to live here is gone.
 """
 
 from __future__ import annotations
@@ -24,68 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_mod.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-#: heavyweight gate queries (sketching / pair-joins / clustering) run
-#: LAST so a driver-side time budget always records the cheap majority;
-#: ORDERED cheapest-first (sf0.1 bench cost) so when the rotation window
-#: reaches the slow block, a budget cut truncates the priciest tail.
-#: NOTE (r06): 14 of these are the only never-driver-certified entries and
-#: are ordered FIRST this round — once CORRECTNESS_r06 lands them, every
-#: registry entry is certified, the rotation becomes moot, and this
-#: ordering machinery can be simplified to plain registry order.
-_SLOW_ORDER = (
-    "ns_embed_topk",
-    "ns_dedup_simhash",
-    "ns_tfidf_top_terms",
-    "ns_embed_rp_lsh",
-    "ns_embed_ivf_topk",
-    "ns_embed_ivf_multiprobe",
-    "ns_embed_pq_topk",
-    "ns_embed_pq_rerank",
-    "ns_dedup_simhash_pairs",
-    "ns_dedup_simhash_groups",
-    "ns_dedup_components",
-    "ns_embed_cosine_pairs",
-    "ns_dedup_minhash_lsh",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_semantic",
-)
-_SLOW = frozenset(_SLOW_ORDER)
-
-
-def _certified() -> frozenset[str]:
-    """Names already green in a driver CORRECTNESS_r*.json. The driver
-    records exactly the first 50 queries() entries per round, so queries
-    it has never certified are ordered FIRST (cheap ones before the
-    _SLOW heavyweights) to rotate the whole registry through driver
-    certification across rounds."""
-    import glob
-    import json
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                rec = json.load(f)
-            seen |= {k for k, v in rec.items() if isinstance(v, dict) and v.get("hash_match")}
-        except (OSError, ValueError):
-            continue
-    return frozenset(seen)
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    done = _certified()
-    slow_rank = {n: i for i, n in enumerate(_SLOW_ORDER)}
-    specs = sorted(
-        enumerate(q_mod.registry()),
-        key=lambda t: (
-            t[1].name in done,
-            t[1].name in _SLOW,
-            slow_rank.get(t[1].name, -1),
-            t[0],
-        ),
-    )
-    return {spec.name: spec.spark for _, spec in specs}
+    return {spec.name: spec.spark for spec in q_mod.registry()}
 
 
 def oracle_sql() -> dict[str, str]:
