@@ -41,6 +41,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     streaming: bool = False,
+    object_store_safe: bool = False,
 ) -> None:
     """Train centroids (deterministic Lloyd, decimal-exact means) — or
     take pre-supplied ones — and write the bucket-partitioned index.
@@ -50,26 +51,42 @@ def build_ivf_index(
     — and stamps ``__max_batch_id = -1`` into params, so the index can
     be maintained by ``streaming.jobs.foreach_batch_ivf_append`` (stream
     batch ids start at 0). The probe is unaffected: it selects columns
-    by name and partition-prunes on the first level."""
+    by name and partition-prunes on the first level.
+
+    ``object_store_safe=True`` lays every component out as a
+    manifest-managed generation table (``sources.layout``), same as
+    ``build_bm25_index``: full-table replaces (params merges,
+    compaction) swap a one-line pointer file instead of renaming
+    directories — atomic on S3-class stores. Probes and appends resolve
+    components through ``current_path`` transparently."""
+    from ..sources.layout import current_path, manifest_init
+
     spark = vectors.sparkSession
     cents = (
         centroids
         if centroids is not None
         else kmeans_centroids(vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     )
-    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents_path = os.path.join(path, "centroids")
+    if object_store_safe:
+        manifest_init(cents, cents_path)
+    else:
+        cents.write.mode("overwrite").parquet(cents_path)
+    cents = spark.read.parquet(current_path(cents_path))
     assigned = assign_ivf_buckets(vectors, cents, id_col, vec_col)
     parts = ["centroid_id"]
     if streaming:
         assigned = assigned.withColumn("__batch", F.lit(-1).cast("long"))
         parts.append("__batch")
-    (
-        assigned.repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy(*parts)
-        .parquet(os.path.join(path, "assignments"))
-    )
+    assigned = assigned.repartition("centroid_id")
+    if object_store_safe:
+        manifest_init(assigned, os.path.join(path, "assignments"), parts)
+    else:
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(os.path.join(path, "assignments"))
+        )
     n = vectors.count()
     first = vectors.select(vec_col).first()
     dim = len(first[0]) if first is not None and first[0] is not None else 0
@@ -86,14 +103,21 @@ def build_ivf_index(
         params = spark.createDataFrame(
             [(k, iters, dim, n)], "k int, iters int, dim int, n_vectors long"
         )
-    params.write.mode("overwrite").parquet(os.path.join(path, "params"))
+    # params last: a crashed build leaves no readable index, never a
+    # wrong-constant one
+    if object_store_safe:
+        manifest_init(params, os.path.join(path, "params"))
+    else:
+        params.write.mode("overwrite").parquet(os.path.join(path, "params"))
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) — assignments carry the partition column
     ``centroid_id`` back as a regular column."""
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
-    assigned = spark.read.parquet(os.path.join(path, "assignments"))
+    from ..sources.layout import current_path
+
+    cents = spark.read.parquet(current_path(os.path.join(path, "centroids")))
+    assigned = spark.read.parquet(current_path(os.path.join(path, "assignments")))
     return cents, assigned
 
 
@@ -158,9 +182,11 @@ def add_to_ivf_index(
     ``build_ivf_index`` on a schedule (compare ``kmeans_inertia`` of old
     vs fresh centroids to decide), not per batch. Update ``params`` last
     so a crashed append under-counts rather than phantom-counts."""
+    from ..sources.layout import current_path
+
     spark = new_vectors.sparkSession
     params_path = os.path.join(path, "params")
-    [p] = spark.read.parquet(params_path).collect()
+    [p] = spark.read.parquet(current_path(params_path)).collect()
     if "__max_batch_id" in p.asDict():
         # streaming-maintained layout: assignments live one level deeper
         # (centroid_id/__batch) — appending at centroid_id depth would
@@ -172,13 +198,16 @@ def add_to_ivf_index(
             "streaming.jobs.foreach_batch_ivf_append to fold new "
             "vectors into it" % path
         )
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents = spark.read.parquet(current_path(os.path.join(path, "centroids")))
     assigned = assign_ivf_buckets(new_vectors, cents, id_col, vec_col)
     (
+        # append into the LIVE generation on manifest layouts (a no-op
+        # resolver for plain ones) — appends are new files only, so no
+        # pointer swap is needed
         assigned.repartition("centroid_id")
         .write.mode("append")
         .partitionBy("centroid_id")
-        .parquet(os.path.join(path, "assignments"))
+        .parquet(current_path(os.path.join(path, "assignments")))
     )
     n_new = new_vectors.count()
     from .upsert import replace_parquet

@@ -49,6 +49,7 @@ def build_lsh_index(
     shingle: str = "word",
     n_buckets: int = 64,
     streaming: bool = False,
+    object_store_safe: bool = False,
 ) -> None:
     """Shingle+MinHash+band the corpus once and persist the banded rows
     bucket-partitioned. Params written LAST (crash leaves no readable
@@ -59,7 +60,16 @@ def build_lsh_index(
     — and stamps ``__max_batch_id = -1`` into params, so the index can
     be maintained by ``streaming.jobs.foreach_batch_lsh_append`` (stream
     batch ids start at 0). The probe is unaffected: it selects columns
-    by name and partition-prunes on the first level."""
+    by name and partition-prunes on the first level.
+
+    ``object_store_safe=True`` lays both components out as
+    manifest-managed generation tables (``sources.layout``), same as
+    ``build_bm25_index``: full-table replaces (params marker merges,
+    compaction) swap a one-line pointer file instead of renaming
+    directories — atomic on S3-class stores. Probes and appends resolve
+    components through ``current_path`` transparently."""
+    from ..sources.layout import manifest_init
+
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, ngram, shingle)
     banded = banded_signatures(sigs, id_col, num_perm, bands).withColumn(
         "key_bucket", _key_bucket(n_buckets)
@@ -68,12 +78,15 @@ def build_lsh_index(
     if streaming:
         banded = banded.withColumn("__batch", F.lit(-1).cast("long"))
         parts.append("__batch")
-    (
-        banded.repartition("key_bucket")
-        .write.mode("overwrite")
-        .partitionBy(*parts)
-        .parquet(os.path.join(path, "banded"))
-    )
+    banded = banded.repartition("key_bucket")
+    if object_store_safe:
+        manifest_init(banded, os.path.join(path, "banded"), parts)
+    else:
+        (
+            banded.write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(os.path.join(path, "banded"))
+        )
     if streaming:
         params = docs.sparkSession.createDataFrame(
             [(num_perm, bands, ngram, shingle, n_buckets, -1)],
@@ -85,7 +98,10 @@ def build_lsh_index(
             [(num_perm, bands, ngram, shingle, n_buckets)],
             "num_perm int, bands int, ngram int, shingle string, n_buckets int",
         )
-    params.write.mode("overwrite").parquet(os.path.join(path, "params"))
+    if object_store_safe:
+        manifest_init(params, os.path.join(path, "params"))
+    else:
+        params.write.mode("overwrite").parquet(os.path.join(path, "params"))
 
 
 def query_lsh_index(
@@ -103,7 +119,9 @@ def query_lsh_index(
     so the driver round-trip is O(1). Output: (corpus_id, new_id)
     distinct candidate pairs — feed them to ``ngram_jaccard_pairs``-style
     verification exactly as with in-session LSH."""
-    [p] = spark.read.parquet(os.path.join(path, "params")).collect()
+    from ..sources.layout import current_path
+
+    [p] = spark.read.parquet(current_path(os.path.join(path, "params"))).collect()
     sigs = minhash_signatures(
         new_docs, id_col, text_col, p.num_perm, p.ngram, p.shingle
     )
@@ -113,7 +131,7 @@ def query_lsh_index(
     buckets = [
         r.key_bucket for r in nb.select("key_bucket").distinct().collect()
     ]  # ≤ n_buckets rows by construction
-    corpus = spark.read.parquet(os.path.join(path, "banded")).filter(
+    corpus = spark.read.parquet(current_path(os.path.join(path, "banded"))).filter(
         F.col("key_bucket").isin(buckets)
     )
     new_side = nb.select(
@@ -139,8 +157,10 @@ def add_to_lsh_index(
     index's constants and parquet-append into the touched bucket
     partitions only — no rewrite of existing buckets, params unchanged
     (banding constants are fixed at build)."""
+    from ..sources.layout import current_path
+
     spark = new_docs.sparkSession
-    [p] = spark.read.parquet(os.path.join(path, "params")).collect()
+    [p] = spark.read.parquet(current_path(os.path.join(path, "params"))).collect()
     if "__max_batch_id" in p.asDict():
         # streaming-maintained layout: banded rows live one level deeper
         # (key_bucket/__batch) — appending at key_bucket depth would mix
@@ -156,9 +176,12 @@ def add_to_lsh_index(
     )
     banded = banded_signatures(sigs, id_col, p.num_perm, p.bands)
     (
+        # append into the LIVE generation on manifest layouts (a no-op
+        # resolver for plain ones) — appends are new files only, so no
+        # pointer swap is needed
         banded.withColumn("key_bucket", _key_bucket(p.n_buckets))
         .repartition("key_bucket")
         .write.mode("append")
         .partitionBy("key_bucket")
-        .parquet(os.path.join(path, "banded"))
+        .parquet(current_path(os.path.join(path, "banded")))
     )

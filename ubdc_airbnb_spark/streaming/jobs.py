@@ -599,6 +599,7 @@ def foreach_batch_ivf_append(
 
     from ..operators.similarity import assign_ivf_buckets
     from ..operators.upsert import recover_swap, replace_parquet
+    from ..sources.layout import current_path
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -609,7 +610,7 @@ def foreach_batch_ivf_append(
                 "first with build_ivf_index(..., streaming=True) (the "
                 "stream cannot train centroids)" % index_path
             )
-        [p] = spark.read.parquet(params_path).collect()
+        [p] = spark.read.parquet(current_path(params_path)).collect()
         if "__max_batch_id" not in p.asDict():
             raise ValueError(
                 "foreach_batch_ivf_append: index at %r was built without "
@@ -620,7 +621,7 @@ def foreach_batch_ivf_append(
             )
         if batch_id <= p["__max_batch_id"]:
             return  # completed batch redelivered: skip
-        cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+        cents = spark.read.parquet(current_path(os.path.join(index_path, "centroids")))
         assigned = assign_ivf_buckets(batch_df, cents, id_col, vec_col)
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         old_mode = spark.conf.get(mode_key, "static")
@@ -631,7 +632,7 @@ def foreach_batch_ivf_append(
                 .repartition("centroid_id")
                 .write.mode("overwrite")
                 .partitionBy("centroid_id", "__batch")
-                .parquet(os.path.join(index_path, "assignments"))
+                .parquet(current_path(os.path.join(index_path, "assignments")))
             )
         finally:
             spark.conf.set(mode_key, old_mode)
@@ -678,6 +679,7 @@ def foreach_batch_lsh_append(
     from ..operators.dedup import banded_signatures, minhash_signatures
     from ..operators.dedup_index import _key_bucket
     from ..operators.upsert import recover_swap, replace_parquet
+    from ..sources.layout import current_path
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -688,7 +690,7 @@ def foreach_batch_lsh_append(
                 "first with build_lsh_index(..., streaming=True) (the "
                 "banding constants are fixed at build)" % index_path
             )
-        [p] = spark.read.parquet(params_path).collect()
+        [p] = spark.read.parquet(current_path(params_path)).collect()
         if "__max_batch_id" not in p.asDict():
             raise ValueError(
                 "foreach_batch_lsh_append: index at %r was built without "
@@ -713,7 +715,7 @@ def foreach_batch_lsh_append(
                 .repartition("key_bucket")
                 .write.mode("overwrite")
                 .partitionBy("key_bucket", "__batch")
-                .parquet(os.path.join(index_path, "banded"))
+                .parquet(current_path(os.path.join(index_path, "banded")))
             )
         finally:
             spark.conf.set(mode_key, old_mode)
