@@ -122,11 +122,17 @@ def main() -> None:
     # warmup: JVM + whole-stage-codegen compilation path, then prime the
     # table cache (warm-cache benchmark: the driver's single-row-group
     # parquet files force single-threaded cold scans; cached tables are
-    # repartitioned across cores, which is how production inputs arrive)
+    # repartitioned across cores, which is how production inputs arrive).
+    # SPARK_GRAFT_WARM_CACHE=false runs the SYMMETRIC disclosure variant:
+    # Spark reads the same parquet files DuckDB reads, per timed run, no
+    # cached tables — recorded once per round in BENCH_REPLAYS/ to bound
+    # the warm-cache flattery with a number (see BENCH_NOTES.md).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    from ubdc_airbnb_spark.sources.tables import warm_cache
+    use_warm = os.environ.get("SPARK_GRAFT_WARM_CACHE", "true").lower() != "false"
+    if use_warm:
+        from ubdc_airbnb_spark.sources.tables import warm_cache
 
-    warm_cache(spark, sf_dir, partitions=parts)
+        warm_cache(spark, sf_dir, partitions=parts)
 
     from pyspark.sql import functions as F
 

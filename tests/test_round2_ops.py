@@ -396,6 +396,60 @@ def test_sorted_neighborhood_pairs_all_within_radius(spark):
     assert bad == 0 and pairs.count() > 0
 
 
+def test_simhash_hamming_pairs_matches_bruteforce(spark):
+    """The scale-shaped decomposition (hamming-0 via sketch-value groups
+    + banded pigeonhole over DISTINCT sketches, verify inside the join)
+    must emit byte-identical pairs to the brute-force all-pairs scan —
+    including exact-dup multiplicity (groups of identical sketches)."""
+    from ubdc_airbnb_spark.operators import dedup
+
+    # crafted sketches: an identical triple, a hamming-1/2/3 chain off
+    # it, a hamming-4 outsider (excluded), and a far singleton
+    base = 0b1011_0110_1100_0011_0101_1010_0110_1001
+    rows = [
+        (1, base), (2, base), (3, base),
+        (4, base ^ 0b1),                 # hamming 1
+        (5, base ^ 0b110),               # hamming 2
+        (6, base ^ (1 << 31) ^ (1 << 15) ^ 1),  # hamming 3
+        (7, base ^ 0b1111),              # hamming 4 from base
+        (8, 0x0F0F0F0F),
+    ]
+    sk = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_hamming_pairs(sk, "doc_id").collect()
+    }
+    want = set()
+    for i, (ida, ha) in enumerate(rows):
+        for idb, hb in rows[i + 1:]:
+            d = bin(ha ^ hb).count("1")
+            if d <= 3:
+                want.add((min(ida, idb), max(ida, idb), d))
+    assert got == want
+    assert (1, 2, 0) in want and (7, 4, 3) not in got  # sanity on the fixture
+
+
+def test_simhash_hamming_pairs_on_corpus(spark):
+    """sf0.001 corpus: exact equivalence to the brute-force pair scan."""
+    from ubdc_airbnb_spark.operators import dedup
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sk = dedup.simhash(docs, "doc_id", "text", bits=32)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_hamming_pairs(sk, "doc_id").collect()
+    }
+    vals = [(r.doc_id, r.simhash) for r in sk.collect()]
+    want = set()
+    for i, (ida, ha) in enumerate(vals):
+        for idb, hb in vals[i + 1:]:
+            d = bin(ha ^ hb).count("1")
+            if d <= 3:
+                want.add((min(ida, idb), max(ida, idb), d))
+    assert got == want
+
+
 # ------------------------------------------------- upsampling / packing
 
 

@@ -73,6 +73,17 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf10"
     only = set(sys.argv[2:])
 
+    # The audit EXECUTES construction-time work at replica scale (the
+    # components fixpoint, sidecar collects), not just plan building —
+    # and the replica corpus's near-dup graph is quadratically dense
+    # (~17% of all doc pairs are within hamming<=3), so the sym-edge
+    # checkpoint is ~200M rows at sf1. The default 8g heap models a
+    # bench session; the r06/r07 sweeps that "died near the end with
+    # connection refused" were THIS undersizing (GCLocker storm -> JVM
+    # OOM), not infrastructure. Size the single local JVM like the
+    # multi-executor cluster the conf simulates.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
     from ubdc_airbnb_spark import queries as q_mod
     from ubdc_airbnb_spark.operators.prefixsum import release_pins
     from ubdc_airbnb_spark.session import get_spark

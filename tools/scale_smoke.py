@@ -195,6 +195,96 @@ def run_curate_profile(spark, sf_dir: str, factor: int = 1) -> None:
     }))
 
 
+def _bfs_split_fetcher(kind: str, key: str, offset: int) -> tuple[int, str, str]:
+    """Deterministic search fetcher for the discovery-at-scale smoke.
+
+    Split/paginate behavior is a pure function of the work item, so the
+    fetcher is stateless and executor-safe: quadkeys shallower than the
+    depth target report ``has_next_page`` (the BFS splits them — T7);
+    at the depth cap the first pages keep paginating until the offset
+    cap (T8), then finalize. Payloads are the standard synthetic search
+    bodies, seeded per (quadkey, offset) so listings differ per page."""
+    from ubdc_airbnb_spark.sources import payloads
+
+    o = int(offset)
+    has_next = len(key) < _BFS_DEPTH_TARGET or (o + 10) < _BFS_PAGE_CAP
+    body = payloads.search_payload(
+        key, has_next_page=has_next, items_offset=o, seed=f"{key}:{o}"
+    )
+    return 200, body, f"mock://search/{key}?o={o}"
+
+
+_BFS_DEPTH_TARGET = 12
+_BFS_PAGE_CAP = 30
+
+
+def run_pipeline_profile(spark, skew_factor: float = 4.0, min_rows: int = 10_000,
+                         harvest_cap: int = 20_000) -> list[str]:
+    """VERDICT r06 item 7: the harvest/discovery composed plans at
+    ~100x+ the e2e-test scale (the pytest e2e runs 1-2 grids / 2-3
+    listings; this runs a 64-seed quadtree BFS through two full split
+    levels plus the depth-cap pagination tail — 3,392 fetches — then a
+    calendar harvest over the ~30k discovered listings, ~7M calendar-day
+    rows). Checks the same skew/single-partition rule as the gate smoke
+    on every data-scale output (bronze, listings, calendar days).
+    """
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.plans import discovery, ops
+
+    bad: list[str] = []
+
+    def _check(name: str, df, n_rows: int, extra: dict) -> None:
+        prof = partition_profile(df)
+        skewed = (
+            prof["parts"] > 0
+            and prof["max"] >= min_rows
+            and (
+                prof["parts"] == 1
+                or prof["max"] > skew_factor * max(prof["median"], 1)
+            )
+        )
+        print(json.dumps({"query": name, "rows": n_rows, **prof,
+                          "skewed": skewed, **extra}))
+        if skewed:
+            bad.append(name)
+
+    # --- discovery BFS: 64 seeds (len 10) -> split to 256 -> split to
+    # 1024 at the depth cap -> 3 pagination pages each = 3,392 fetches
+    seeds = ["0313131" + "".join(t) for t in itertools.product("0123", repeat=3)]
+    t0 = time.perf_counter()
+    res = discovery.discover(
+        spark, _bfs_split_fetcher, seeds,
+        max_level=_BFS_DEPTH_TARGET, max_waves=10, partitions=32,
+    )
+    n_bronze = res.bronze.count()
+    n_listings = res.listings.count()
+    wall = round(time.perf_counter() - t0, 2)
+    _check("pipeline:discover_bronze", res.bronze, n_bronze,
+           {"sec": wall, "waves": res.waves, "fetches": res.fetches,
+            "splits": len(res.splits)})
+    _check("pipeline:discover_listings", res.listings, n_listings, {})
+
+    # --- calendar harvest over the discovered listings (S2+X11+J9+T10)
+    listings = res.listings.withColumn(
+        "calendar_updated_at", F.lit(None).cast("timestamp")
+    )
+    covers = spark.createDataFrame(
+        [("03", True)], "qk_prefix string, collect_calendars boolean"
+    )
+    t0 = time.perf_counter()
+    h = ops.run_calendar_harvest(spark, listings, covers, how_many=harvest_cap)
+    n_hb = h.bronze.count()
+    n_days = h.calendar_days.count()
+    wall = round(time.perf_counter() - t0, 2)
+    _check("pipeline:harvest_bronze", h.bronze, n_hb,
+           {"sec": wall, "n_due": h.n_due})
+    _check("pipeline:harvest_days", h.calendar_days, n_days, {})
+    return bad
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -208,7 +298,22 @@ def main() -> int:
     ap.add_argument("--curate", action="store_true",
                     help="also profile the composed curation pipeline "
                          "end-to-end with per-stage timings")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="profile ONLY the harvest/discovery composed "
+                         "plans (quadtree BFS + calendar harvest) at "
+                         "~100x e2e-test scale; skips replicate + gates")
     args = ap.parse_args()
+
+    if args.pipeline:
+        from ubdc_airbnb_spark.session import get_spark
+
+        spark = get_spark("scale-smoke-pipeline", extra_conf={
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        })
+        bad = run_pipeline_profile(spark, skew_factor=args.skew_factor,
+                                   min_rows=args.min_rows)
+        print(json.dumps({"verdict": "FAIL" if bad else "PASS", "skewed": bad}))
+        return 1 if bad else 0
 
     replicate(args.src, args.out, args.factor)
 

@@ -240,6 +240,184 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     )
 
 
+def sketch_value_pairs(
+    dsk: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs of DISTINCT sketch values within ``max_hamming``: the
+    pigeonhole banded self-join with the popcount verify INSIDE the
+    join, so only verified near-dup value pairs reach the distinct.
+    Input ``dsk`` must be one column ``__sk`` of distinct values.
+    Output: (sk_a, sk_b, hamming), ``sk_a < sk_b``."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole needs max_hamming < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = dsk.select(
+        "__sk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.call_function("shiftright", F.col("__sk"), (b * width).cast("int"))
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                ),
+            )
+        ).alias("bd"),
+    ).select(
+        "__sk",
+        F.col("bd.band_id").alias("band_id"),
+        F.col("bd.band_val").alias("band_val"),
+    )
+    ham = F.bit_count(F.col("a.__sk").bitwiseXOR(F.col("b.__sk")))
+    # shuffle_hash pin: both sides derive from a distinct (post-aggregate
+    # size estimates are structurally tiny — the class-1 broadcast hazard)
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b").hint("shuffle_hash"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.__sk") < F.col("b.__sk"))
+            & (ham <= max_hamming),
+        )
+        .select(
+            F.col("a.__sk").alias("sk_a"),
+            F.col("b.__sk").alias("sk_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def simhash_components(
+    sketches: DataFrame,
+    id_col: str,
+    sketch_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) over the hamming<=max near-dup graph WITHOUT ever
+    materializing document-level pairs — component = min member id, the
+    same labeling ``connected_components`` over the pair list produces.
+
+    Contraction: documents with identical sketches are connected by
+    definition (hamming 0), so each distinct sketch VALUE is one
+    super-node seeded with ``min(member id)``; edges are the verified
+    near-dup sketch-value pairs; the min-label fixpoint then yields
+    min-member-id per component, and members join their sketch's label
+    back in one hash join. On the dense sf1 replica graph this is the
+    difference between propagating over ~430M doc-level sym edges
+    (what killed the r06/r07 audit JVMs) and ~5k sketch nodes: the
+    doc-pair expansion is OUTPUT-inherent for the pairs operator, but
+    components never needed it.
+    """
+    from .graph import connected_components
+
+    sk = sketches.select(F.col(id_col).alias("__id"), F.col(sketch_col).alias("__sk"))
+    groups = sk.groupBy("__sk").agg(F.min("__id").alias("__lbl"))
+    edges = sketch_value_pairs(
+        groups.select("__sk"), bits=bits, bands=bands, max_hamming=max_hamming
+    )
+    comp = connected_components(
+        edges,
+        groups,
+        src="sk_a",
+        dst="sk_b",
+        id_col="__sk",
+        label_col="__lbl",
+        max_iter=max_iter,
+    )
+    return sk.join(
+        comp.withColumnRenamed("id", "__sk").hint("shuffle_hash"), "__sk"
+    ).select(F.col("__id").alias("id"), "component")
+
+
+def simhash_hamming_pairs(
+    sketches: DataFrame,
+    id_col: str,
+    sketch_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Every document pair within ``max_hamming`` — exact, scale-shaped.
+
+    The naive form (band-bucket self-join over DOCUMENTS, then
+    ``distinct``, then the hamming verify) is quadratic in corpus size
+    twice over: the band key space is fixed (``bands * 2**(bits/bands)``
+    values), so bucket occupancy grows linearly with the corpus and the
+    candidate expansion Σ|bucket|² grows quadratically — and the old
+    shape shuffled that UNVERIFIED candidate set through a distinct.
+    The r07 plan-audit re-run caught it empirically: at sf1 the distinct
+    materialized ~768 MiB blocks until the 8 GiB JVM died (the failure
+    the r06 sweep mis-filed as infrastructure).
+
+    Decomposition with identical output:
+
+    - **hamming = 0**: identical sketches — one hash-shuffle on the
+      sketch VALUE (key space ``2**bits``, never the fixed band space);
+      pairs are generated inside each sketch group, so the expansion
+      equals the output size by construction.
+    - **hamming 1..max**: the pigeonhole banded join runs over DISTINCT
+      sketch values (exact-duplicate multiplicity — the dominant mass in
+      web corpora — collapses to one row per value), and the popcount
+      verify sits INSIDE the join, so only verified near-dup sketch
+      pairs reach the distinct / member-expansion joins. Candidate cost
+      becomes a function of content diversity, not corpus multiplicity.
+
+    Requires ``max_hamming < bands`` (pigeonhole: a qualifying pair
+    shares at least one untouched band). Output: (id_a, id_b, hamming),
+    ``id_a < id_b`` — byte-identical to the naive banded join.
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole needs max_hamming < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sk = sketches.select(F.col(id_col).alias("__id"), F.col(sketch_col).alias("__sk"))
+
+    zero = (
+        sk.alias("x")
+        .join(sk.alias("y").hint("shuffle_hash"), F.col("x.__sk") == F.col("y.__sk"))
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+
+    sk_pairs = sketch_value_pairs(
+        sk.select("__sk").distinct(), bits=bits, bands=bands, max_hamming=max_hamming
+    )
+    near = (
+        sk_pairs.join(
+            sk.select(F.col("__sk").alias("sk_a"), F.col("__id").alias("ida")).hint(
+                "shuffle_hash"
+            ),
+            "sk_a",
+        )
+        .join(
+            sk.select(F.col("__sk").alias("sk_b"), F.col("__id").alias("idb")).hint(
+                "shuffle_hash"
+            ),
+            "sk_b",
+        )
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return zero.unionByName(near)
+
+
 def hamming_distance(a: str = "simhash_a", b: str = "simhash_b", bits: int = 32) -> F.Column:
     """Popcount of XOR via bit explosion (no UDF)."""
     x = F.col(a).bitwiseXOR(F.col(b))

@@ -30,9 +30,18 @@ def connected_components(
     dst: str = "id_b",
     id_col: str = "id",
     max_iter: int = 25,
+    label_col: str | None = None,
 ) -> DataFrame:
     """(id, component) for every node in ``nodes``; component = min node
     id in the connected component (singletons keep their own id).
+
+    ``label_col`` (optional) seeds each node with an arbitrary initial
+    label instead of its own id; the fixpoint then computes the MIN
+    INITIAL LABEL per component. This is what makes graph contraction
+    work: run the propagation over contracted super-nodes (e.g. one per
+    distinct sketch value) seeded with ``min(member id)``, and the
+    result is exactly the member-level min-id component labeling — the
+    member graph never materializes (see dedup.simhash_components).
 
     ``edges`` may be directed/deduplicated — it is symmetrized here.
     Raises if the fixpoint is not reached within ``max_iter`` rounds
@@ -55,7 +64,10 @@ def connected_components(
         .distinct()
     )
     labels = label_chain.step(
-        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+        nodes.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col if label_col else id_col).alias("component"),
+        )
     )
     try:
         for _ in range(max_iter):

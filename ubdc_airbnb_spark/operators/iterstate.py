@@ -62,7 +62,20 @@ class CheckpointChain:
 
     def step(self, df: DataFrame, eager: bool = True) -> DataFrame:
         before = _persistent_ids(self._scala_sc)
-        out = df.localCheckpoint(eager=eager)
+        # Serialized-with-spill storage, NOT the deserialized default:
+        # chain generations are written once and read back at most twice
+        # (next round's join + convergence diff), so row-object access
+        # speed is irrelevant — but footprint is the scale limit. On the
+        # dense sf1 near-dup graph (~400M sym-edge rows) deserialized
+        # generations were ~1.2 GiB per partition and 32 concurrent
+        # cache-builds OOMed even a 48 GiB JVM; serialized blocks are a
+        # fraction of that and degrade to clean disk spill, never heap
+        # death (r07 plan-audit finding). NB: pyspark 4 names the
+        # serialized level plain MEMORY_AND_DISK; the deserialized
+        # default localCheckpoint uses is MEMORY_AND_DISK_DESER.
+        from pyspark.storagelevel import StorageLevel
+
+        out = df.localCheckpoint(eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK)
         ids: set[int] | None = None
         try:
             # precise attribution: the checkpointed Dataset's analyzed

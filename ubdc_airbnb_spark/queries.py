@@ -2445,43 +2445,8 @@ _SIMHASH_SQL = """
 )
 def ns_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sketches = dedup.simhash(load_table(spark, sf, "documents"), "doc_id", "text", bits=32)
-    banded = sketches.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.call_function("shiftright", F.col("simhash"), (b * 8).cast("int"))
-                    .bitwiseAND(F.lit(255))
-                    .alias("band_val"),
-                ),
-            )
-        ).alias("bd"),
-    ).select("doc_id", "simhash", F.col("bd.band_id").alias("band_id"), F.col("bd.band_val").alias("band_val"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sk_a"),
-            F.col("b.simhash").alias("sk_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+    return dedup.simhash_hamming_pairs(
+        sketches, "doc_id", bits=32, bands=4, max_hamming=3
     )
 
 
@@ -2513,12 +2478,14 @@ def ns_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     "recursive CTE; singletons keep their own id",
 )
 def ns_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import connected_components
-
     docs = load_table(spark, sf, "documents")
-    pairs = ns_dedup_simhash_pairs(spark, sf).select("id_a", "id_b")
-    return connected_components(
-        pairs, docs.select("doc_id"), id_col="doc_id"
+    sketches = dedup.simhash(docs, "doc_id", "text", bits=32)
+    # sketch-value contraction: identical sketches are hamming-0
+    # connected, so propagate over distinct sketch super-nodes seeded
+    # with min(doc_id) — the ~n² doc-level pair list (215M rows at sf1,
+    # output-inherent for the PAIRS gate) never materializes here
+    return dedup.simhash_components(
+        sketches, "doc_id", bits=32, bands=4, max_hamming=3
     ).select(F.col("id").alias("doc_id"), "component")
 
 
@@ -5058,11 +5025,12 @@ def ns_quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ns_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import canonical_per_cluster
-    from .operators.graph import connected_components
 
     docs = load_table(spark, sf, "documents")
-    pairs = ns_dedup_simhash_pairs(spark, sf).select("id_a", "id_b")
-    comp = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    sketches = dedup.simhash(docs, "doc_id", "text", bits=32)
+    comp = dedup.simhash_components(
+        sketches, "doc_id", bits=32, bands=4, max_hamming=3
+    )
     scored_docs = docs.select(
         "doc_id", F.round(textstats.quality_score("text"), 6).alias("__q")
     )
