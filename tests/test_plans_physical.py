@@ -96,6 +96,32 @@ def test_discovery_wave_fetch_is_map_in_pandas(spark):
     assert "MapInPandas" in plan
 
 
+def test_fetch_batch_fans_out_single_partition_work(spark):
+    """r07 pipeline-smoke finding: due-selection plans end in
+    orderBy().limit(k) — TakeOrderedAndProject — whose output is ONE
+    partition, so an inheriting fetch stage would run the whole harvest
+    single-threaded. fetch_batch must default to defaultParallelism
+    workers, not the upstream layout."""
+    from ubdc_airbnb_spark.sources.http_fetch import fetch_batch, mock_fetcher
+
+    work = (
+        spark.range(64)
+        .selectExpr(
+            "'search' as kind",
+            "concat('03131313', lpad(cast(id as string), 2, '0')) as key",
+            "0L as offset",
+        )
+        .orderBy("key")
+        .limit(32)
+    )
+    assert work.rdd.getNumPartitions() == 1  # the hazard being guarded
+    fetched = fetch_batch(work, mock_fetcher)
+    expect = spark.sparkContext.defaultParallelism
+    assert fetched.rdd.getNumPartitions() == expect
+    # explicit partitions still models a fixed worker fleet
+    assert fetch_batch(work, mock_fetcher, partitions=3).rdd.getNumPartitions() == 3
+
+
 def test_cosine_pairs_gate_has_no_allpairs_join(spark):
     """VERDICT r1 #2: the embedding near-dup gate must generate candidates
     from IVF buckets (hash join on centroid_id), never a nested-loop join

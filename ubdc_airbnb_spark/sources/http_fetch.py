@@ -69,9 +69,19 @@ def fetch_batch(
 
     The work set is repartitioned so each partition is an independent
     rate-limited "worker"; total throughput = partitions × rate_per_sec,
-    mirroring the reference's worker-count × per-worker-rate model."""
-    if partitions:
-        work = work.repartition(partitions)
+    mirroring the reference's worker-count × per-worker-rate model.
+
+    ``partitions=None`` defaults to the session's default parallelism
+    (one worker per core) rather than inheriting the upstream layout:
+    every due-selection plan ends in ``orderBy().limit(k)`` —
+    TakeOrderedAndProject — whose output is ONE partition, so an
+    inheriting fetch stage would run the whole harvest single-threaded
+    (caught by the r07 pipeline smoke: a 20k-listing calendar harvest
+    fetched and exploded 7.2M day rows in one task). Explicitly pass
+    ``partitions`` to model a fixed worker fleet."""
+    work = work.repartition(
+        partitions or work.sparkSession.sparkContext.defaultParallelism
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         min_interval = (1.0 / rate_per_sec) if rate_per_sec else 0.0
