@@ -341,6 +341,131 @@ def test_ivf_threshold_pairs_recall_vs_exact(spark):
         assert len(got) / len(exact) >= 0.5  # 2-probe recall floor
 
 
+def _naive_bucket_pairs(assigned_a, assigned_b, keys, threshold):
+    """The pre-r07 pairwise reference shape: bucket equi-join over
+    DOCUMENTS, distinct, then verify — correct, but shuffles the
+    unverified candidate set (kept here as the test oracle)."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.similarity import cosine_cols
+
+    cand = (
+        assigned_a.join(assigned_b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(cosine_cols("vec_a", "vec_b") >= threshold).select(
+        "id_a", "id_b"
+    )
+
+
+def test_ivf_pairs_contraction_matches_naive_on_replicated_corpus(spark):
+    """r07: the value-contracted ivf_threshold_pairs must be
+    SET-identical to the naive pairwise shape on a corpus WITH exact
+    duplicates — the replica-dense case whose naive form took 702 s at
+    sf1 (SCALE.md r07). Replication shifts ids the way scale_smoke's
+    replicate does, so duplicate groups span id ranges."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators import similarity
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mx = base.agg(F.max("vec_id")).first()[0] + 1
+    emb = base.crossJoin(spark.range(3).withColumnRenamed("id", "__i")).select(
+        (F.col("vec_id") + F.col("__i") * mx).alias("vec_id"), "embedding"
+    )
+    cents = base.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid_vec"),
+    )
+    assigned = similarity.centroid_probes(emb, cents, 2, "vec_id", "embedding")
+    naive = _naive_bucket_pairs(
+        assigned.select(
+            "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+        ),
+        assigned.select(
+            "centroid_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
+        ),
+        "centroid_id",
+        0.4,
+    )
+    want = {(r.id_a, r.id_b) for r in naive.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.ivf_threshold_pairs(
+            emb, cents, threshold=0.4, probes=2
+        ).collect()
+    }
+    assert got == want
+    assert want, "test corpus produced no pairs — not exercising anything"
+
+    # components over the same graph: contracted embedding_components
+    # must reproduce connected_components(pairs) labels exactly
+    from ubdc_airbnb_spark.operators.graph import connected_components
+
+    ref = {
+        (r.id, r.component)
+        for r in connected_components(
+            similarity.ivf_threshold_pairs(emb, cents, threshold=0.4, probes=2),
+            emb.select("vec_id"),
+            id_col="vec_id",
+        ).collect()
+    }
+    comp = {
+        (r.id, r.component)
+        for r in similarity.embedding_components(
+            emb, cents, threshold=0.4, probes=2
+        ).collect()
+    }
+    assert comp == ref
+
+
+def test_rp_lsh_pairs_contraction_matches_naive_on_replicated_corpus(spark):
+    """Same equivalence for the RP-LSH banded path."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators import similarity
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mx = base.agg(F.max("vec_id")).first()[0] + 1
+    emb = base.crossJoin(spark.range(3).withColumnRenamed("id", "__i")).select(
+        (F.col("vec_id") + F.col("__i") * mx).alias("vec_id"), "embedding"
+    )
+    width = 16 // 4
+    sigs = similarity.rp_signature(emb, "vec_id", "embedding", 16, "rp", 64)
+    banded = sigs.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.substring(F.col("rp_sig"), b * width + 1, width),
+            )
+        ).alias("band_id", "band_key"),
+    )
+    naive = _naive_bucket_pairs(
+        banded.select(
+            "band_id", "band_key", F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("vec_a"),
+        ),
+        banded.select(
+            "band_id", "band_key", F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vec_b"),
+        ),
+        ["band_id", "band_key"],
+        0.4,
+    )
+    want = {(r.id_a, r.id_b) for r in naive.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.rp_lsh_pairs(emb, threshold=0.4).collect()
+    }
+    assert got == want
+    assert want
+
+
 # ------------------------------------------------------------------ as-of
 
 

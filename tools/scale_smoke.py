@@ -96,6 +96,24 @@ CHECK = [
     "ns_outlier_mad",
     "ns_mixture_apply",
     "ns_label_centroid_sim",
+    # round-7: the reworked simhash family — exactly the gates whose old
+    # shapes OOMed the sf1 plan-audit session (SCALE.md r07). simhash is
+    # a linear sketch pass; groups/components/canonical/semantic run the
+    # contracted super-node propagation; apply consumes the keep-set.
+    # ns_dedup_simhash_pairs is deliberately NOT here: its doc-level
+    # pair list is OUTPUT-inherent quadratic on this dense synthetic
+    # corpus (215M pairs at sf1, ~21.5B at sf10) — the sf1 count is
+    # recorded in SCALE.md instead of profiled per-partition here.
+    "ns_dedup_simhash",
+    "ns_dedup_simhash_groups",
+    "ns_dedup_components",
+    "ns_dedup_canonical",
+    "ns_dedup_semantic",
+    "ns_dedup_apply",
+    # round-7: the embedding pair generators after the same value-node
+    # contraction (naive ns_dedup_semantic took 702 s at sf1)
+    "ns_embed_cosine_pairs",
+    "ns_embed_rp_lsh",
 ]
 
 
@@ -349,15 +367,31 @@ def main() -> int:
         prof = partition_profile(df)
         dt = round(time.perf_counter() - t0, 2)
         total = prof["max"] if prof["parts"] == 1 else None
+        # A parts==1 result is a defect only when the PLAN reduced
+        # parallelism — an Exchange down to one partition (the global-
+        # window / unkeyed-aggregate bug class this check hunts). A plan
+        # with NO exchange at all is a narrow chain: its output
+        # partitioning IS the scan's, and a single split just means the
+        # toy file is under maxPartitionBytes (documents at sf1 is
+        # 1.9 MB compressed) — at 100 TB the same bytes rule yields
+        # thousands of splits and the same plan keeps all of them.
+        narrow_scan = False
+        if prof["parts"] == 1 and prof["max"] >= args.min_rows:
+            plan_str = df._jdf.queryExecution().executedPlan().toString()
+            narrow_scan = "Exchange" not in plan_str
         skewed = (
             prof["parts"] > 0
             and prof["max"] >= args.min_rows
+            and not narrow_scan
             and (
                 prof["parts"] == 1
                 or prof["max"] > args.skew_factor * max(prof["median"], 1)
             )
         )
-        print(json.dumps({"query": name, "sec": dt, **prof, "skewed": skewed}))
+        rec = {"query": name, "sec": dt, **prof, "skewed": skewed}
+        if narrow_scan:
+            rec["narrow_scan"] = True
+        print(json.dumps(rec))
         prefixsum.release_pins()  # per-query pin hygiene, as in the gate
         if skewed:
             bad.append(name)

@@ -237,6 +237,106 @@ def centroid_probes(
     )
 
 
+def _value_nodes(
+    vectors: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Contract exact-duplicate vectors to value super-nodes — the
+    embedding analog of the distinct-sketch contraction in
+    ``dedup.sketch_value_pairs`` (SCALE.md r07): on a replicated corpus
+    every duplicate re-enters the bucket join, so candidate cost grows
+    with corpus multiplicity instead of content diversity.
+
+    Returns ``(vals, members)``: ``vals`` is one row per DISTINCT vector
+    value — ``(__vid, vec_col)`` with ``__vid = min(member id)`` — and
+    ``members`` maps every input row to its value node ``(__mid,
+    __vid)``. Both joins/aggregates key on the raw array value (exact
+    float equality — the contract for "identical vector")."""
+    m = vectors.select(F.col(id_col).alias("__mid"), F.col(vec_col).alias("__mvec"))
+    vals = m.groupBy("__mvec").agg(F.min("__mid").alias("__vid"))
+    # shuffle_hash pin: vals is post-aggregate (structurally tiny size
+    # estimate — the class-1 auto-broadcast hazard on a corpus table)
+    members = m.join(vals.hint("shuffle_hash"), "__mvec").select("__mid", "__vid")
+    return vals.select("__vid", F.col("__mvec").alias(vec_col)), members
+
+
+def _expand_value_pairs(
+    members: DataFrame,
+    vals: DataFrame,
+    val_pairs: DataFrame,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Member-level (id_a < id_b) pairs from verified VALUE pairs:
+
+    - identical-vector pairs (the hamming-0 analog): all member pairs
+      within a value group, gated on the SAME ``cosine >= threshold``
+      predicate the pairwise form would have evaluated for them
+      (``cosine(v, v)`` — handles zero-norm vectors identically);
+    - cross-value pairs: verified ``(vid_a, vid_b)`` × the members of
+      each side. Groups partition the ids, so the two branches are
+      disjoint by construction."""
+    ok = vals.filter(
+        cosine_cols(vec_col, vec_col) >= F.lit(threshold)
+    ).select("__vid")
+    mx = members.select("__vid", F.col("__mid").alias("id_a"))
+    my = members.select("__vid", F.col("__mid").alias("id_b"))
+    zero = (
+        mx.join(my.hint("shuffle_hash"), "__vid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(ok.hint("shuffle_hash"), "__vid", "semi")
+        .select("id_a", "id_b")
+    )
+    cross = (
+        val_pairs.join(
+            members.select(
+                F.col("__vid").alias("vid_a"), F.col("__mid").alias("__ida")
+            ).hint("shuffle_hash"),
+            "vid_a",
+        )
+        .join(
+            members.select(
+                F.col("__vid").alias("vid_b"), F.col("__mid").alias("__idb")
+            ).hint("shuffle_hash"),
+            "vid_b",
+        )
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+    )
+    return zero.unionByName(cross)
+
+
+def _ivf_value_pairs(
+    vals: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    threshold: float,
+    probes: int,
+) -> DataFrame:
+    """Verified ``(vid_a, vid_b)`` value pairs sharing a probed IVF
+    bucket, cosine verify INSIDE the join — nothing unverified is ever
+    shuffled (probe assignment depends only on the vector value, so
+    value-level bucket sharing is exactly member-level bucket sharing)."""
+    assigned = centroid_probes(vals, centroids, probes, "__vid", vec_col)
+    a = assigned.select(
+        "centroid_id", F.col("__vid").alias("vid_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("__vid").alias("vid_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (a["centroid_id"] == b["centroid_id"])
+            & (F.col("vid_a") < F.col("vid_b"))
+            & (cosine_cols("vec_a", "vec_b") >= F.lit(threshold)),
+        )
+        .select("vid_a", "vid_b")
+        .distinct()  # pairs sharing >1 probe bucket — verified rows only
+    )
+
+
 def ivf_threshold_pairs(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -249,27 +349,70 @@ def ivf_threshold_pairs(
     generation → exact cosine verify (the embedding analog of what
     ``ns_dedup_ngram_jaccard`` does for text: never all-pairs).
 
-    Candidates are pairs sharing at least one probed centroid bucket —
-    a hash equi-join on ``centroid_id`` costing Σ|bucket|², never n².
-    Multi-probe (default 2) recovers most boundary pairs single-probe IVF
-    would miss; recall < 1 remains by construction and is the documented
-    contract (``threshold_pairs`` stays available as the exact
-    small-data baseline)."""
-    assigned = centroid_probes(vectors, centroids, probes, id_col, vec_col)
-    a = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    Candidates are value pairs sharing at least one probed centroid
+    bucket — a hash equi-join on ``centroid_id`` costing Σ|bucket|² over
+    DISTINCT vector values, never n² and never corpus multiplicity: the
+    naive per-document form (r07 sf1 smoke: 702 s, a ~600 GB shuffle of
+    unverified wide candidate rows through a dropDuplicates) contracts
+    to value super-nodes with the verify inside the join, then expands
+    members — byte-identical output (pytest-asserted vs the naive
+    shape). Multi-probe (default 2) recovers most boundary pairs
+    single-probe IVF would miss; recall < 1 remains by construction and
+    is the documented contract (``threshold_pairs`` stays available as
+    the exact small-data baseline)."""
+    vals, members = _value_nodes(vectors, id_col, vec_col)
+    val_pairs = _ivf_value_pairs(vals, centroids, vec_col, threshold, probes)
+    return _expand_value_pairs(members, vals, val_pairs, vec_col, threshold)
+
+
+def embedding_components(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    probes: int = 2,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) over the IVF-verified cosine near-dup graph
+    WITHOUT ever materializing document-level pairs — the embedding twin
+    of ``dedup.simhash_components``. Component = min member id, exactly
+    the labeling ``connected_components(ivf_threshold_pairs(...))``
+    produces (pytest-asserted).
+
+    Contraction: identical vectors are pairwise-connected by definition
+    (when ``cosine(v, v) >= threshold`` — evaluated, so zero-norm /
+    degenerate thresholds keep the pairwise semantics), so each distinct
+    vector value is one super-node whose seed label ``__vid`` is already
+    ``min(member id)``; edges are the verified value pairs; members
+    inherit their value node's fixpoint label — or keep their own id
+    when the self-pair predicate fails (those groups have no internal
+    edges in the pairwise form)."""
+    from .graph import connected_components
+
+    vals, members = _value_nodes(vectors, id_col, vec_col)
+    edges = _ivf_value_pairs(vals, centroids, vec_col, threshold, probes)
+    comp = connected_components(
+        edges,
+        vals.select("__vid"),
+        src="vid_a",
+        dst="vid_b",
+        id_col="__vid",
+        max_iter=max_iter,
     )
-    b = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
-    )
-    cand = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # pairs sharing >1 probe bucket
+    selfok = vals.select(
+        "__vid",
+        (cosine_cols(vec_col, vec_col) >= F.lit(threshold)).alias("__selfok"),
     )
     return (
-        cand.filter(cosine_cols("vec_a", "vec_b") >= threshold)
-        .select("id_a", "id_b")
+        members.join(comp.withColumnRenamed("id", "__vid").hint("shuffle_hash"), "__vid")
+        .join(selfok.hint("shuffle_hash"), "__vid")
+        .select(
+            F.col("__mid").alias("id"),
+            F.when(F.col("__selfok"), F.col("component"))
+            .otherwise(F.col("__mid"))
+            .alias("component"),
+        )
     )
 
 
@@ -331,14 +474,20 @@ def rp_lsh_pairs(
     data-independent alternative to IVF (no centroid training step).
 
     Signature → split into ``bands`` contiguous bit-bands → explode →
-    self-equi-join on (band_id, band_key) → distinct candidate pairs →
-    exact cosine verify. Join cost is Σ|bucket|² over 2^(bits/band)-way
-    buckets per band — never n². Same contract as ``ivf_threshold_pairs``:
-    recall < 1 by construction, precision 1 after the verify."""
+    self-equi-join on (band_id, band_key) over DISTINCT vector values
+    with the exact cosine verify INSIDE the join → member expansion
+    (signatures depend only on the vector value, so value-level band
+    sharing is exactly member-level band sharing; same contraction as
+    ``ivf_threshold_pairs`` — nothing unverified is ever shuffled, and
+    candidate cost follows content diversity, not corpus multiplicity).
+    Join cost is Σ|bucket|² over 2^(bits/band)-way buckets per band —
+    never n². Same contract as ``ivf_threshold_pairs``: recall < 1 by
+    construction, precision 1 after the verify."""
     width = num_planes // bands
-    sigs = rp_signature(vectors, id_col, vec_col, num_planes, salt, dim)
+    vals, members = _value_nodes(vectors, id_col, vec_col)
+    sigs = rp_signature(vals, "__vid", vec_col, num_planes, salt, dim)
     banded = sigs.select(
-        id_col,
+        "__vid",
         vec_col,
         F.posexplode(
             F.transform(
@@ -348,20 +497,23 @@ def rp_lsh_pairs(
         ).alias("band_id", "band_key"),
     )
     a = banded.select(
-        "band_id", "band_key", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        "band_id", "band_key", F.col("__vid").alias("vid_a"), F.col(vec_col).alias("vec_a")
     )
     b = banded.select(
-        "band_id", "band_key", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        "band_id", "band_key", F.col("__vid").alias("vid_b"), F.col(vec_col).alias("vec_b")
     )
-    cand = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    val_pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (a["band_id"] == b["band_id"])
+            & (a["band_key"] == b["band_key"])
+            & (F.col("vid_a") < F.col("vid_b"))
+            & (cosine_cols("vec_a", "vec_b") >= F.lit(threshold)),
+        )
+        .select("vid_a", "vid_b")
+        .distinct()
     )
-    return (
-        cand.filter(cosine_cols("vec_a", "vec_b") >= threshold)
-        .select("id_a", "id_b")
-    )
+    return _expand_value_pairs(members, vals, val_pairs, vec_col, threshold)
 
 
 def kmeans_centroids(

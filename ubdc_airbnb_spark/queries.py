@@ -4421,15 +4421,14 @@ def ns_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     "(recursive CTE)",
 )
 def ns_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.graph import connected_components
-
     emb = load_table(spark, sf, "embeddings")
     cents = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid_vec"),
     )
-    pairs = similarity.ivf_threshold_pairs(emb, cents, threshold=0.4, probes=2)
-    comp = connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+    # contracted components — doc-level pairs never materialize (the
+    # pairwise form took 702 s at sf1 in the r07 smoke; SCALE.md r07)
+    comp = similarity.embedding_components(emb, cents, threshold=0.4, probes=2)
     return comp.groupBy(F.col("component").alias("keep_vec_id")).agg(
         F.count(F.lit(1)).alias("cluster_size"),
         (F.count(F.lit(1)) - 1).alias("n_removed"),
