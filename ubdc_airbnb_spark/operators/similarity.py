@@ -884,16 +884,21 @@ def rp_lsh_query_topk(
             ).alias("band_id", "band_key"),
         )
 
+    # cosine BEFORE the dedup so the (query, neighbor) distinct shuffles
+    # narrow (id, id, double) rows, not two 64-double vectors per row —
+    # the cosine is deterministic per pair, so scoring band-duplicate
+    # candidates twice is map-side work that buys a payload-free shuffle
     cand = (
         banded(cb, "neighbor_id", "cvec")
         .join(broadcast(banded(qb, "query_id", "qvec")), ["band_id", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_cols("qvec", "cvec"))
+        .select("query_id", "neighbor_id", "cos")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
-        cand.withColumn("cos", cosine_cols("qvec", "cvec"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
