@@ -139,6 +139,61 @@ def test_nondyadic_threshold_no_int64_overflow(spark):
     assert ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.3).count() == 1
 
 
+def test_containment_contraction_matches_naive_on_replicated_corpus(spark):
+    """r07: the digest-contracted containment join must be SET-identical
+    to the naive pairwise gram join on a corpus WITH exact duplicates —
+    the replica-dense case whose naive form took 249 s at sf1
+    (SCALE.md r07). The naive reference is built inline."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.functions.textstats import word_ngrams
+    from ubdc_airbnb_spark.operators.dedup import (
+        _threshold_ratio,
+        ngram_containment_pairs,
+    )
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    mx = base.agg(F.max("doc_id")).first()[0] + 1
+    docs = base.crossJoin(spark.range(3).withColumnRenamed("id", "__i")).select(
+        (F.col("doc_id") + F.col("__i") * mx).alias("doc_id"), "text"
+    )
+
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    num, den = _threshold_ratio(0.5)
+    naive = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b")), "id_b")
+        .withColumn("min_n", F.least("n_a", "n_b"))
+        .filter(F.col("inter") * den >= F.col("min_n") * num)
+    )
+    want = {
+        (r.id_a, r.id_b, r.inter, r.min_n, r.inter / r.min_n)
+        for r in naive.collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.inter, r.min_n, r.containment)
+        for r in ngram_containment_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no pairs — not exercising anything"
+
+
 def test_ngram_novelty_first_occurrence_semantics(spark):
     from ubdc_airbnb_spark.operators.curation import ngram_novelty
 

@@ -450,6 +450,36 @@ def test_simhash_hamming_pairs_on_corpus(spark):
     assert got == want
 
 
+def test_simhash_hamming_pairs_max_group_viral_cap(spark):
+    """r07: max_group drops sketch values above the member cap from pair
+    generation ENTIRELY (both the hamming-0 expansion and near-pair
+    membership) — the brute-force reference is the all-pairs scan over
+    the SURVIVING rows only; cap=None keeps full parity (tested above)."""
+    from ubdc_airbnb_spark.operators import dedup
+
+    base = 0b1011_0110_1100_0011_0101_1010_0110_1001
+    rows = (
+        [(i, base) for i in range(1, 7)]        # viral group, 6 members
+        + [(10, base ^ 0b1), (11, base ^ 0b1)]  # hamming-1 pair group of 2
+        + [(12, base ^ 0b110)]                  # hamming-2 singleton
+    )
+    sk = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_hamming_pairs(sk, "doc_id", max_group=3).collect()
+    }
+    surviving = [(i, h) for i, h in rows if i >= 10]  # the 6-group is dropped
+    want = set()
+    for i, (ida, ha) in enumerate(surviving):
+        for idb, hb in surviving[i + 1:]:
+            d = bin(ha ^ hb).count("1")
+            if d <= 3:
+                want.add((min(ida, idb), max(ida, idb), d))
+    assert got == want
+    assert (10, 11, 0) in got         # small groups keep their pairs
+    assert not any(a <= 6 or b <= 6 for a, b, _ in got)  # viral group gone
+
+
 # ------------------------------------------------- upsampling / packing
 
 

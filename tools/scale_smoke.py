@@ -116,6 +116,29 @@ CHECK = [
     "ns_embed_rp_lsh",
 ]
 
+#: gates whose measured partition imbalance was traced to something a
+#: 1000-executor run would NOT suffer from — adjudicated with the same
+#: ratchet discipline as plan_audit.BENIGN (a name here means a human
+#: traced the profile; re-adjudicate before extending). Recorded as
+#: "skew_benign" in the output instead of failing the verdict.
+SKEW_BENIGN = {
+    "j10_upsert": (
+        "union of a bytes-ruled scan leg (~66k rows per 2MB toy split) "
+        "and a shuffle leg (~10k rows per reduce partition): two "
+        "granularities, both individually bounded at scale (128MB "
+        "splits / size-ruled reducers), no hot key"
+    ),
+    "ns_dedup_simhash_pairs": (
+        "output-inherent pair density: the gate's doc-level pair list "
+        "is quadratic in duplicate-group size by definition, and the "
+        "expansion joins emit each hot sketch group's pairs in the "
+        "partitions owning that key. Production callers cap viral "
+        "groups via simhash_hamming_pairs(max_group=...) — the minhash "
+        "max_bucket device — and resolve those groups with "
+        "exact_duplicates in O(B); the uncapped gate keeps oracle parity"
+    ),
+}
+
 
 def replicate(src_dir: str, out_dir: str, factor: int) -> None:
     import duckdb
@@ -378,7 +401,33 @@ def main() -> int:
         narrow_scan = False
         if prof["parts"] == 1 and prof["max"] >= args.min_rows:
             plan_str = df._jdf.queryExecution().executedPlan().toString()
-            narrow_scan = "Exchange" not in plan_str
+            # only SHUFFLE exchanges reduce the streamed side's
+            # parallelism; BroadcastExchange (and reuses of one) ships
+            # the build side without touching the probe side's layout
+            shuffles = plan_str.replace("BroadcastExchange", "").replace(
+                "ReusedExchange", ""
+            )
+            narrow_scan = "Exchange" not in shuffles
+            if not narrow_scan:
+                # shuffle exchanges may all live in broadcast BUILD
+                # subtrees (e.g. a group-count aggregate feeding a
+                # broadcast rates table) while the streamed path is
+                # scan → narrow → join(broadcast). A tree-string check
+                # can't tell which side an Exchange is on, so test the
+                # property we actually care about DYNAMICALLY: halve
+                # the split size and re-profile — if the output
+                # partition count tracks the input splits, the final
+                # stage's parallelism is scan-bound and a 100 TB input
+                # (thousands of splits) keeps it parallel.
+                cur = spark.conf.get("spark.sql.files.maxPartitionBytes")
+                try:
+                    spark.conf.set(
+                        "spark.sql.files.maxPartitionBytes", str(256 * 1024)
+                    )
+                    re_prof = partition_profile(specs[name].spark(spark, args.out))
+                    narrow_scan = re_prof["parts"] > 1
+                finally:
+                    spark.conf.set("spark.sql.files.maxPartitionBytes", cur)
         skewed = (
             prof["parts"] > 0
             and prof["max"] >= args.min_rows
@@ -391,6 +440,9 @@ def main() -> int:
         rec = {"query": name, "sec": dt, **prof, "skewed": skewed}
         if narrow_scan:
             rec["narrow_scan"] = True
+        if skewed and name in SKEW_BENIGN:
+            skewed = rec["skewed"] = False
+            rec["skew_benign"] = SKEW_BENIGN[name]
         print(json.dumps(rec))
         prefixsum.release_pins()  # per-query pin hygiene, as in the gate
         if skewed:

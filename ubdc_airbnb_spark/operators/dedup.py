@@ -346,6 +346,7 @@ def simhash_hamming_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Every document pair within ``max_hamming`` — exact, scale-shaped.
 
@@ -372,6 +373,20 @@ def simhash_hamming_pairs(
       pairs reach the distinct / member-expansion joins. Candidate cost
       becomes a function of content diversity, not corpus multiplicity.
 
+    ``max_group`` is the viral-group guard for corpus scale (the pair
+    twin of ``lsh_candidate_pairs``'s ``max_bucket``): a sketch value
+    with B members emits B² member pairs INTO THE PARTITIONS OWNING
+    THAT KEY — the r07 sf1 sweep measured max/median 25.8M/1.3M rows per
+    partition on the synthetic replica corpus, and a 1M-member
+    boilerplate cluster at web scale would put 10¹² pairs on one
+    reducer. Capping drops sketch values with more than ``max_group``
+    members from pair generation entirely (both the hamming-0 expansion
+    and near-pair membership); those groups are exact-duplicate mass at
+    extreme multiplicity — ``exact_duplicates`` resolves them in O(B),
+    so the dedup composition loses nothing the cheap path doesn't
+    recover. Costs one map-side-combinable count over the sketch rows.
+    Default ``None`` (off) — gate-parity behavior.
+
     Requires ``max_hamming < bands`` (pigeonhole: a qualifying pair
     shares at least one untouched band). Output: (id_a, id_b, hamming),
     ``id_a < id_b`` — byte-identical to the naive banded join.
@@ -381,6 +396,14 @@ def simhash_hamming_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     sk = sketches.select(F.col(id_col).alias("__id"), F.col(sketch_col).alias("__sk"))
+    if max_group is not None:
+        small = (
+            sk.groupBy("__sk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_group)
+            .select("__sk")
+        )
+        sk = sk.join(small.hint("shuffle_hash"), "__sk", "left_semi")
 
     zero = (
         sk.alias("x")
@@ -492,30 +515,51 @@ def ngram_containment_pairs(
     short-document slice being screened. The threshold compare is exact
     integer cross-multiplication, so engine float behavior can't flip it.
 
+    r07 contraction: the gram self-join is quadratic in each gram's
+    doc-list, and on a corpus with exact-duplicate mass every duplicate
+    re-enters every one of its gram lists — the sf1 registry sweep
+    measured the pairwise form at 249 s (10× replicas → 100× gram-join
+    output). Identical texts (same md5 — the ``exact_duplicates``
+    contract) are contracted to one representative before the gram
+    machinery; within-group member pairs have inter = min_n = n_grams
+    and containment 1.0 by definition, and cross-group pairs inherit
+    their representatives' statistics verbatim, so the expansion is
+    byte-identical to the pairwise form (pytest set-equality on a
+    replicated corpus).
+
     Output: (id_a, id_b, inter, min_n, containment) with id_a < id_b."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("gram"),
+    num, den = _threshold_ratio(threshold)
+    m = df.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__dg")
+    )
+    groups = m.groupBy("__dg").agg(F.min("__mid").alias("__vid"))
+    members = m.join(groups.hint("shuffle_hash"), "__dg").select("__mid", "__vid")
+    reps = df.select(
+        F.col(id_col).alias("__vid"), F.col(text_col).alias("__text")
+    ).join(groups.select("__vid").hint("shuffle_hash"), "__vid", "semi")
+
+    grams = reps.select(
+        F.col("__vid").alias("id"),
+        F.explode(F.array_distinct(word_ngrams("__text", ngram))).alias("gram"),
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(F.col("a.id").alias("vid_a"), F.col("b.id").alias("vid_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
-    num, den = _threshold_ratio(threshold)
-    return (
-        inter.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
+    sa = sizes.select(F.col("id").alias("vid_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("vid_b"), F.col("n_grams").alias("n_b"))
+    val_pairs = (
+        inter.join(sa.hint("shuffle_hash"), "vid_a")
+        .join(sb.hint("shuffle_hash"), "vid_b")
         .withColumn("min_n", F.least(F.col("n_a"), F.col("n_b")))
         .filter(F.col("inter") * den >= F.col("min_n") * num)
         .select(
-            "id_a",
-            "id_b",
+            "vid_a",
+            "vid_b",
             "inter",
             "min_n",
             (F.col("inter").cast("double") / F.col("min_n").cast("double")).alias(
@@ -523,6 +567,49 @@ def ngram_containment_pairs(
             ),
         )
     )
+    cross = (
+        val_pairs.join(
+            members.select(
+                F.col("__vid").alias("vid_a"), F.col("__mid").alias("__ida")
+            ).hint("shuffle_hash"),
+            "vid_a",
+        )
+        .join(
+            members.select(
+                F.col("__vid").alias("vid_b"), F.col("__mid").alias("__idb")
+            ).hint("shuffle_hash"),
+            "vid_b",
+        )
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "inter",
+            "min_n",
+            "containment",
+        )
+    )
+    if num > den:  # threshold > 1: identical texts can't qualify either
+        return cross
+    mx = members.select("__vid", F.col("__mid").alias("id_a"))
+    my = members.select("__vid", F.col("__mid").alias("id_b"))
+    zero = (
+        mx.join(my.hint("shuffle_hash"), "__vid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(
+            sizes.filter(F.col("n_grams") >= 1)
+            .select(F.col("id").alias("__vid"), F.col("n_grams"))
+            .hint("shuffle_hash"),
+            "__vid",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_grams").alias("inter"),
+            F.col("n_grams").alias("min_n"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return zero.unionByName(cross)
 
 
 def sorted_neighborhood_pairs(
