@@ -114,6 +114,9 @@ CHECK = [
     # contraction (naive ns_dedup_semantic took 702 s at sf1)
     "ns_embed_cosine_pairs",
     "ns_embed_rp_lsh",
+    # round-7: digest-contracted containment (naive form took 249 s at
+    # sf1, found by the full-registry execution sweep)
+    "ns_dedup_containment",
 ]
 
 #: gates whose measured partition imbalance was traced to something a
