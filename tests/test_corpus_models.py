@@ -194,6 +194,85 @@ def test_containment_contraction_matches_naive_on_replicated_corpus(spark):
     assert want, "fixture produced no pairs — not exercising anything"
 
 
+def test_containment_contraction_edge_cases(spark):
+    """Degenerate inputs where the contraction branches could diverge
+    from the pairwise form: empty/one-word texts (zero grams — absent
+    from sizes, so NO pair even between identical copies), duplicate
+    groups of 2 and 3, and a subset-dup pair across groups."""
+    from ubdc_airbnb_spark.operators.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta"
+    longer = short + " extra words beyond the subset here"
+    docs = spark.createDataFrame(
+        [
+            (1, short), (2, short), (3, short),   # dup group of 3
+            (4, longer), (5, longer),             # dup group of 2
+            (6, ""),  (7, ""),                    # zero-gram group
+            (8, "one two"),                       # zero-gram singleton (n<3)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.inter, r.min_n, r.containment)
+        for r in ngram_containment_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    n_short = len(short.split()) - 2   # 2 grams
+    n_long = len(longer.split()) - 2   # 8 grams
+    want = set()
+    for a, b in [(1, 2), (1, 3), (2, 3)]:          # within short group
+        want.add((a, b, n_short, n_short, 1.0))
+    want.add((4, 5, n_long, n_long, 1.0))          # within longer group
+    for a in (1, 2, 3):                            # short contained in longer
+        for b in (4, 5):
+            want.add((a, b, n_short, n_short, 1.0))
+    # empty/one-word docs: zero grams -> no pairs at all, even id 6-7
+    assert got == want
+
+
+def test_ivf_pairs_contraction_edge_cases(spark):
+    """Zero-norm vectors and duplicate vector groups. r07 finding: under
+    Spark 4's default ANSI mode, cosine with a zero-norm operand used to
+    THROW DIVIDE_BY_ZERO — one all-zero embedding would kill the job at
+    any scale. cosine now yields NULL for zero norms (fails every
+    >= threshold predicate on every engine), so zero vectors are
+    deterministically 'similar to nothing', including to each other."""
+    from ubdc_airbnb_spark.operators import similarity
+
+    z = [0.0] * 4
+    u = [1.0, 0.0, 0.0, 0.0]
+    v = [0.9, 0.1, 0.0, 0.0]  # cosine(u, v) ~ 0.994
+    w = [-1.0, 0.0, 0.0, 0.0]  # cosine(u, w) = -1 (fails threshold)
+    rows = [(1, u), (2, u), (3, v), (4, w), (5, z), (6, z)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, u), (1, w)], "centroid_id long, centroid_vec array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.ivf_threshold_pairs(
+            emb, cents, threshold=0.5, probes=2
+        ).collect()
+    }
+    # probes=2 over 2 centroids -> everyone shares both buckets, so the
+    # candidate set is all pairs; verification decides. Zero-norm
+    # cosines are NULL -> no pair, not even between identical zeros.
+    want = {
+        (1, 2),          # identical u's, cosine 1
+        (1, 3), (2, 3),  # u~v
+    }
+    assert got == want
+
+    comp = {
+        (r.id, r.component)
+        for r in similarity.embedding_components(
+            emb, cents, threshold=0.5, probes=2
+        ).collect()
+    }
+    # zero vectors are singletons (self-pair predicate NULL -> false),
+    # even though 5 and 6 share a value node
+    assert comp == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6)}
+
+
 def test_ngram_novelty_first_occurrence_semantics(spark):
     from ubdc_airbnb_spark.operators.curation import ngram_novelty
 

@@ -42,7 +42,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not NaN, not an error) when either norm is zero: under
+    Spark 4's default ANSI mode a bare ``x / 0.0`` THROWS
+    DIVIDE_BY_ZERO — one all-zero embedding in a 100 TB corpus would
+    kill every cosine gate (caught by the r07 contraction edge-case
+    test). NULL fails every ``>= threshold`` predicate, so zero-norm
+    vectors are deterministically "similar to nothing" on every engine,
+    instead of inheriting NaN's engine-specific comparison order."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def dot_expr(a_sql: str, b_sql: str) -> str:
@@ -67,8 +74,12 @@ def norm_expr(a_sql: str) -> str:
 
 def cosine_expr(a_sql: str, b_sql: str) -> str:
     """Spark-SQL text twin of :func:`cosine` — one parse instead of ~90
-    py4j round trips per use (three HOF folds built element-wise)."""
-    return f"({dot_expr(a_sql, b_sql)} / ({norm_expr(a_sql)} * {norm_expr(b_sql)}))"
+    py4j round trips per use (three HOF folds built element-wise).
+    Same zero-norm → NULL contract (ANSI-safe, see :func:`cosine`)."""
+    return (
+        f"({dot_expr(a_sql, b_sql)} / "
+        f"nullif({norm_expr(a_sql)} * {norm_expr(b_sql)}, 0.0D))"
+    )
 
 
 def cosine_cols(a_name: str, b_name: str) -> Column:
@@ -189,12 +200,20 @@ def centroid_probes(
         # fold: a captured expression re-evaluates per array element
         # (the HOF-capture trap), paying the O(D) query-norm once per
         # CENTROID instead of once per row
+        # nullif: ANSI mode throws DIVIDE_BY_ZERO on a zero-norm vector
+        # or centroid (r07 finding — one all-zero embedding would kill
+        # the assignment job); NULL negcos sorts LAST in array_sort's
+        # struct ordering, so degenerate operands take the lowest-rank
+        # probes instead of crashing
         scores = F.transform(
             cents,
             lambda c: F.struct(
-                (-(dot(vec, c["cvec"]) / (F.col("__vnorm") * norm(c["cvec"])))).alias(
-                    "negcos"
-                ),
+                (
+                    -(
+                        dot(vec, c["cvec"])
+                        / F.nullif(F.col("__vnorm") * norm(c["cvec"]), F.lit(0.0))
+                    )
+                ).alias("negcos"),
                 c["cid"].alias("cid"),
             ),
         )
