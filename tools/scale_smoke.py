@@ -131,6 +131,15 @@ SKEW_BENIGN = {
         "granularities, both individually bounded at scale (128MB "
         "splits / size-ruled reducers), no hot key"
     ),
+    "ns_dedup_simhash": (
+        "compressed-split imbalance on a pure narrow scan-following "
+        "pass: maxPartitionBytes ranges equal COMPRESSED bytes, and "
+        "runs of identical replicated docs RLE-pack ~6x tighter than "
+        "diverse ones, so byte-equal splits hold 6x different row "
+        "counts (measured at sf100). A property of the input layout, "
+        "not the plan — every downstream consumer (groups/components/"
+        "canonical) shuffles and rebalances immediately"
+    ),
     "ns_dedup_simhash_pairs": (
         "output-inherent pair density: the gate's doc-level pair list "
         "is quadratic in duplicate-group size by definition, and the "
