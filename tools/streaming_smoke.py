@@ -174,6 +174,60 @@ def run_ivf(spark, src_dir: str, work: str, batches: int, probe_runs: int) -> di
     return rec
 
 
+def run_lsh(spark, src_dir: str, work: str, batches: int, probe_runs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.dedup_index import build_lsh_index, query_lsh_index
+    from ubdc_airbnb_spark.sources.layout import compact_streaming_partitioned
+
+    from ubdc_airbnb_spark.streaming import jobs
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    boot = docs.filter(F.col("doc_id") % (batches + 1) == 0)
+    rest = docs.filter(F.col("doc_id") % (batches + 1) != 0)
+    idx = os.path.join(work, "lsh_idx")
+    build_lsh_index(boot, idx, n_buckets=64, streaming=True)
+    src = os.path.join(work, "lsh_src")
+    rest.repartition(batches).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = jobs.foreach_batch_lsh_append(stream, idx)
+    folds = _fold_durations(q)
+
+    probe = docs.filter(F.col("doc_id") % 100 == 0).limit(40)
+    probe_pre = _best_of(
+        lambda: query_lsh_index(spark, idx, probe).collect(), probe_runs
+    )
+    banded = os.path.join(idx, "banded")
+    files_pre = _count_files(banded)
+    [p] = spark.read.parquet(os.path.join(idx, "params")).collect()
+    compact_streaming_partitioned(
+        spark, banded, ["key_bucket"], int(p["__max_batch_id"])
+    )
+    files_post = _count_files(banded)
+    probe_post = _best_of(
+        lambda: query_lsh_index(spark, idx, probe).collect(), probe_runs
+    )
+    first5 = statistics.median(folds[1:6])
+    last5 = statistics.median(folds[-5:])
+    rec = {
+        "family": "lsh",
+        "batches": len(folds),
+        "fold_first5_s": round(first5, 3),
+        "fold_last5_s": round(last5, 3),
+        "fold_growth": round(last5 / first5, 2),
+        "probe_pre_s": probe_pre,
+        "probe_post_s": probe_post,
+        "files_pre": files_pre,
+        "files_post": files_post,
+    }
+    rec["verdict"] = _verdict(rec)
+    return rec
+
+
 def main() -> int:
     import shutil
     import tempfile
@@ -190,7 +244,7 @@ def main() -> int:
     work = tempfile.mkdtemp(prefix="stream_smoke_")
     try:
         bad = []
-        for fn in (run_bm25, run_ivf):
+        for fn in (run_bm25, run_ivf, run_lsh):
             rec = fn(spark, args.src, work, args.batches, args.probe_runs)
             print(json.dumps(rec))
             if rec["verdict"] != "PASS":
