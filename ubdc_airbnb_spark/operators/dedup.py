@@ -545,8 +545,16 @@ def ngram_containment_pairs(
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
+    # shuffle_hash pin: grams now derives from the contraction's semi
+    # join, whose post-aggregate size estimate is structurally tiny —
+    # unhinted, Catalyst BROADCASTS the corpus-sized gram table (caught
+    # by the r07 plan-audit ratchet on this very rewrite; the pre-
+    # contraction grams came straight off the scan with honest stats)
     inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("vid_a"), F.col("b.id").alias("vid_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
