@@ -273,6 +273,43 @@ def test_ivf_pairs_contraction_edge_cases(spark):
     assert comp == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6)}
 
 
+def test_zero_norm_centroid_sorts_last_in_probes(spark):
+    """r07 advice: Spark struct ordering is NULLS FIRST, so a bare NULL
+    negcos made a zero-norm centroid everyone's TOP probe (consuming a
+    probe slot corpus-wide). The coalesce-to-2.0 sentinel makes
+    degenerate centroids sort strictly after every real cosine,
+    matching the SQL oracle's ORDER BY cos DESC (NULLS LAST)."""
+    from ubdc_airbnb_spark.operators.similarity import centroid_probes
+
+    z = [0.0] * 4
+    u = [1.0, 0.0, 0.0, 0.0]
+    v = [0.0, 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, u), (2, v)], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, z), (1, u), (2, v)], "centroid_id long, centroid_vec array<double>"
+    )
+    for limit in (10_000, 0):  # inline path AND broadcast-row path
+        got = {
+            (r.vec_id, r.centroid_id)
+            for r in centroid_probes(
+                emb, cents, probes=2, inline_limit=limit
+            ).collect()
+        }
+        # with probes=2 of 3 centroids, the zero-norm centroid 0 must
+        # never appear: both real centroids beat the sentinel
+        assert got == {(1, 1), (1, 2), (2, 2), (2, 1)}, (limit, got)
+    # a zero-norm VECTOR has all-NULL cosines -> every probe is the
+    # sentinel; tie broken by cid ascending, deterministically
+    zv = spark.createDataFrame([(9, z)], "vec_id long, embedding array<double>")
+    got = [
+        (r.vec_id, r.centroid_id)
+        for r in centroid_probes(zv, cents, probes=2).collect()
+    ]
+    assert got == [(9, 0), (9, 1)]
+
+
 def test_ngram_novelty_first_occurrence_semantics(spark):
     from ubdc_airbnb_spark.operators.curation import ngram_novelty
 

@@ -82,7 +82,30 @@ def main() -> None:
     # connection refused" were THIS undersizing (GCLocker storm -> JVM
     # OOM), not infrastructure. Size the single local JVM like the
     # multi-executor cluster the conf simulates.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    if "SPARK_DRIVER_MEMORY" not in os.environ:
+        # Derive from the host instead of assuming a 48 GiB box (r07
+        # advice): cap at the 48g the sf1 audit actually needs, floor
+        # at 4g, and leave ~25% of RAM for the OS + Python workers so
+        # a small dev machine degrades to a slower-but-alive sweep
+        # instead of an OOM-killed JVM with a confusing error.
+        try:
+            avail_kb = 0
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemAvailable:"):
+                        avail_kb = int(line.split()[1])
+                        break
+            gib = max(4, min(48, int(avail_kb / 1024 / 1024 * 0.75)))
+        except OSError:
+            gib = 8
+        os.environ["SPARK_DRIVER_MEMORY"] = f"{gib}g"
+        if gib < 48:
+            print(
+                f"[plan-audit] host has limited memory; driver heap set to "
+                f"{gib}g (sf1 audit is sized for 48g — expect slower spills "
+                f"or set SPARK_DRIVER_MEMORY explicitly)",
+                file=sys.stderr,
+            )
 
     from ubdc_airbnb_spark import queries as q_mod
     from ubdc_airbnb_spark.operators.prefixsum import release_pins

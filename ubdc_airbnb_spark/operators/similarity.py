@@ -202,17 +202,21 @@ def centroid_probes(
         # CENTROID instead of once per row
         # nullif: ANSI mode throws DIVIDE_BY_ZERO on a zero-norm vector
         # or centroid (r07 finding — one all-zero embedding would kill
-        # the assignment job); NULL negcos sorts LAST in array_sort's
-        # struct ordering, so degenerate operands take the lowest-rank
-        # probes instead of crashing
+        # the assignment job). Spark struct ordering is NULLS FIRST, so
+        # a bare NULL negcos would make a degenerate centroid everyone's
+        # TOP probe (r07 advice); coalesce to 2.0 — strictly greater
+        # than any real negcos in [-1, 1] — so degenerate operands
+        # genuinely sort last, matching the SQL oracle's
+        # ORDER BY cos DESC (NULLS LAST).
         scores = F.transform(
             cents,
             lambda c: F.struct(
-                (
+                F.coalesce(
                     -(
                         dot(vec, c["cvec"])
                         / F.nullif(F.col("__vnorm") * norm(c["cvec"]), F.lit(0.0))
-                    )
+                    ),
+                    F.lit(2.0),
                 ).alias("negcos"),
                 c["cid"].alias("cid"),
             ),
