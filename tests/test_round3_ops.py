@@ -115,6 +115,148 @@ def test_lsh_viral_bucket_cap(spark):
     assert len(ex) == 1 and ex[0].n_docs == 40 and ex[0].keep_id == 0
 
 
+_CONTRACTION_BASE = [
+    "the quick brown fox jumps over the lazy dog tonight",
+    "the quick brown fox jumps over the lazy dog today",
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs right now",
+    "pack my box with five dozen liquor jugs right here",
+    "completely unrelated text about spark catalyst optimizer plans",
+    "",      # zero grams: all-NULL signature, 0/0 jaccard edge
+    "   ",   # different digest, same degenerate signature
+]
+
+
+def _replicated_docs(spark, replicas=3):
+    rows = [
+        (i * 100 + r, t)
+        for i, t in enumerate(_CONTRACTION_BASE)
+        for r in range(replicas)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _naive_lsh(docs, max_bucket=None):
+    from ubdc_airbnb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=16, ngram=3, shingle="word")
+    return lsh_candidate_pairs(sigs, "doc_id", 16, 4, max_bucket=max_bucket)
+
+
+def test_minhash_lsh_contraction_equivalence(spark):
+    """r08: the digest-contracted candidate generator must be
+    SET-IDENTICAL to the naive banded self-join on a replicated corpus
+    (exact dups, near-dups, zero-gram docs), with and without
+    max_bucket — the r07-deferral acceptance criterion."""
+    from ubdc_airbnb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _replicated_docs(spark)
+    naive = {(r.id_a, r.id_b) for r in _naive_lsh(docs).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 16, 4).collect()
+    }
+    assert got == naive and len(naive) > 30
+    # within-group pairs present (identical sigs share every band)
+    assert (0, 1) in got and (600, 601) in got
+    # zero-gram docs pair across digest groups (shared degenerate bands)
+    assert (600, 700) in got
+
+    # member-weighted max_bucket: naive bucket occupancy counts DOCS,
+    # and the fox family (9 members across 3 near-dup groups) overflows
+    # a cap of 8 wherever the three groups agree on a band
+    for cap in (8, 2):
+        naive_c = {(r.id_a, r.id_b) for r in _naive_lsh(docs, max_bucket=cap).collect()}
+        got_c = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", 16, 4, max_bucket=cap
+            ).collect()
+        }
+        assert got_c == naive_c, cap
+    assert len(naive_c) < len(naive)
+
+
+def test_lsh_jaccard_contraction_equivalence(spark):
+    """r08: contracted candidates + rep-level jaccard verify vs the
+    naive composition the gate ran through r07 — full-row set equality,
+    both verify join strategies."""
+    from ubdc_airbnb_spark.functions.textstats import word_ngrams_expr
+    from ubdc_airbnb_spark.operators.dedup import lsh_jaccard_pairs
+
+    docs = _replicated_docs(spark)
+    pairs = _naive_lsh(docs)
+    naive = {
+        tuple(r)
+        for r in spark.sql(
+            f"""
+            WITH grams AS (
+              SELECT doc_id, array_distinct({word_ngrams_expr('`text`', 3)}) AS g
+              FROM {{docs}}
+            ),
+            scored AS (
+              SELECT p.id_a, p.id_b,
+                     size(array_intersect(ga.g, gb.g)) AS inter,
+                     size(ga.g) + size(gb.g)
+                       - size(array_intersect(ga.g, gb.g)) AS union_n
+              FROM {{pairs}} p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b
+            )
+            SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+                   CAST(union_n AS BIGINT) AS union_n
+            FROM scored WHERE inter * 10 >= union_n * 3
+            """,
+            docs=docs,
+            pairs=pairs,
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in lsh_jaccard_pairs(docs, "doc_id", "text", 16, 4, 3, 0.3).collect()
+    }
+    assert got == naive
+    # sanity: the 0/0 degenerate pairs are IN (naive semantics), and
+    # within-group rows carry inter == union_n (J = 1)
+    zero = {t for t in naive if t[2] == 0}
+    assert zero and all(t[3] == 0 for t in zero)
+    assert {t for t in naive if t[0] == 0 and t[1] == 1}.pop()[2] > 0
+
+
+def test_digest_max_group_composition(spark):
+    """max_group drops viral digest groups from pair generation in both
+    contracted emitters; exact_duplicates recovers them in O(B) — the
+    cap-parity twin of test_lsh_viral_bucket_cap."""
+    from ubdc_airbnb_spark.operators.dedup import (
+        exact_duplicates,
+        lsh_jaccard_pairs,
+        minhash_lsh_pairs,
+        ngram_containment_pairs,
+    )
+
+    rows = [(i, "empty page please enable javascript to continue") for i in range(40)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+        (102, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (
+        lambda d, **kw: minhash_lsh_pairs(d, "doc_id", "text", 16, 4, **kw),
+        lambda d, **kw: lsh_jaccard_pairs(d, "doc_id", "text", 16, 4, 3, 0.3, **kw),
+        lambda d, **kw: ngram_containment_pairs(d, "doc_id", "text", 3, 0.5, **kw),
+    ):
+        capped = fn(docs, max_group=10).select("id_a", "id_b")
+        ids = {r.id_a for r in capped.collect()} | {r.id_b for r in capped.collect()}
+        assert ids and ids <= {100, 101, 102}          # viral cluster gone
+        assert capped.filter("id_a = 100 and id_b = 101").count() == 1
+    ex = exact_duplicates(docs, "doc_id", "text").filter(F.col("n_docs") > 1)
+    assert {(r.keep_id, r.n_docs) for r in ex.collect()} == {(0, 40), (100, 2)}
+
+
 def test_temperature_mix_boosts_small_sources(spark):
     """α=0.5 sampling must pick a HIGHER rate for a small source than a
     large one, and the realized counts must track rate·n."""

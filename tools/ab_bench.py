@@ -1,0 +1,140 @@
+"""Interleaved same-session A/B for named query shapes — the committed
+discipline for closing "is it box noise or a real regression?" questions
+(VERDICT r07 item 2, r08 contraction walls).
+
+Each round builds FRESH frames for every variant (fresh lineage — no
+cross-run shuffle reuse), interleaves A/B/A/B within the round, and
+times with the bench.py protocol: wall = build + plan + execute of the
+xxhash64-checksum collect; exec = execute only. Reports best-of-N and
+the full series. One JSON line to stdout; pass --out to also write a
+replay artifact.
+
+Usage:
+  python tools/ab_bench.py <suite> [--rounds 5] [--sf DIR] [--out FILE]
+
+Suites live in AB_SUITES below: name -> dict of variant -> builder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _checksum(df):
+    return df.agg(F.bit_xor(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))))
+
+
+# --- variant builders -------------------------------------------------
+
+def _naive_minhash_lsh(spark, docs):
+    from ubdc_airbnb_spark.operators import dedup
+
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", 16, 3, "word")
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+
+
+def _contracted_minhash_lsh(spark, docs):
+    from ubdc_airbnb_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4, 3, "word")
+
+
+def _naive_jaccard(spark, docs):
+    from ubdc_airbnb_spark.functions import textstats
+
+    pairs = _naive_minhash_lsh(spark, docs)
+    return spark.sql(
+        f"""
+        WITH grams AS (
+          SELECT doc_id, array_distinct({textstats.word_ngrams_expr('`text`', 3)}) AS g
+          FROM {{docs}}),
+        scored AS (
+          SELECT /*+ BROADCAST(ga), BROADCAST(gb) */ p.id_a, p.id_b,
+                 size(array_intersect(ga.g, gb.g)) AS inter,
+                 size(ga.g)+size(gb.g)-size(array_intersect(ga.g, gb.g)) AS union_n
+          FROM {{pairs}} p
+          JOIN grams ga ON ga.doc_id = p.id_a
+          JOIN grams gb ON gb.doc_id = p.id_b)
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               CAST(union_n AS BIGINT) AS union_n
+        FROM scored WHERE inter * 10 >= union_n * 3
+        """,
+        docs=docs,
+        pairs=pairs,
+    )
+
+
+def _contracted_jaccard(spark, docs):
+    from ubdc_airbnb_spark.operators import dedup
+
+    return dedup.lsh_jaccard_pairs(docs, "doc_id", "text", 16, 4, 3, 0.3)
+
+
+AB_SUITES = {
+    "minhash_contraction": {
+        "lsh_naive": _naive_minhash_lsh,
+        "lsh_contracted": _contracted_minhash_lsh,
+        "jaccard_naive": _naive_jaccard,
+        "jaccard_contracted": _contracted_jaccard,
+    },
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("suite", choices=sorted(AB_SUITES))
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out")
+    args = ap.parse_args()
+
+    from ubdc_airbnb_spark.session import get_spark
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    spark = get_spark(f"ab-{args.suite}")
+    docs = load_table(spark, args.sf, "documents")
+    variants = AB_SUITES[args.suite]
+
+    # warm: one full pass per variant (codegen, JIT, page cache)
+    for fn in variants.values():
+        _checksum(fn(spark, docs)).collect()
+
+    series: dict[str, dict[str, list[float]]] = {
+        k: {"wall": [], "exec": []} for k in variants
+    }
+    for _ in range(args.rounds):
+        for name, fn in variants.items():
+            t0 = time.perf_counter()
+            cs = _checksum(fn(spark, docs))
+            cs._jdf.queryExecution().executedPlan()
+            t1 = time.perf_counter()
+            cs.collect()
+            t2 = time.perf_counter()
+            series[name]["wall"].append(round(t2 - t0, 3))
+            series[name]["exec"].append(round(t2 - t1, 3))
+    out = {
+        "suite": args.suite,
+        "sf": args.sf,
+        "rounds": args.rounds,
+        "best": {
+            k: {m: min(v[m]) for m in v} for k, v in series.items()
+        },
+        "series": series,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

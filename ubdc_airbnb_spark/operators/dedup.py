@@ -90,39 +90,51 @@ def minhash_signatures(
     Output: (id, sig: array<long> of length num_perm). The heavy operation
     is one groupBy(id) with map-side partial min aggregation.
     """
+    hv_sql, sig_sql = _sig_exprs(f"`{text_col}`", num_perm, ngram, shingle)
+    base = df.selectExpr(f"`{id_col}`", f"{hv_sql} AS hv")
+    return base.selectExpr(f"`{id_col}`", f"{sig_sql} AS sig")
+
+
+def _sig_exprs(
+    text_sql: str, num_perm: int, ngram: int, shingle: str
+) -> tuple[str, str]:
+    """The MinHash signature as two SQL expression strings —
+    ``(hv_expr(text), sig_expr(hv))`` — shared by the per-doc signature
+    pass and the digest-contracted band join so both produce
+    BIT-IDENTICAL signatures (the gate oracle replays these exact
+    seeded constants in DuckDB SQL).
+
+    Classic affine-rehash MinHash: ONE md5 per shingle, then each of
+    the num_perm "permutations" is h_i(g) = (a_i*h(g) + b_i) mod p —
+    cheap 64-bit arithmetic, a pure narrow select (array transforms
+    inside whole-stage codegen): no explode, no shuffle, no join.
+    a_i < p and h < p keep products under 2^62. Assembled as SQL
+    strings and parsed JVM-side in ONE call each: the per-element
+    Column-lambda equivalent costs hundreds of py4j round-trips
+    (~0.07 s of pure driver latency per query at any scale)."""
     from ..functions.hashing import MERSENNE31
     from ..functions.textstats import char_ngrams_expr, word_ngrams_expr
 
-    # Classic affine-rehash MinHash: ONE md5 per shingle, then each of the
-    # num_perm "permutations" is h_i(g) = (a_i*h(g) + b_i) mod p — cheap
-    # 64-bit arithmetic. The whole signature is a per-row narrow select
-    # (array transforms inside whole-stage codegen): no explode, no
-    # shuffle, no join. a_i < p and h < p keep products under 2^62.
     import random as _random
 
     rnd = _random.Random(42)
     params = [
         (rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31)) for _ in range(num_perm)
     ]
-    # Both stages are assembled as SQL strings and parsed JVM-side in ONE
-    # call each: building the shingle-hash transform and the num_perm
-    # min-folds with per-element Column lambdas costs hundreds of py4j
-    # round-trips (~0.07 s of pure driver latency per query at any scale).
     sh_expr = (
-        char_ngrams_expr(f"`{text_col}`", ngram)
+        char_ngrams_expr(text_sql, ngram)
         if shingle == "char"
-        else word_ngrams_expr(f"`{text_col}`", ngram)
+        else word_ngrams_expr(text_sql, ngram)
     )
-    base = df.selectExpr(
-        f"`{id_col}`",
+    hv = (
         f"transform(array_distinct({sh_expr}), "
-        f"g -> CAST(CONV(SUBSTRING(MD5(g), 1, 15), 16, 10) AS BIGINT) % {MERSENNE31}L) AS hv",
+        f"g -> CAST(CONV(SUBSTRING(MD5(g), 1, 15), 16, 10) AS BIGINT) % {MERSENNE31}L)"
     )
     terms = ",".join(
         f"array_min(transform(hv, h -> (h * {a}L + {b}L) % {MERSENNE31}L))"
         for a, b in params
     )
-    return base.selectExpr(f"`{id_col}`", f"array({terms}) AS sig")
+    return hv, f"array({terms})"
 
 
 def banded_signatures(
@@ -133,19 +145,26 @@ def banded_signatures(
     string, one parse: per-band md5 over its signature slice (the same
     single-parse discipline as the signature fold — per-element Column
     construction costs ~100 py4j round-trips of pure driver latency)."""
+    band_sql = ",".join(_band_key_terms(num_perm, bands))
+    return sigs.selectExpr(
+        id_col, f"posexplode(array({band_sql})) AS (band_id, band_key)"
+    )
+
+
+def _band_key_terms(num_perm: int, bands: int, sig: str = "sig") -> list[str]:
+    """Per-band key expressions over a signature array column — shared
+    by the per-doc banding pass and the digest-contracted band join so
+    bucket keys are BIT-IDENTICAL across shapes."""
     rows_per_band = num_perm // bands
-    band_sql = ",".join(
+    return [
         "md5(concat_ws(',',{}))".format(
             ",".join(
-                f"cast(sig[{b * rows_per_band + r}] as string)"
+                f"cast({sig}[{b * rows_per_band + r}] as string)"
                 for r in range(rows_per_band)
             )
         )
         for b in range(bands)
-    )
-    return sigs.selectExpr(
-        id_col, f"posexplode(array({band_sql})) AS (band_id, band_key)"
-    )
+    ]
 
 
 def lsh_candidate_pairs(
@@ -192,6 +211,361 @@ def lsh_candidate_pairs(
          AND a.`{id_col}` < b.`{id_col}`
         """,
         banded=banded,
+    )
+
+
+def _digest_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Contract exact-duplicate texts to digest super-nodes — the shared
+    first stage of every contracted text-dedup shape (SCALE.md r07/r08):
+    on a corpus with duplicate mass, every copy re-enters every gram
+    list / LSH bucket, so candidate cost grows with corpus multiplicity
+    instead of content diversity. Identical texts (same md5 — the
+    ``exact_duplicates`` contract) collapse to one representative.
+
+    Returns ONE row per distinct text: (__vid, __text, __mids) with
+    ``__vid = min(member id)``, ``__text`` the representative text and
+    ``__mids`` every member id (group size = ``size(__mids)``). Carrying
+    the member list as an array (instead of a members side-table) makes
+    the whole contraction a SINGLE hash aggregate: no members join, no
+    reps semi-join, and the within-group pair expansion becomes a
+    narrow double-explode off this frame — the r08 A/B measured the
+    three-join formulation ~15% slower than the naive shape on a
+    dup-free corpus purely from exchange count. Shuffle volume is ids
+    (map-side list concat) + one text per (digest, map partition)
+    (``first`` partial-aggregates), i.e. the same bytes the reps
+    semi-join would have moved.
+
+    Row width: a B-member group holds B ids in one row (8 B each). That
+    is the same key-concentration the join-based expansion has (B² rows
+    on the partition owning the key); both are what ``max_group``
+    bounds — the viral-group guard (digest twin of
+    ``simhash_hamming_pairs``'s cap): groups with more than
+    ``max_group`` members are dropped from pair generation ENTIRELY.
+    A 1M-member boilerplate cluster at web scale would otherwise put
+    10¹² member pairs on one reducer; capped groups are exact-duplicate
+    mass by construction and ``exact_duplicates`` resolves them in
+    O(B), so the dedup composition loses nothing the cheap path doesn't
+    recover. Default ``None`` (off) — gate-parity behavior.
+
+    Downstream joins on this frame need shuffle_hash pins: it is
+    post-aggregate (structurally tiny size estimate — the class-1
+    auto-broadcast hazard on a corpus table)."""
+    # group on the text itself, not a digest: the map-side partial
+    # aggregate collapses per-partition duplicates either way (shuffled
+    # bytes = distinct texts per partition in both forms — a digest
+    # variant still ships the text as a first() value), and keeping the
+    # text as the GROUPING KEY means no branch can prune it away, so the
+    # per-branch aggregate variants stay canonically closer for
+    # exchange/stage reuse
+    # ONE parse (the groupBy/agg Column chain is ~10 py4j round-trips of
+    # pure driver latency per plan build). The HAVING is an ALWAYS-TRUE
+    # barrier (a group has ≥1 member by construction; the optimizer
+    # can't prove it): collect_list forces a non-codegen
+    # ObjectHashAggregate, and without a node in between CollapseProject
+    # merges downstream projections (the shingle-hash transform, gram
+    # arrays) INTO the aggregate's result expressions, where they run
+    # INTERPRETED per group — measured +1.4 s on 5k docs at sf0.1 (r08).
+    # The Filter keeps heavy projections in a whole-stage-codegen span
+    # above the aggregate. Side benefit: every consumer branch now
+    # carries the same (min, collect_list) aggregate shape, keeping the
+    # exchange subtrees canonically identical for reuse.
+    cap = f" AND size(__mids) <= {int(max_group)}" if max_group is not None else ""
+    return df.sparkSession.sql(
+        f"""
+        SELECT `{text_col}` AS __text,
+               min(`{id_col}`) AS __vid,
+               collect_list(`{id_col}`) AS __mids
+        FROM {{df}} GROUP BY `{text_col}`
+        HAVING size(__mids) > 0{cap}
+        """,
+        df=df,
+    )
+
+
+def _self_pairs(g: DataFrame) -> DataFrame:
+    """(vid, vid) value pairs for multi-member groups — within-group
+    member pairs are expanded through the SAME pipeline as cross-group
+    pairs (``_expand_pairs``), so the within branch reuses the
+    (min, collect_list) aggregate instead of forcing a third pruned
+    variant (column pruning specializes otherwise-identical aggregates
+    per branch, defeating exchange reuse — the r08 A/B measured the
+    naively-branched plan at 5 scans of the corpus)."""
+    return g.filter(F.size("__mids") > 1).select(
+        F.col("__vid").alias("vid_a"), F.col("__vid").alias("vid_b")
+    )
+
+
+def _contracted_band_join(
+    g: DataFrame,
+    num_perm: int,
+    bands: int,
+    ngram: int,
+    shingle: str,
+    gram_expr: str | None = None,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The LSH band self-join over digest super-nodes, with the member
+    lists (and optionally the distinct-gram arrays) CARRIED THROUGH the
+    join — the key to a contraction that doesn't lose to the naive
+    shape on a dup-free corpus: no members side-table, no expansion
+    joins, no re-aggregation per branch, and (uncapped) no DISTINCT.
+
+    Uncapped, each qualifying rep pair is emitted from exactly ONE band
+    — the earliest band whose signature slices agree (null-safe ``<=>``
+    per position: within this operator a slice-wise match is exactly a
+    band-key match, because empty docs produce all-NULL signatures and
+    non-empty docs all-non-NULL ones). That makes the join output
+    DISTINCT by construction, saving the pair-dedup exchange. With
+    ``max_bucket`` the first-agreeing band may have been capped away
+    while a later band survives, so that mode emits per surviving
+    bucket and dedups explicitly; bucket occupancy is member-weighted
+    (Σ size(__mids) — the count the naive shape would have seen) via a
+    window over the bucket key, which rides the join's own partitioning
+    without an extra exchange.
+
+    Returns ``(pairs, banded)``: pairs = (vid_a, vid_b, __ma, __mb
+    [, __ga, __gb]); banded = the (possibly capped) banded rep rows
+    (for within-group survival checks)."""
+    hv_sql, sig_sql = _sig_exprs("`__text`", num_perm, ngram, shingle)
+    carry = ["__vid", "__mids"]
+    extra = [f"array_distinct({gram_expr}) AS __garr"] if gram_expr else []
+    carry2 = carry + (["__garr"] if gram_expr else [])
+    base = g.selectExpr(*carry, *extra, f"{hv_sql} AS hv")
+    sigd = base.selectExpr(*carry2, f"{sig_sql} AS sig")
+    band_terms = ",".join(_band_key_terms(num_perm, bands))
+    banded = sigd.selectExpr(
+        *carry2, "sig", f"posexplode(array({band_terms})) AS (band_id, band_key)"
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("__bw", F.sum(F.size("__mids")).over(w))
+            .filter(F.col("__bw") <= max_bucket)
+            .drop("__bw")
+        )
+    rpb = num_perm // bands
+
+    def _band_eq(j: int) -> str:
+        return "(" + " AND ".join(
+            f"(a.sig[{j * rpb + i}] <=> b.sig[{j * rpb + i}])" for i in range(rpb)
+        ) + ")"
+
+    first_match = (
+        "CASE a.band_id WHEN 0 THEN true "
+        + " ".join(
+            f"WHEN {k} THEN NOT ({' OR '.join(_band_eq(j) for j in range(k))})"
+            for k in range(1, bands)
+        )
+        + " END"
+    )
+    gsel = ", a.__garr AS __ga, b.__garr AS __gb" if gram_expr else ""
+    dedup_cond = "true" if max_bucket is not None else first_match
+    pairs = g.sparkSession.sql(
+        f"""
+        SELECT a.__vid AS vid_a, b.__vid AS vid_b,
+               a.__mids AS __ma, b.__mids AS __mb{gsel}
+        FROM {{banded}} a JOIN {{banded}} b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.__vid < b.__vid
+         AND {dedup_cond}
+        """,
+        banded=banded,
+    )
+    if max_bucket is not None:
+        pairs = pairs.dropDuplicates(["vid_a", "vid_b"])
+    return pairs, banded
+
+
+def _explode_pairs(val_pairs: DataFrame, *stat_cols: str) -> DataFrame:
+    """Member pairs from value pairs whose member lists are already
+    attached (``__ma``/``__mb``): the pure-narrow double-explode tail of
+    the contraction — zero shuffle; the B² blowup is output-inherent.
+    Self pairs (vid_a == vid_b) emit both orders, so those keep only
+    ``__ida < __idb``; cross pairs emit each unordered pair exactly once
+    (groups partition the ids)."""
+    return (
+        val_pairs.selectExpr(
+            "vid_a", "vid_b", "explode(__ma) AS __ida", "__mb", *stat_cols
+        )
+        .selectExpr("vid_a", "vid_b", "__ida", "explode(__mb) AS __idb", *stat_cols)
+        .filter("vid_a != vid_b OR __ida < __idb")
+        .selectExpr(
+            "least(__ida, __idb) AS id_a",
+            "greatest(__ida, __idb) AS id_b",
+            *stat_cols,
+        )
+    )
+
+
+def _expand_pairs(g: DataFrame, val_pairs: DataFrame, *stat_cols: str) -> DataFrame:
+    """Member pairs from verified VALUE pairs: attach each side's member
+    list (two shuffle_hash joins — ``g`` is post-aggregate, its size
+    estimate lies) and double-explode. ``val_pairs`` may contain self
+    pairs (vid, vid) for within-group expansion: a cross pair (a < b)
+    emits each unordered member pair exactly once by construction
+    (groups partition the ids); a self pair emits both orders, so those
+    keep only ``__ida < __idb``. The B² blowup is output-inherent and
+    lands exactly where the join-based expansion would put it."""
+    ga = g.select(F.col("__vid").alias("vid_a"), F.col("__mids").alias("__ma"))
+    gb = g.select(F.col("__vid").alias("vid_b"), F.col("__mids").alias("__mb"))
+    return (
+        val_pairs.join(ga.hint("shuffle_hash"), "vid_a")
+        .join(gb.hint("shuffle_hash"), "vid_b")
+        .select("vid_a", "vid_b", *stat_cols, F.explode("__ma").alias("__ida"), "__mb")
+        .select("vid_a", "vid_b", *stat_cols, "__ida", F.explode("__mb").alias("__idb"))
+        .filter((F.col("vid_a") != F.col("vid_b")) | (F.col("__ida") < F.col("__idb")))
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            *stat_cols,
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    shingle: str = "word",
+    max_bucket: int | None = None,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Digest-contracted MinHash+LSH candidate pairs — set-identical to
+    ``lsh_candidate_pairs(minhash_signatures(df, ...), ...)`` (pytest
+    equivalence on a replicated corpus, with and without ``max_bucket``)
+    but sub-linear on duplicate-heavy corpora.
+
+    Why (SCALE.md r08, the r07 deferral): identical texts produce
+    identical signatures and re-enter every LSH bucket, so the banded
+    self-join's Σ|bucket|² candidate expansion grows quadratically with
+    duplicate multiplicity — the sf10 smoke measured 3.5×/decade growth
+    on the naive shape. Contraction runs shingling, signatures, banding
+    and the bucket self-join over DISTINCT texts only (constant across
+    replicas); member pairs are expanded from verified VALUE pairs, so
+    the quadratic part is confined to the OUTPUT itself (within-group
+    pairs — exact-duplicate mass, every pair a true candidate because
+    identical signatures share every band).
+
+    ``max_bucket`` keeps the naive shape's semantics exactly: bucket
+    occupancy is member-weighted (Σ group sizes), a bucket over the cap
+    drops out of rep-pair generation, and a group contributes its
+    within-pairs only while it still appears in ≥1 surviving bucket —
+    precisely the rows the naive banded join would have generated.
+
+    Output: (id_a, id_b), id_a < id_b, deduplicated by construction
+    (groups partition the ids: within- and cross-group branches are
+    disjoint; rep pairs are distinct; member expansion is unique)."""
+    g = _digest_groups(df, id_col, text_col, max_group)
+    pairs, banded = _contracted_band_join(
+        g, num_perm, bands, ngram, shingle, max_bucket=max_bucket
+    )
+    gw = g
+    if max_bucket is not None:
+        # a group's within-pairs survive while it still appears in ≥1
+        # surviving (member-weighted) bucket
+        gw = g.join(
+            banded.select("__vid").distinct().hint("shuffle_hash"), "__vid", "semi"
+        )
+    selfp = gw.filter("size(__mids) > 1").selectExpr(
+        "__vid AS vid_a", "__vid AS vid_b", "__mids AS __ma", "__mids AS __mb"
+    )
+    return _explode_pairs(pairs.unionByName(selfp)).select("id_a", "id_b")
+
+
+def lsh_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.3,
+    shingle: str = "word",
+    max_group: int | None = None,
+    verify_broadcast: bool = True,
+) -> DataFrame:
+    """Digest-contracted LSH candidates + exact word-n-gram Jaccard
+    verify — set-identical to the production composition (LSH candidate
+    pairs, then per-pair ``array_intersect`` over the documents' gram
+    arrays, threshold as exact integer cross-multiplication) but with
+    BOTH stages running over DISTINCT texts only.
+
+    Identical texts have identical gram sets, so within-group member
+    pairs have inter = union = |g(rep)| (J = 1, or the 0/0 ≥ 0 edge for
+    gram-less docs — the naive verify keeps those too), and cross-group
+    member pairs inherit their representatives' statistics verbatim.
+    The quadratic member expansion is output-inherent; everything
+    upstream of it is a function of content diversity.
+
+    Verify shape: the rep gram arrays form ONE side-table computed once
+    (both verify joins broadcast the IDENTICAL gram subplan — Spark's
+    ReuseExchange dedupes the BroadcastExchange, the shape the bench
+    gate has always used; an r08 A/B that carried the gram arrays
+    through the band join instead re-evaluated the gram transform per
+    branch and per pushed-down predicate, +1.5 s at sf0.1). At smoke
+    scale the broadcast is CONSTANT across replicas because distinct
+    texts don't grow; at true corpus scale the rep table is
+    corpus-sized — pass ``verify_broadcast=False`` to pin shuffle_hash
+    instead.
+
+    Output: (id_a, id_b, inter, union_n), id_a < id_b, counts as BIGINT
+    (matching DuckDB's len())."""
+    from ..functions.textstats import char_ngrams_expr, word_ngrams_expr
+
+    num, den = _threshold_ratio(threshold)
+    g = _digest_groups(df, id_col, text_col, max_group)
+    g_expr = (
+        char_ngrams_expr("`__text`", ngram)
+        if shingle == "char"
+        else word_ngrams_expr("`__text`", ngram)
+    )
+    pairs, _ = _contracted_band_join(g, num_perm, bands, ngram, shingle)
+    # within-group pairs ride the SAME verify + expansion via self value
+    # pairs: the verify of (v, v) computes inter = union = |g(rep)| and
+    # the shared threshold filter keeps/drops them exactly as the naive
+    # per-member verify would (including the 0/0 ≥ 0 edge for gram-less
+    # docs and the threshold > 1 rejection)
+    selfp = g.filter("size(__mids) > 1").selectExpr(
+        "__vid AS vid_a", "__vid AS vid_b", "__mids AS __ma", "__mids AS __mb"
+    )
+    allp = pairs.unionByName(selfp)
+    hint = (
+        "/*+ BROADCAST(ga), BROADCAST(gb) */"
+        if verify_broadcast
+        else "/*+ SHUFFLE_HASH(ga), SHUFFLE_HASH(gb) */"
+    )
+    verified = g.sparkSession.sql(
+        f"""
+        WITH grams AS (
+          SELECT __vid, array_distinct({g_expr}) AS gr FROM {{reps}}
+        )
+        SELECT {hint}
+               p.vid_a, p.vid_b, p.__ma, p.__mb,
+               CAST(size(array_intersect(ga.gr, gb.gr)) AS BIGINT) AS inter,
+               CAST(size(ga.gr) + size(gb.gr)
+                    - size(array_intersect(ga.gr, gb.gr)) AS BIGINT) AS union_n
+        FROM {{allp}} p
+        JOIN grams ga ON ga.__vid = p.vid_a
+        JOIN grams gb ON gb.__vid = p.vid_b
+        WHERE size(array_intersect(ga.gr, gb.gr)) * {den}
+              >= (size(ga.gr) + size(gb.gr)
+                  - size(array_intersect(ga.gr, gb.gr))) * {num}
+        """,
+        reps=g,
+        allp=allp,
+    )
+    return _explode_pairs(verified, "inter", "union_n").select(
+        "id_a", "id_b", "inter", "union_n"
     )
 
 
@@ -496,6 +870,7 @@ def ngram_containment_pairs(
     text_col: str,
     ngram: int = 3,
     threshold: float = 0.5,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment join: C(A,B) = |A∩B| / min(|A|,|B|) over
     distinct word n-gram sets. Catches subset duplicates — a short
@@ -527,18 +902,14 @@ def ngram_containment_pairs(
     byte-identical to the pairwise form (pytest set-equality on a
     replicated corpus).
 
+    ``max_group`` (r08): drop digest groups with more than ``max_group``
+    members from pair generation entirely — see ``_digest_groups``.
+
     Output: (id_a, id_b, inter, min_n, containment) with id_a < id_b."""
     num, den = _threshold_ratio(threshold)
-    m = df.select(
-        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__dg")
-    )
-    groups = m.groupBy("__dg").agg(F.min("__mid").alias("__vid"))
-    members = m.join(groups.hint("shuffle_hash"), "__dg").select("__mid", "__vid")
-    reps = df.select(
-        F.col(id_col).alias("__vid"), F.col(text_col).alias("__text")
-    ).join(groups.select("__vid").hint("shuffle_hash"), "__vid", "semi")
+    g = _digest_groups(df, id_col, text_col, max_group)
 
-    grams = reps.select(
+    grams = g.select(
         F.col("__vid").alias("id"),
         F.explode(F.array_distinct(word_ngrams("__text", ngram))).alias("gram"),
     )
@@ -575,49 +946,32 @@ def ngram_containment_pairs(
             ),
         )
     )
-    cross = (
-        val_pairs.join(
-            members.select(
-                F.col("__vid").alias("vid_a"), F.col("__mid").alias("__ida")
-            ).hint("shuffle_hash"),
-            "vid_a",
+    # within-group pairs ride the same expansion as cross pairs via
+    # self value-pairs: containment 1.0 with inter = min_n = the rep's
+    # distinct-gram count — joining ``sizes`` keeps only groups with ≥1
+    # gram (the naive gram self-join can never pair gram-less docs).
+    # Excluded entirely for threshold > 1 (containment 1 can't qualify).
+    if num <= den:
+        selfp = (
+            _self_pairs(g)
+            .join(
+                sizes.select(F.col("id").alias("vid_a"), "n_grams").hint(
+                    "shuffle_hash"
+                ),
+                "vid_a",
+            )
+            .select(
+                "vid_a",
+                "vid_b",
+                F.col("n_grams").alias("inter"),
+                F.col("n_grams").alias("min_n"),
+                F.lit(1.0).alias("containment"),
+            )
         )
-        .join(
-            members.select(
-                F.col("__vid").alias("vid_b"), F.col("__mid").alias("__idb")
-            ).hint("shuffle_hash"),
-            "vid_b",
-        )
-        .select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
-            "inter",
-            "min_n",
-            "containment",
-        )
+        val_pairs = val_pairs.unionByName(selfp)
+    return _expand_pairs(g, val_pairs, "inter", "min_n", "containment").select(
+        "id_a", "id_b", "inter", "min_n", "containment"
     )
-    if num > den:  # threshold > 1: identical texts can't qualify either
-        return cross
-    mx = members.select("__vid", F.col("__mid").alias("id_a"))
-    my = members.select("__vid", F.col("__mid").alias("id_b"))
-    zero = (
-        mx.join(my.hint("shuffle_hash"), "__vid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(
-            sizes.filter(F.col("n_grams") >= 1)
-            .select(F.col("id").alias("__vid"), F.col("n_grams"))
-            .hint("shuffle_hash"),
-            "__vid",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.col("n_grams").alias("inter"),
-            F.col("n_grams").alias("min_n"),
-            F.lit(1.0).alias("containment"),
-        )
-    )
-    return zero.unionByName(cross)
 
 
 def sorted_neighborhood_pairs(

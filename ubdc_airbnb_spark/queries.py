@@ -2322,47 +2322,18 @@ def _jaccard_verify_oracle_sql() -> str:
     "broadcast-joinable array_intersect per pair (threshold 0.3)",
 )
 def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # r08: digest-contracted (the r07 deferral) — shingling, signatures,
+    # banding AND the jaccard verify all run over DISTINCT texts only;
+    # member pairs are expanded from verified value pairs with inherited
+    # statistics (set-identical pytest vs the r07 shape on a replicated
+    # corpus). The rep-level verify keeps the ReuseExchange broadcast of
+    # the gram subplan; at smoke scale the broadcast is CONSTANT across
+    # replicas because distinct texts don't grow. See
+    # dedup.lsh_jaccard_pairs for the scale adjudication.
     docs = load_table(spark, sf, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=16, ngram=3, shingle="word")
-    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=4)
-    # compute the gram arrays ONCE for both join branches: both sides
-    # broadcast the IDENTICAL gram subplan, so Spark's ReuseExchange rule
-    # dedupes the BroadcastExchange — one gram computation, shared by
-    # both joins, materialized during execution (an eager checkpoint here
-    # would do the same work but during plan construction; a naive
-    # two-branch plan recomputes the n-gram explode per side — measured
-    # 2.2x on this query). The verify side (grams) is pair-candidate
-    # bounded at production scale (runs post-LSH on the candidate doc
-    # set); a full-corpus verify would switch to shuffle joins.
-    # threshold 0.3 as exact integer cross-multiplication; counts cast to
-    # long to match DuckDB's len() (BIGINT) dtype-for-dtype. The verify
-    # stage assembles as ONE spark.sql parse (same plan: both sides
-    # BROADCAST the identical gram subplan → ReuseExchange dedupes it)
-    return spark.sql(
-        f"""
-        WITH grams AS (
-          SELECT doc_id,
-                 array_distinct({textstats.word_ngrams_expr('`text`', 3)}) AS g
-          FROM {{docs}}
-        ),
-        scored AS (
-          SELECT /*+ BROADCAST(ga), BROADCAST(gb) */
-                 p.id_a, p.id_b,
-                 size(array_intersect(ga.g, gb.g)) AS inter,
-                 size(ga.g) + size(gb.g)
-                   - size(array_intersect(ga.g, gb.g)) AS union_n
-          FROM {{pairs}} p
-          JOIN grams ga ON ga.doc_id = p.id_a
-          JOIN grams gb ON gb.doc_id = p.id_b
-        )
-        SELECT id_a, id_b,
-               CAST(inter AS BIGINT) AS inter,
-               CAST(union_n AS BIGINT) AS union_n
-        FROM scored
-        WHERE inter * 10 >= union_n * 3
-        """,
-        docs=docs,
-        pairs=pairs,
+    return dedup.lsh_jaccard_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, ngram=3, threshold=0.3,
+        shingle="word",
     )
 
 
@@ -2375,9 +2346,14 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     "same seeded constants in DuckDB SQL",
 )
 def ns_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # r08: digest-contracted (the r07 deferral) — the banded self-join
+    # runs over distinct texts; identical texts expand as within-group
+    # member pairs (every one a true candidate: identical signatures
+    # share every band). Set-identical pytest vs the r07 shape.
     docs = load_table(spark, sf, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=16, ngram=3, shingle="word")
-    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=4)
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, ngram=3, shingle="word"
+    )
 
 
 @q(
