@@ -34,23 +34,23 @@ def _checksum(df):
 
 # --- variant builders -------------------------------------------------
 
-def _naive_minhash_lsh(spark, docs):
+def _naive_minhash_lsh(spark, docs, sf_dir):
     from ubdc_airbnb_spark.operators import dedup
 
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", 16, 3, "word")
     return dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
 
 
-def _contracted_minhash_lsh(spark, docs):
+def _contracted_minhash_lsh(spark, docs, sf_dir):
     from ubdc_airbnb_spark.operators import dedup
 
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4, 3, "word")
 
 
-def _naive_jaccard(spark, docs):
+def _naive_jaccard(spark, docs, sf_dir):
     from ubdc_airbnb_spark.functions import textstats
 
-    pairs = _naive_minhash_lsh(spark, docs)
+    pairs = _naive_minhash_lsh(spark, docs, None)
     return spark.sql(
         f"""
         WITH grams AS (
@@ -72,10 +72,25 @@ def _naive_jaccard(spark, docs):
     )
 
 
-def _contracted_jaccard(spark, docs):
+def _contracted_jaccard(spark, docs, sf_dir):
     from ubdc_airbnb_spark.operators import dedup
 
     return dedup.lsh_jaccard_pairs(docs, "doc_id", "text", 16, 4, 3, 0.3)
+
+
+def _gate(name):
+    """A registry gate as an A/B variant (measures the exact bench
+    shape). Used for variance suites: when the compared codepaths are
+    IDENTICAL across rounds (git-diff-proven), the honest artifact is a
+    same-session repeated measure, not a fake A/B."""
+
+    def run(spark, docs, sf_dir):
+        from ubdc_airbnb_spark import queries as q_mod
+
+        spec = next(s for s in q_mod.registry() if s.name == name)
+        return spec.spark(spark, sf_dir)
+
+    return run
 
 
 AB_SUITES = {
@@ -84,6 +99,16 @@ AB_SUITES = {
         "lsh_contracted": _contracted_minhash_lsh,
         "jaccard_naive": _naive_jaccard,
         "jaccard_contracted": _contracted_jaccard,
+    },
+    # BENCH_r07 vs r06 flagged these three as regressed (+75%/+45%/+20%)
+    # but their code paths are byte-identical r06→r07 (git diff 05d5ac2
+    # cf73946 touches neither multimodal/, bpe, nor the recall gate) —
+    # this suite records the same-session variance band that the
+    # driver's one-shot artifact samples from.
+    "driver_trio": {
+        "mm_decode_png": _gate("mm_decode_png"),
+        "ns_bpe_pair_counts": _gate("ns_bpe_pair_counts"),
+        "ns_lsh_recall": _gate("ns_lsh_recall"),
     },
 }
 
@@ -105,7 +130,7 @@ def main() -> None:
 
     # warm: one full pass per variant (codegen, JIT, page cache)
     for fn in variants.values():
-        _checksum(fn(spark, docs)).collect()
+        _checksum(fn(spark, docs, args.sf)).collect()
 
     series: dict[str, dict[str, list[float]]] = {
         k: {"wall": [], "exec": []} for k in variants
@@ -113,7 +138,7 @@ def main() -> None:
     for _ in range(args.rounds):
         for name, fn in variants.items():
             t0 = time.perf_counter()
-            cs = _checksum(fn(spark, docs))
+            cs = _checksum(fn(spark, docs, args.sf))
             cs._jdf.queryExecution().executedPlan()
             t1 = time.perf_counter()
             cs.collect()
