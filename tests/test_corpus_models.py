@@ -273,6 +273,48 @@ def test_ivf_pairs_contraction_edge_cases(spark):
     assert comp == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6)}
 
 
+def test_embedding_pair_max_group_composition(spark):
+    """r08 cap parity: the contracted embedding pair emitters drop
+    viral value groups (B² member-pair blowup) under max_group while
+    keeping genuine near-dup pairs; the O(B) exact value pass recovers
+    the dropped cluster — the embedding twin of the minhash
+    max_bucket/max_group composition tests."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators import similarity
+
+    u = [1.0, 0.0, 0.0, 0.0]
+    v = [0.95, 0.05, 0.0, 0.0]  # cosine(u, v) ~ 0.998
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, u) for i in range(40)] + [(100, v), (101, v), (102, w)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, u), (1, w)], "centroid_id long, centroid_vec array<double>"
+    )
+    for fn in (
+        lambda **kw: similarity.ivf_threshold_pairs(
+            emb, cents, threshold=0.9, probes=2, **kw
+        ),
+        lambda **kw: similarity.rp_lsh_pairs(
+            emb, num_planes=16, bands=4, threshold=0.9, dim=4, **kw
+        ),
+    ):
+        uncapped = {(r.id_a, r.id_b) for r in fn().collect()}
+        # the 40-clone cluster contributes 780 pairs + 80 u-v pairs
+        assert len({p for p in uncapped if p[0] < 100}) >= 40 * 39 // 2
+        capped = {(r.id_a, r.id_b) for r in fn(max_group=10).collect()}
+        # viral group gone entirely; the genuine near-dup pair survives
+        assert capped == {(100, 101)}
+    # and the dropped cluster is exactly what the O(B) exact pass finds
+    ex = (
+        emb.groupBy("embedding")
+        .agg(F.min("vec_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .collect()
+    )
+    assert {(r.keep_id, r.n) for r in ex} == {(0, 40), (100, 2)}
+
+
 def test_zero_norm_centroid_sorts_last_in_probes(spark):
     """r07 advice: Spark struct ordering is NULLS FIRST, so a bare NULL
     negcos made a zero-norm centroid everyone's TOP probe (consuming a

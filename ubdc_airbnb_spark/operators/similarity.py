@@ -261,7 +261,10 @@ def centroid_probes(
 
 
 def _value_nodes(
-    vectors: DataFrame, id_col: str, vec_col: str
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_group: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Contract exact-duplicate vectors to value super-nodes — the
     embedding analog of the distinct-sketch contraction in
@@ -273,9 +276,24 @@ def _value_nodes(
     value — ``(__vid, vec_col)`` with ``__vid = min(member id)`` — and
     ``members`` maps every input row to its value node ``(__mid,
     __vid)``. Both joins/aggregates key on the raw array value (exact
-    float equality — the contract for "identical vector")."""
+    float equality — the contract for "identical vector").
+
+    ``max_group`` (r08 cap parity): value groups with more than
+    ``max_group`` members are dropped from pair generation ENTIRELY —
+    a B-member group's expansion emits B² member pairs into the
+    partitions owning its key (2.4B output rows at sf100 was
+    output-inherent but unguarded). Capped groups are exact-duplicate
+    vectors by construction; the O(B) exact pass
+    (``groupBy(vec).agg(min(id))`` — ``ns_embed_norms``-style) resolves
+    them, so the dedup composition loses nothing the cheap path doesn't
+    recover. Default ``None`` (off) — gate-parity behavior."""
     m = vectors.select(F.col(id_col).alias("__mid"), F.col(vec_col).alias("__mvec"))
-    vals = m.groupBy("__mvec").agg(F.min("__mid").alias("__vid"))
+    vals = m.groupBy("__mvec").agg(
+        F.min("__mid").alias("__vid"), F.count(F.lit(1)).alias("__gn")
+    )
+    if max_group is not None:
+        vals = vals.filter(F.col("__gn") <= max_group)
+    vals = vals.drop("__gn")
     # shuffle_hash pin: vals is post-aggregate (structurally tiny size
     # estimate — the class-1 auto-broadcast hazard on a corpus table)
     members = m.join(vals.hint("shuffle_hash"), "__mvec").select("__mid", "__vid")
@@ -367,6 +385,7 @@ def ivf_threshold_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.8,
     probes: int = 2,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: IVF-bucketed candidate
     generation → exact cosine verify (the embedding analog of what
@@ -383,7 +402,7 @@ def ivf_threshold_pairs(
     single-probe IVF would miss; recall < 1 remains by construction and
     is the documented contract (``threshold_pairs`` stays available as
     the exact small-data baseline)."""
-    vals, members = _value_nodes(vectors, id_col, vec_col)
+    vals, members = _value_nodes(vectors, id_col, vec_col, max_group)
     val_pairs = _ivf_value_pairs(vals, centroids, vec_col, threshold, probes)
     return _expand_value_pairs(members, vals, val_pairs, vec_col, threshold)
 
@@ -492,6 +511,7 @@ def rp_lsh_pairs(
     threshold: float = 0.8,
     salt: str = "rp",
     dim: int = 64,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH banding: the
     data-independent alternative to IVF (no centroid training step).
@@ -507,7 +527,7 @@ def rp_lsh_pairs(
     never n². Same contract as ``ivf_threshold_pairs``: recall < 1 by
     construction, precision 1 after the verify."""
     width = num_planes // bands
-    vals, members = _value_nodes(vectors, id_col, vec_col)
+    vals, members = _value_nodes(vectors, id_col, vec_col, max_group)
     sigs = rp_signature(vals, "__vid", vec_col, num_planes, salt, dim)
     banded = sigs.select(
         "__vid",
