@@ -78,6 +78,44 @@ def _contracted_jaccard(spark, docs, sf_dir):
     return dedup.lsh_jaccard_pairs(docs, "doc_id", "text", 16, 4, 3, 0.3)
 
 
+def _old_lang_margin(spark, docs, sf_dir):
+    from ubdc_airbnb_spark.functions import textstats
+
+    arr = F.array_sort(
+        F.array(*[textstats.trigram_hits("text", lang) for lang in ("en", "de", "fr", "es")])
+    )
+    top1 = F.element_at(arr, 4).cast("long")
+    top2 = F.element_at(arr, 3).cast("long")
+    return docs.select(
+        "doc_id", top1.alias("hits_top1"), top2.alias("hits_top2"),
+        (top1 - top2).alias("margin"),
+    )
+
+
+def _old_lang_ngram(spark, docs, sf_dir):
+    from ubdc_airbnb_spark.functions import textstats
+    from ubdc_airbnb_spark.functions.textstats import LANG_TRIGRAMS
+
+    counts = {lang: textstats.trigram_hits("text", lang) for lang in LANG_TRIGRAMS}
+    best = F.greatest(*counts.values())
+    result = F.lit("und")
+    for lang in reversed(list(LANG_TRIGRAMS)):
+        result = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return docs.select("doc_id", "lang", result.alias("pred_lang"))
+
+
+def _old_lang_id(spark, docs, sf_dir):
+    from ubdc_airbnb_spark.functions import textstats
+    from ubdc_airbnb_spark.functions.textstats import LANG_MARKERS
+
+    counts = {lang: textstats.lang_marker_count("text", lang) for lang in LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    result = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return docs.select("doc_id", "lang", result.alias("pred_lang"))
+
+
 def _gate(name):
     """A registry gate as an A/B variant (measures the exact bench
     shape). Used for variance suites: when the compared codepaths are
@@ -109,6 +147,19 @@ AB_SUITES = {
         "mm_decode_png": _gate("mm_decode_png"),
         "ns_bpe_pair_counts": _gate("ns_bpe_pair_counts"),
         "ns_lsh_recall": _gate("ns_lsh_recall"),
+    },
+    # r08 lang-ID rework: the old shapes rebuilt the gram/word array per
+    # language (HOF lambdas are invisible to codegen subexpression
+    # elimination); the new shapes lambda-bind it once. Run at sf1
+    # (--sf /tmp/scale_sf1, regenerate via tools/scale_smoke.py) where
+    # the per-doc constant dominates.
+    "lang_id": {
+        "margin_old": _old_lang_margin,
+        "margin_new": _gate("ns_lang_id_margin"),
+        "ngram_old": _old_lang_ngram,
+        "ngram_new": _gate("ns_lang_id_ngram"),
+        "stopword_old": _old_lang_id,
+        "stopword_new": _gate("ns_lang_id"),
     },
 }
 

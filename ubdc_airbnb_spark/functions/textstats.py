@@ -220,18 +220,108 @@ def lang_marker_count(col: Column | str, lang: str) -> Column:
     return F.size(F.filter(ws, lambda w: F.array_contains(markers, F.lower(w))))
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bound_profile_counts_expr(
+    arr_sql: str, profiles: dict[str, tuple[str, ...]], elem: str = "x"
+) -> str:
+    """Per-profile hit counts over an array expression, with the array
+    LAMBDA-BOUND so it is evaluated ONCE for all profiles.
+
+    The r08 lang-ID profiling result this encodes: higher-order-function
+    lambdas do not participate in whole-stage-codegen subexpression
+    elimination, so N separate ``size(filter(<arr>, ...))`` counts
+    re-evaluate the (expensive) array construction N times — the
+    four-language trigram family measured 4× the single-language cost
+    (43.7 s → 12.9 s at sf1 after binding). ``transform(array(A),
+    g -> array(c1(g), .., cN(g)))[0]`` binds A to ``g`` once; lambda
+    variable references are cheap attribute reads.
+
+    Returns an ``array<int>`` SQL expression in ``profiles`` key order."""
+    counts = ",".join(
+        "size(filter(g, {e} -> ({e} IN ({lst}))))".format(
+            e=elem, lst=",".join(_sql_str(m) for m in profiles[lang])
+        )
+        for lang in profiles
+    )
+    return f"transform(array({arr_sql}), g -> array({counts}))[0]"
+
+
+def _bound_argmax_lang_expr(counts_sql: str, langs: list[str]) -> str:
+    """Argmax language over a bound counts array: ties break to the
+    first language in order (sequential CASE), zero evidence → 'und'.
+    The counts array is lambda-bound so it evaluates once."""
+    whens = " ".join(
+        f"WHEN c[{i}] = array_max(c) AND array_max(c) > 0 THEN '{lang}'"
+        for i, lang in enumerate(langs)
+    )
+    return f"transform(array({counts_sql}), c -> CASE {whens} ELSE 'und' END)[0]"
+
+
+def lang_marker_counts(col: Column | str) -> Column:
+    """Per-language marker-stopword counts as one ``array<int>`` in
+    ``LANG_MARKERS`` order — the word array is built once (lambda-bound)
+    for all languages. Markers are lowercase; words are lowered inside
+    the membership test (same semantics as ``lang_marker_count``)."""
+    name = _fast_name(col)
+    ws = words_expr(f"`{name}`") if name is not None else None
+    if ws is None:
+        # Column path: same binding via the Column API
+        arr = F.array(words(col))
+        return F.transform(
+            arr,
+            lambda g: F.array(
+                *[
+                    F.size(
+                        F.filter(
+                            g,
+                            lambda w: F.array_contains(
+                                F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]),
+                                F.lower(w),
+                            ),
+                        )
+                    )
+                    for lang in LANG_MARKERS
+                ]
+            ),
+        )[0]
+    counts = ",".join(
+        "size(filter(g, w -> (lower(w) IN ({lst}))))".format(
+            lst=",".join(_sql_str(m) for m in LANG_MARKERS[lang])
+        )
+        for lang in LANG_MARKERS
+    )
+    return F.expr(f"transform(array({ws}), g -> array({counts}))[0]")
+
+
 def lang_id(col: Column | str) -> Column:
     """Marker-based language ID: argmax over per-language marker counts.
     Ties break to the first language in ``LANG_MARKERS`` order (en, de,
     fr, es) — the fixed evaluation order that makes the argmax
-    deterministic; only zero evidence yields 'und'."""
-    counts = {lang: lang_marker_count(col, lang) for lang in LANG_MARKERS}
-    best = F.greatest(*counts.values())
-    result = F.lit("und")
-    # reversed so earlier languages win ties via later when() precedence
-    for lang in reversed(list(LANG_MARKERS)):
-        result = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
-    return result
+    deterministic; only zero evidence yields 'und'. The word array and
+    the counts array are each lambda-bound (built once — see
+    ``_bound_profile_counts_expr`` for why)."""
+    name = _fast_name(col)
+    if name is None:
+        # Column path (rare): keep the straightforward formulation
+        counts = {lang: lang_marker_count(col, lang) for lang in LANG_MARKERS}
+        best = F.greatest(*counts.values())
+        result = F.lit("und")
+        for lang in reversed(list(LANG_MARKERS)):
+            result = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+                result
+            )
+        return result
+    counts_sql = ",".join(
+        "size(filter(g, w -> (lower(w) IN ({lst}))))".format(
+            lst=",".join(_sql_str(m) for m in LANG_MARKERS[lang])
+        )
+        for lang in LANG_MARKERS
+    )
+    bound_counts = f"transform(array({words_expr(f'`{name}`')}), g -> array({counts_sql}))[0]"
+    return F.expr(_bound_argmax_lang_expr(bound_counts, list(LANG_MARKERS)))
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -333,19 +423,60 @@ def trigram_hits(col: Column | str, lang: str) -> Column:
     return F.size(F.filter(grams, lambda g: F.array_contains(profile, g)))
 
 
+def trigram_counts(col: Column | str) -> Column:
+    """Per-language trigram-profile hit counts as one ``array<int>`` in
+    ``LANG_TRIGRAMS`` order — the padded gram array is built ONCE
+    (lambda-bound) for all languages. The r08 profiling result: the
+    per-language ``trigram_hits`` form re-built the gram array per
+    language because HOF lambdas don't participate in codegen
+    subexpression elimination — 4 languages cost 4× the gram
+    construction (43.7 s → 12.9 s for the margin gate at sf1)."""
+    name = _fast_name(col)
+    if name is not None:
+        padded = f"concat(' ', lower(`{name}`), ' ')"
+        return F.expr(
+            _bound_profile_counts_expr(char_ngrams_expr(padded, 3), LANG_TRIGRAMS)
+        )
+    padded = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    return F.transform(
+        F.array(char_ngrams(padded, 3)),
+        lambda g: F.array(
+            *[
+                F.size(
+                    F.filter(
+                        g,
+                        lambda x: F.array_contains(
+                            F.array(*[F.lit(t) for t in LANG_TRIGRAMS[lang]]), x
+                        ),
+                    )
+                )
+                for lang in LANG_TRIGRAMS
+            ]
+        ),
+    )[0]
+
+
 def lang_id_ngram(col: Column | str) -> Column:
     """Character-n-gram language ID: argmax of per-language profile-hit
     counts; ties break to the first language in ``LANG_TRIGRAMS`` order
     (en, de, fr, es — fixed, so engines agree); only zero evidence →
     'und'. The word-free twin of ``lang_id`` — robust to unsegmented
     text (no whitespace needed), which is exactly where the stopword
-    heuristic fails."""
-    counts = {lang: trigram_hits(col, lang) for lang in LANG_TRIGRAMS}
-    best = F.greatest(*counts.values())
-    result = F.lit("und")
-    for lang in reversed(list(LANG_TRIGRAMS)):
-        result = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
-    return result
+    heuristic fails. Gram and counts arrays are lambda-bound (built
+    once — see ``trigram_counts``)."""
+    name = _fast_name(col)
+    if name is None:
+        counts = {lang: trigram_hits(col, lang) for lang in LANG_TRIGRAMS}
+        best = F.greatest(*counts.values())
+        result = F.lit("und")
+        for lang in reversed(list(LANG_TRIGRAMS)):
+            result = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+                result
+            )
+        return result
+    padded = f"concat(' ', lower(`{name}`), ' ')"
+    counts_sql = _bound_profile_counts_expr(char_ngrams_expr(padded, 3), LANG_TRIGRAMS)
+    return F.expr(_bound_argmax_lang_expr(counts_sql, list(LANG_TRIGRAMS)))
 
 
 def char_entropy(col: Column | str) -> Column:

@@ -8282,17 +8282,19 @@ def ns_embed_norms(spark: SparkSession, sf: str) -> DataFrame:
     "(functions/textstats.py trigram_hits)",
 )
 def ns_lang_id_margin(spark: SparkSession, sf: str) -> DataFrame:
+    # r08: the gram array is built ONCE for all four languages
+    # (textstats.trigram_counts lambda-binds it — 3.4× at sf1), and the
+    # sorted counts materialize as ONE projected column so the three
+    # derived outputs are cheap attribute reads, not three re-evaluations
+    # (CollapseProject keeps a non-cheap alias referenced >1× separate).
     docs = load_table(spark, sf, "documents")
-    arr = F.array_sort(
-        F.array(*[textstats.trigram_hits("text", lang) for lang in ("en", "de", "fr", "es")])
-    )
-    top1 = F.element_at(arr, 4).cast("long")
-    top2 = F.element_at(arr, 3).cast("long")
     return docs.select(
+        "doc_id", F.array_sort(textstats.trigram_counts("text")).alias("__a")
+    ).selectExpr(
         "doc_id",
-        top1.alias("hits_top1"),
-        top2.alias("hits_top2"),
-        (top1 - top2).alias("margin"),
+        "CAST(__a[3] AS BIGINT) AS hits_top1",
+        "CAST(__a[2] AS BIGINT) AS hits_top2",
+        "CAST(__a[3] - __a[2] AS BIGINT) AS margin",
     )
 
 
