@@ -476,3 +476,53 @@ def test_lsh_object_store_safe_lifecycle(spark, tmp_path):
         assert os.path.exists(os.path.join(d, "CURRENT")), comp
         assert not os.path.exists(d + ".__old__")
         assert not os.path.exists(d + ".__tmp__")
+
+
+def test_writer_lease_loud_failure_and_recovery(spark, tmp_path):
+    """r08: the manifest single-writer contract is enforced — a second
+    concurrent writer fails LOUDLY (LeaseHeld) instead of silently
+    losing a generation; an expired lease (crashed holder) is broken;
+    the lease is released on success AND on write_fn failure."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from ubdc_airbnb_spark.sources.layout import (
+        LeaseHeld,
+        current_path,
+        manifest_gc,
+        manifest_init,
+        manifest_replace,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    manifest_init(df, base)
+    lease = os.path.join(base, ".writer-lease")
+    assert not os.path.exists(lease)  # released after success
+
+    # live lease held by "another writer" -> loud failure, no new gen
+    with open(lease, "w") as f:
+        json.dump({"pid": 99999, "expires": time.time() + 600}, f)
+    gens_before = sorted(d for d in os.listdir(base) if d.startswith("gen-"))
+    with pytest.raises(LeaseHeld, match="writer lease held"):
+        manifest_replace(lambda d: df.write.parquet(d), base)
+    with pytest.raises(LeaseHeld):
+        manifest_gc(base)
+    assert sorted(d for d in os.listdir(base) if d.startswith("gen-")) == gens_before
+    assert os.path.exists(lease)  # someone else's lease is NOT cleared
+
+    # expired lease (crashed holder) -> broken, write proceeds
+    with open(lease, "w") as f:
+        json.dump({"pid": 99999, "expires": time.time() - 1}, f)
+    dest = manifest_replace(lambda d: df.write.parquet(d), base)
+    assert current_path(base) == dest
+    assert not os.path.exists(lease)
+
+    # write_fn failure -> lease released, pointer untouched
+    with pytest.raises(ValueError, match="boom"):
+        manifest_replace(lambda d: (_ for _ in ()).throw(ValueError("boom")), base)
+    assert not os.path.exists(lease)
+    assert current_path(base) == dest

@@ -70,6 +70,73 @@ def is_manifest_table(base: str) -> bool:
     return os.path.exists(os.path.join(base.rstrip("/"), MANIFEST))
 
 
+class LeaseHeld(RuntimeError):
+    """A second writer attempted a manifest write while another holds
+    the table's writer lease. The manifest contract is single-writer
+    (two racing replaces are last-pointer-PUT-wins: the loser's
+    generation silently becomes an orphan); the lease turns that silent
+    loss into THIS loud failure."""
+
+
+def _writer_lease(base: str, ttl_sec: float = 600.0):
+    """Context manager: acquire ``base/.writer-lease`` via atomic
+    create-exclusive (``O_CREAT|O_EXCL`` — the conditional-PUT /
+    If-None-Match analog on object stores), holding pid + expiry.
+
+    - live lease held by someone else → raise :class:`LeaseHeld`
+      (loud, immediately — no waiting).
+    - expired lease (holder crashed mid-write) → break it and take
+      over. Breaking is best-effort: two breakers racing on the same
+      expired lease can still collide (remove/create is not one atomic
+      step), which is acceptable for a guard whose job is converting
+      the COMMON silent-loss case into an error — the underlying
+      contract remains single-writer.
+    - released on exit, success or failure (a crashed holder is covered
+      by the expiry)."""
+    import contextlib
+    import json
+    import os
+    import time
+
+    @contextlib.contextmanager
+    def _cm():
+        lease = os.path.join(base.rstrip("/"), ".writer-lease")
+        now = time.time()
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lease) as f:
+                    info = json.load(f)
+            except (OSError, ValueError):
+                info = {}
+            if float(info.get("expires", 0)) > now:
+                raise LeaseHeld(
+                    f"manifest table {base!r} writer lease held by pid "
+                    f"{info.get('pid')} (expires in "
+                    f"{float(info['expires']) - now:.0f}s); a concurrent "
+                    "manifest write would silently lose a generation — "
+                    "wait for the holder or remove .writer-lease if it "
+                    "is known dead"
+                )
+            try:  # expired: break and take over
+                os.remove(lease)
+            except FileNotFoundError:
+                pass
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"pid": os.getpid(), "expires": now + ttl_sec}, f)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lease)
+            except OSError:
+                pass
+
+    return _cm()
+
+
 def manifest_replace(write_fn, base: str, retention: int = 1) -> str:
     """Atomically replace a manifest-managed table's contents — the
     object-store-safe counterpart of the rename-swap in
@@ -97,9 +164,13 @@ def manifest_replace(write_fn, base: str, retention: int = 1) -> str:
     property rename-swap loses on object storage. Generation names are
     ``gen-<seq>-<nonce>``: the zero-padded sequence keeps lexical
     ordering, the random nonce makes two racing replaces land in
-    DIFFERENT directories (last pointer PUT wins; the loser's
-    generation becomes an orphan and is GC'd later) instead of silently
-    overwriting each other. Returns the new generation's path."""
+    DIFFERENT directories instead of silently overwriting each other.
+    The single-writer contract is ENFORCED (r08): a writer lease
+    (``.writer-lease``, create-exclusive, pid + expiry) makes a second
+    concurrent replace raise :class:`LeaseHeld` loudly instead of
+    last-pointer-PUT-wins silently orphaning the loser's generation; a
+    crashed holder's lease expires and is broken by the next writer.
+    Returns the new generation's path."""
     import json
     import os
     import shutil
@@ -107,29 +178,30 @@ def manifest_replace(write_fn, base: str, retention: int = 1) -> str:
 
     b = base.rstrip("/")
     os.makedirs(b, exist_ok=True)
-    cur = os.path.join(b, MANIFEST)
-    prev_live, history = None, []
-    if os.path.exists(cur):
-        with open(cur) as f:
-            m = json.load(f)
-        prev_live = m["generation"]
-        history = list(m.get("history", []))
-    gens = sorted(d for d in os.listdir(b) if d.startswith("gen-"))
-    seq = (int(gens[-1].split("-")[1]) + 1) if gens else 0
-    nxt = "gen-%08d-%s" % (seq, uuid.uuid4().hex[:8])
-    dest = os.path.join(b, nxt)
-    write_fn(dest)
-    if prev_live is not None:
-        history.append(prev_live)
-    kept = history[-retention:] if retention > 0 else []
-    tmp = cur + ".%s.tmp" % uuid.uuid4().hex[:8]
-    with open(tmp, "w") as f:
-        json.dump({"generation": nxt, "history": kept}, f)
-    os.replace(tmp, cur)  # POSIX-atomic; object store: one single-key PUT
-    keep = set(kept) | {nxt}
-    for d in gens:  # GC orphans + history past the retention window
-        if d not in keep:
-            shutil.rmtree(os.path.join(b, d), ignore_errors=True)
+    with _writer_lease(b):
+        cur = os.path.join(b, MANIFEST)
+        prev_live, history = None, []
+        if os.path.exists(cur):
+            with open(cur) as f:
+                m = json.load(f)
+            prev_live = m["generation"]
+            history = list(m.get("history", []))
+        gens = sorted(d for d in os.listdir(b) if d.startswith("gen-"))
+        seq = (int(gens[-1].split("-")[1]) + 1) if gens else 0
+        nxt = "gen-%08d-%s" % (seq, uuid.uuid4().hex[:8])
+        dest = os.path.join(b, nxt)
+        write_fn(dest)
+        if prev_live is not None:
+            history.append(prev_live)
+        kept = history[-retention:] if retention > 0 else []
+        tmp = cur + ".%s.tmp" % uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump({"generation": nxt, "history": kept}, f)
+        os.replace(tmp, cur)  # POSIX-atomic; object store: one single-key PUT
+        keep = set(kept) | {nxt}
+        for d in gens:  # GC orphans + history past the retention window
+            if d not in keep:
+                shutil.rmtree(os.path.join(b, d), ignore_errors=True)
     return dest
 
 
@@ -159,22 +231,23 @@ def manifest_gc(base: str, retention: int = 0) -> int:
     cur = os.path.join(b, MANIFEST)
     if not os.path.exists(cur):
         return 0
-    with open(cur) as f:
-        m = json.load(f)
-    live = m["generation"]
-    history = list(m.get("history", []))
-    kept = history[-retention:] if retention > 0 else []
-    keep = set(kept) | {live}
-    n = 0
-    for d in sorted(os.listdir(b)):
-        if d.startswith("gen-") and d not in keep:
-            shutil.rmtree(os.path.join(b, d), ignore_errors=True)
-            n += 1
-    if kept != history:
-        tmp = cur + ".%s.tmp" % uuid.uuid4().hex[:8]
-        with open(tmp, "w") as f:
-            json.dump({"generation": live, "history": kept}, f)
-        os.replace(tmp, cur)
+    with _writer_lease(b):  # GC rewrites the pointer: same writer contract
+        with open(cur) as f:
+            m = json.load(f)
+        live = m["generation"]
+        history = list(m.get("history", []))
+        kept = history[-retention:] if retention > 0 else []
+        keep = set(kept) | {live}
+        n = 0
+        for d in sorted(os.listdir(b)):
+            if d.startswith("gen-") and d not in keep:
+                shutil.rmtree(os.path.join(b, d), ignore_errors=True)
+                n += 1
+        if kept != history:
+            tmp = cur + ".%s.tmp" % uuid.uuid4().hex[:8]
+            with open(tmp, "w") as f:
+                json.dump({"generation": live, "history": kept}, f)
+            os.replace(tmp, cur)
     return n
 
 
