@@ -335,6 +335,47 @@ def run_pipeline_profile(spark, skew_factor: float = 4.0, min_rows: int = 10_000
     _check("pipeline:harvest_bronze", h.bronze, n_hb,
            {"sec": wall, "n_due": h.n_due})
     _check("pipeline:harvest_days", h.calendar_days, n_days, {})
+
+    # --- review harvest + user enrichment (S3+X12+X5+J10+T8), the last
+    # composed plan with only toy e2e coverage (VERDICT r07 item 6): the
+    # pytest e2e runs ONE due listing; this runs 5,000 — the mock payload
+    # declares reviews_count=350, so the pagination fan-out computes 4
+    # page offsets per listing up front (20k fetches, no sequential
+    # chaining), then mirrors cli._beat_reviews' user enrichment:
+    # partial review-author profiles widened to placeholder defaults and
+    # MERGEd into an existing users table via insert_if_absent.
+    from ubdc_airbnb_spark.operators.upsert import insert_if_absent
+    from ubdc_airbnb_spark.plans.ops import placeholder_users
+
+    n_rl = 5_000
+    rlistings = spark.range(n_rl).select(
+        (F.col("id") + 10_000).alias("listing_id"),
+        F.lit("02000").alias("quadkey"),
+        F.lit(None).cast("timestamp").alias("reviews_updated_at"),
+    )
+    rcovers = spark.createDataFrame(
+        [("02", True)], "qk_prefix string, collect_reviews boolean"
+    )
+    t0 = time.perf_counter()
+    r = ops.run_review_harvest(spark, rlistings, rcovers, how_many=n_rl)
+    n_rb = r.bronze.count()
+    n_rv = r.reviews.count()
+    partial = r.users.dropDuplicates(["user_id"])
+    wide = (
+        placeholder_users(partial.select("user_id"))
+        .drop(*[c for c in partial.columns if c != "user_id"])
+        .join(partial, "user_id")
+    )
+    existing = placeholder_users(
+        spark.range(500).select((F.col("id") + 1_000_000_000).alias("user_id"))
+    )
+    users = insert_if_absent(existing, wide, ["user_id"])
+    n_users = users.count()
+    wall = round(time.perf_counter() - t0, 2)
+    _check("pipeline:review_bronze", r.bronze, n_rb,
+           {"sec": wall, "n_due": r.n_due, "pages": r.n_pages})
+    _check("pipeline:review_rows", r.reviews, n_rv, {})
+    _check("pipeline:review_users_merged", users, n_users, {})
     return bad
 
 
