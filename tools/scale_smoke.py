@@ -440,6 +440,16 @@ def main() -> int:
     for name in (args.queries if args.queries else CHECK):
         t0 = time.perf_counter()
         df = specs[name].spark(spark, args.out)
+        # native execution wall first: partition_profile ships every
+        # output row through the Python workers (df.rdd), so for
+        # big-output gates its time measures serialization throughput,
+        # not the query (r08 finding: 27M-pair gates read 7-38 s in
+        # "sec" run-to-run while the native count was a flat 1.7-2.6 s).
+        # "sec" keeps its historical meaning (build + profile) for
+        # cross-round comparability; "sec_native" is the honest
+        # growth-curve number.
+        n_rows = df.count()
+        dt_native = round(time.perf_counter() - t0, 2)
         prof = partition_profile(df)
         dt = round(time.perf_counter() - t0, 2)
         total = prof["max"] if prof["parts"] == 1 else None
@@ -490,7 +500,8 @@ def main() -> int:
                 or prof["max"] > args.skew_factor * max(prof["median"], 1)
             )
         )
-        rec = {"query": name, "sec": dt, **prof, "skewed": skewed}
+        rec = {"query": name, "sec": dt, "sec_native": dt_native,
+               "rows": n_rows, **prof, "skewed": skewed}
         if narrow_scan:
             rec["narrow_scan"] = True
         if skewed and name in SKEW_BENIGN:

@@ -367,9 +367,15 @@ def _contracted_band_join(
     )
     gsel = ", a.__garr AS __ga, b.__garr AS __gb" if gram_expr else ""
     dedup_cond = "true" if max_bucket is not None else first_match
+    # SHUFFLE_HASH pin: both sides derive from the digest aggregate,
+    # whose post-aggregate size estimate is structurally tiny — unhinted,
+    # Catalyst BROADCASTS one side (observed at sf0.1), which on a real
+    # corpus is a distinct-texts-sized table = driver OOM (the class-1
+    # hazard, same lesson as the r07 containment rewrite)
     pairs = g.sparkSession.sql(
         f"""
-        SELECT a.__vid AS vid_a, b.__vid AS vid_b,
+        SELECT /*+ SHUFFLE_HASH(a, b) */
+               a.__vid AS vid_a, b.__vid AS vid_b,
                a.__mids AS __ma, b.__mids AS __mb{gsel}
         FROM {{banded}} a JOIN {{banded}} b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
