@@ -498,7 +498,7 @@ def lsh_jaccard_pairs(
     threshold: float = 0.3,
     shingle: str = "word",
     max_group: int | None = None,
-    verify_broadcast: bool = True,
+    verify_broadcast: bool = False,
 ) -> DataFrame:
     """Digest-contracted LSH candidates + exact word-n-gram Jaccard
     verify — set-identical to the production composition (LSH candidate
@@ -514,15 +514,16 @@ def lsh_jaccard_pairs(
     upstream of it is a function of content diversity.
 
     Verify shape: the rep gram arrays form ONE side-table computed once
-    (both verify joins broadcast the IDENTICAL gram subplan — Spark's
-    ReuseExchange dedupes the BroadcastExchange, the shape the bench
-    gate has always used; an r08 A/B that carried the gram arrays
-    through the band join instead re-evaluated the gram transform per
-    branch and per pushed-down predicate, +1.5 s at sf0.1). At smoke
-    scale the broadcast is CONSTANT across replicas because distinct
-    texts don't grow; at true corpus scale the rep table is
-    corpus-sized — pass ``verify_broadcast=False`` to pin shuffle_hash
-    instead.
+    and joined into both verify sides (an r08 A/B that carried the gram
+    arrays through the band join instead re-evaluated the gram
+    transform per branch and per pushed-down predicate, +1.5 s at
+    sf0.1). Default SHUFFLE_HASH (``verify_broadcast=False``): the gram
+    table derives from the digest aggregate whose size estimate lies
+    structurally, and on a real corpus it is distinct-texts-sized — a
+    forced broadcast is the class-1 driver-OOM hazard (caught by the
+    r08 plan-audit ratchet; bench A/B puts the two strategies within
+    noise of each other at sf0.1). ``verify_broadcast=True`` remains
+    for callers whose rep table is known-small.
 
     Output: (id_a, id_b, inter, union_n), id_a < id_b, counts as BIGINT
     (matching DuckDB's len())."""

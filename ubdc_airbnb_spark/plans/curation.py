@@ -69,6 +69,7 @@ def run_curation(
     min_quality: float = 0.5,
     minhash_perms: int = 16,
     lsh_bands: int = 4,
+    lsh_max_bucket: int | None = None,
     decontam_min_overlap: int = 5,
     source_weights: dict[str, float] | None = None,
     pack_budget: int | None = None,
@@ -171,7 +172,16 @@ def run_curation(
     sigs = dedup.minhash_signatures(
         kept, id_col, text_col, num_perm=minhash_perms, ngram=3, shingle="word"
     )
-    pairs = dedup.lsh_candidate_pairs(sigs, id_col, num_perm=minhash_perms, bands=lsh_bands)
+    # exact dedup (stage 3) already collapsed identical texts, so the
+    # naive banded join is the optimal shape here (the r08 digest
+    # contraction would be pure overhead on a dup-free corpus); at web
+    # scale pass lsh_max_bucket so a viral NEAR-dup band bucket
+    # (boilerplate with distinct texts) can't go quadratic — capped
+    # clusters are what stage 3 / segment dedup resolve in O(B)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, id_col, num_perm=minhash_perms, bands=lsh_bands,
+        max_bucket=lsh_max_bucket,
+    )
     comp = connected_components(pairs, kept.select(id_col), id_col=id_col)
     keepers = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias(id_col)
