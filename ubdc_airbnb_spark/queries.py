@@ -7390,31 +7390,49 @@ def ns_interp_lm(spark: SparkSession, sf: str) -> DataFrame:
     "(functions/textstats.py)",
 )
 def ns_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    # r08: the word array and its derived counts are LAMBDA-BOUND (two
+    # levels: g = words, s = the count struct) — the straightforward
+    # Column formulation re-built the words array ~9× per row because
+    # HOF lambdas are invisible to codegen subexpression elimination
+    # (12.9 s → 3.7 s at sf1, bit-identical; the lang-ID lesson).
     from .functions import textstats as ts
 
     docs = load_table(spark, sf, "documents")
-    ws = ts.words("text")
-    n = F.size(ws)
-    mwl = ts.mean_word_length(F.col("text"))
-    stop = ts.stopword_ratio(F.col("text"))
-    punct = ts.punct_ratio(F.col("text"))
-    dup = F.when(
-        n > 0,
-        (n - F.size(F.array_distinct(ws))).cast("double") / n.cast("double"),
-    ).otherwise(F.lit(0.0))
-    r_len = (n >= 10) & (n <= 100000)
-    r_mwl = (mwl >= 3.0) & (mwl <= 10.0)
-    r_stop = stop >= 0.05
-    r_punct = punct <= 0.2
-    r_dup = dup <= 0.5
-    return docs.select(
+    stopl = ", ".join(f"'{s}'" for s in ts.LANG_MARKERS["en"])
+    inner = (
+        "named_struct('n', size(g), "
+        "'tot', aggregate(g, CAST(0 AS BIGINT), (acc, w) -> acc + length(w)), "
+        f"'nstop', size(filter(g, w -> array_contains(array({stopl}), lower(w)))), "
+        "'ndist', size(array_distinct(g)))"
+    )
+    mwl = "(CAST(s.tot AS DOUBLE) / CAST(greatest(s.n, 1) AS DOUBLE))"
+    stpr = "(CAST(s.nstop AS DOUBLE) / CAST(greatest(s.n, 1) AS DOUBLE))"
+    dup = "(CASE WHEN s.n > 0 THEN CAST(s.n - s.ndist AS DOUBLE) / CAST(s.n AS DOUBLE) ELSE 0.0D END)"
+    outer = (
+        "named_struct("
+        "'r_len', s.n >= 10 AND s.n <= 100000, "
+        f"'r_mwl', {mwl} >= 3.0D AND {mwl} <= 10.0D, "
+        f"'r_stop', {stpr} >= 0.05D, "
+        f"'r_dupword', {dup} <= 0.5D)"
+    )
+    rules = (
+        f"transform(array({ts.words_expr('`text`')}), "
+        f"g -> transform(array({inner}), s -> {outer})[0])[0]"
+    )
+    punct = (
+        "(CAST(length(regexp_replace(`text`, '[A-Za-z0-9\\\\s]', '')) AS DOUBLE)"
+        " / CAST(greatest(length(`text`), 1) AS DOUBLE)) <= 0.2D"
+    )
+    return docs.selectExpr(
+        "doc_id", f"{rules} AS r", f"{punct} AS r_punct"
+    ).selectExpr(
         "doc_id",
-        r_len.alias("r_len"),
-        r_mwl.alias("r_mwl"),
-        r_stop.alias("r_stop"),
-        r_punct.alias("r_punct"),
-        r_dup.alias("r_dupword"),
-        (r_len & r_mwl & r_stop & r_punct & r_dup).alias("pass_all"),
+        "r.r_len AS r_len",
+        "r.r_mwl AS r_mwl",
+        "r.r_stop AS r_stop",
+        "r_punct",
+        "r.r_dupword AS r_dupword",
+        "r.r_len AND r.r_mwl AND r.r_stop AND r_punct AND r.r_dupword AS pass_all",
     )
 
 
