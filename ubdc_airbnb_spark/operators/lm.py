@@ -225,8 +225,15 @@ def ccnet_buckets(
     """
     from pyspark.sql import Window
 
+    from .prefixsum import _pin
+
     scored = score_documents(docs, id_col, text_col)
-    sb = (
+    # sb feeds BOTH the histogram/cutoff branch and the final classify
+    # join; pin it (narrow: id, lang, two numerics, bin) so the scoring
+    # pipeline — three model joins + the per-doc aggregate — runs once
+    # (r08 A/B: ~6% at sf1, grows with corpus since it is a full
+    # re-score; same justification as the grams pin in score_documents)
+    sb = _pin(
         docs.select(F.col(id_col), F.col(lang_col))
         .join(scored, id_col)
         .withColumn(
