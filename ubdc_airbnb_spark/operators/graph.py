@@ -52,6 +52,20 @@ def connected_components(
     (``CheckpointChain``) — without that, a D-round run pins D
     node-cardinality RDDs simultaneously (OOMed an 8 GiB JVM at sf1 in
     the r05 registry sweep; fatal at any heap size at 100 TB).
+
+    Rounds are O(log diameter), not O(diameter) (r08): each round
+    combines the one-hop neighbor-min with a POINTER JUMP through the
+    previous round's (checkpointed) labels — ``component :=
+    min(component, min over neighbors, label(component))`` — the
+    classic label-doubling device. Min-propagation alone needs
+    diameter-many full-data rounds; a 100 TB near-dup graph with chain
+    diameter 50 pays 50 corpus shuffles vs ~7. Jumping requires
+    component values to BE node ids, so the fixpoint always runs in
+    node-id space; ``label_col`` seeds are applied AFTERWARD as
+    min-seed-per-component (one aggregate + one join on the bounded
+    component table) — the same min-initial-label-per-component result,
+    algebraically: min over a component of seeds = min of seeds grouped
+    by the id-space component.
     """
     from .iterstate import CheckpointChain
 
@@ -64,11 +78,25 @@ def connected_components(
         .distinct()
     )
     labels = label_chain.step(
-        nodes.select(
-            F.col(id_col).alias("id"),
-            F.col(label_col if label_col else id_col).alias("component"),
-        )
+        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     )
+
+    def _with_seeds(comp: DataFrame) -> DataFrame:
+        if label_col is None:
+            return comp
+        seeds = nodes.select(
+            F.col(id_col).alias("id"), F.col(label_col).alias("__seed")
+        )
+        seed_min = (
+            comp.join(seeds.hint("shuffle_hash"), "id")
+            .groupBy("component")
+            .agg(F.min("__seed").alias("__lbl"))
+        )
+        return (
+            comp.join(seed_min.hint("shuffle_hash"), "component")
+            .select("id", F.col("__lbl").alias("component"))
+        )
+
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -76,14 +104,26 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("component").alias("nbr_component"))
             )
+            # pointer jump through the PREVIOUS labels (checkpointed —
+            # the second scan is an InMemory/local read, not a recompute)
+            ptr = labels.select(
+                F.col("id").alias("__cid"), F.col("component").alias("__cc")
+            )
             new_labels = label_chain.step(
                 labels.join(
                     nbr_min.hint("shuffle_hash"), labels["id"] == nbr_min["a"], "left"
-                ).select(
+                )
+                .join(
+                    ptr.hint("shuffle_hash"),
+                    F.col("component") == F.col("__cid"),
+                    "left",
+                )
+                .select(
                     "id",
                     F.least(
                         F.col("component"),
                         F.coalesce(F.col("nbr_component"), F.col("component")),
+                        F.coalesce(F.col("__cc"), F.col("component")),
                     ).alias("component"),
                 )
             )
@@ -96,7 +136,7 @@ def connected_components(
             label_chain.retire(keep=1)  # prior round consumed — free it
             labels = new_labels
             if changed == 0:
-                return labels
+                return _with_seeds(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
