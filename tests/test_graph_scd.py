@@ -87,3 +87,24 @@ def test_scd2_windows_are_key_partitioned(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """r08 pointer jumping: a diameter-1999 path converges within
+    max_iter=25 (the one-hop fixpoint needed ~2000 rounds and ERRORED);
+    seeded labels still resolve to min initial label per component."""
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.graph import connected_components
+
+    n = 2000
+    edges = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    nodes = spark.range(n).withColumnRenamed("id", "id")
+    comp = connected_components(edges, nodes, max_iter=25)
+    got = comp.select("component").distinct().collect()
+    assert [r.component for r in got] == [0]
+    # seeded: min INITIAL label per component (labels are NOT node ids)
+    seeded = spark.range(n).select("id", (F.lit(5_000_000) - F.col("id")).alias("lbl"))
+    comp2 = connected_components(edges, seeded, max_iter=25, label_col="lbl")
+    vals = {r.component for r in comp2.select("component").distinct().collect()}
+    assert vals == {5_000_000 - (n - 1)}
