@@ -567,6 +567,7 @@ def cmd_curate(args) -> int:
         min_quality=args.min_quality,
         line_filter=args.line_filter,
         max_per_source=args.max_per_source,
+        lsh_max_bucket=args.lsh_max_bucket,
     )
     res.corpus.write.mode("overwrite").parquet(args.output)
     for stage, n in res.report.items():
@@ -901,6 +902,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="C4 line-level cleaning before the doc gates")
     cu.add_argument("--max-per-source", type=int, default=None,
                     help="domain-balancing hard cap per source")
+    cu.add_argument("--lsh-max-bucket", type=int, default=None,
+                    help="viral-bucket guard for the near-dup LSH stage: "
+                         "band buckets with more members are dropped from "
+                         "pair generation (boilerplate mega-clusters are "
+                         "already resolved by the exact-dedup stage)")
     cu.add_argument("--output", required=True)
     cu.set_defaults(fn=cmd_curate)
 
