@@ -23,8 +23,7 @@ from pyspark.sql import functions as F
 
 from fractions import Fraction
 
-from ..functions.hashing import md5_long
-from ..functions.textstats import char_ngrams, word_ngrams, words
+from ..functions.textstats import char_ngrams, word_ngrams
 
 
 #: DataFrame-instance -> row count. The LSH-recall threshold needs the

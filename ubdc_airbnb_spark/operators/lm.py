@@ -290,7 +290,6 @@ def score_documents_interpolated(
     Output: (doc_id, n_bigrams, avg_interp_p) — docs with < 2 tokens
     absent.
     """
-    from ..functions.textstats import words
     from .prefixsum import _pin
 
     grams = _pin(doc_bigrams(df, id_col, text_col))
