@@ -526,3 +526,62 @@ def test_writer_lease_loud_failure_and_recovery(spark, tmp_path):
         manifest_replace(lambda d: (_ for _ in ()).throw(ValueError("boom")), base)
     assert not os.path.exists(lease)
     assert current_path(base) == dest
+
+
+def test_writer_lease_nonce_refresh_and_usurper(spark, tmp_path):
+    """r09 (ADVICE medium): the lease is nonce-owned and refreshed while
+    held — (a) a healthy write LONGER than the TTL keeps its lease live,
+    so a second writer still fails loudly mid-write; (b) a usurped lease
+    (second writer broke a genuinely-expired one) aborts the first
+    writer BEFORE the pointer swap, and its release does NOT delete the
+    usurper's lease file."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from ubdc_airbnb_spark.sources.layout import (
+        LeaseHeld,
+        current_path,
+        manifest_replace,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    lease = os.path.join(base, ".writer-lease")
+
+    # (a) long write vs short TTL: the refresher (period ttl/3 = 1 s)
+    # keeps the on-disk expiry live past the original 2 s TTL, so a
+    # concurrent writer probing DURING the write still gets LeaseHeld
+    probed = {}
+
+    def _slow_write(dest):
+        df.write.parquet(dest)
+        time.sleep(3.2)  # > ttl_sec: pre-r09 the lease would be expired now
+        with open(lease) as f:
+            probed["expires_margin"] = json.load(f)["expires"] - time.time()
+        with pytest.raises(LeaseHeld, match="writer lease held"):
+            manifest_replace(lambda d: df.write.parquet(d), base)
+
+    dest = manifest_replace(_slow_write, base, ttl_sec=2.0)
+    assert probed["expires_margin"] > 0, "refresher failed to keep the lease live"
+    assert current_path(base) == dest
+    assert not os.path.exists(lease)
+
+    # (b) usurped mid-write: swap in a foreign-nonce lease during
+    # write_fn -> the first writer aborts before the pointer swap and
+    # leaves the usurper's lease untouched
+    def _usurped_write(dest):
+        df.write.parquet(dest)
+        with open(lease, "w") as f:
+            json.dump(
+                {"pid": 99999, "expires": time.time() + 600, "nonce": "foreign"}, f
+            )
+
+    with pytest.raises(LeaseHeld, match="no longer ours"):
+        manifest_replace(_usurped_write, base)
+    assert current_path(base) == dest  # pointer never swapped
+    with open(lease) as f:
+        assert json.load(f)["nonce"] == "foreign"  # usurper's lease survives
+    os.remove(lease)

@@ -188,32 +188,35 @@ def test_lsh_jaccard_contraction_equivalence(spark):
     from ubdc_airbnb_spark.operators.dedup import lsh_jaccard_pairs
 
     docs = _replicated_docs(spark)
-    pairs = _naive_lsh(docs)
-    naive = {
-        tuple(r)
-        for r in spark.sql(
-            f"""
-            WITH grams AS (
-              SELECT doc_id, array_distinct({word_ngrams_expr('`text`', 3)}) AS g
-              FROM {{docs}}
-            ),
-            scored AS (
-              SELECT p.id_a, p.id_b,
-                     size(array_intersect(ga.g, gb.g)) AS inter,
-                     size(ga.g) + size(gb.g)
-                       - size(array_intersect(ga.g, gb.g)) AS union_n
-              FROM {{pairs}} p
-              JOIN grams ga ON ga.doc_id = p.id_a
-              JOIN grams gb ON gb.doc_id = p.id_b
-            )
-            SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
-                   CAST(union_n AS BIGINT) AS union_n
-            FROM scored WHERE inter * 10 >= union_n * 3
-            """,
-            docs=docs,
-            pairs=pairs,
-        ).collect()
-    }
+
+    def _naive_jaccard(pairs):
+        return {
+            tuple(r)
+            for r in spark.sql(
+                f"""
+                WITH grams AS (
+                  SELECT doc_id, array_distinct({word_ngrams_expr('`text`', 3)}) AS g
+                  FROM {{docs}}
+                ),
+                scored AS (
+                  SELECT p.id_a, p.id_b,
+                         size(array_intersect(ga.g, gb.g)) AS inter,
+                         size(ga.g) + size(gb.g)
+                           - size(array_intersect(ga.g, gb.g)) AS union_n
+                  FROM {{pairs}} p
+                  JOIN grams ga ON ga.doc_id = p.id_a
+                  JOIN grams gb ON gb.doc_id = p.id_b
+                )
+                SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+                       CAST(union_n AS BIGINT) AS union_n
+                FROM scored WHERE inter * 10 >= union_n * 3
+                """,
+                docs=docs,
+                pairs=pairs,
+            ).collect()
+        }
+
+    naive = _naive_jaccard(_naive_lsh(docs))
     got = {
         tuple(r)
         for r in lsh_jaccard_pairs(docs, "doc_id", "text", 16, 4, 3, 0.3).collect()
@@ -224,6 +227,20 @@ def test_lsh_jaccard_contraction_equivalence(spark):
     zero = {t for t in naive if t[2] == 0}
     assert zero and all(t[3] == 0 for t in zero)
     assert {t for t in naive if t[0] == 0 and t[1] == 1}.pop()[2] > 0
+
+    # r09 (ADVICE cap-parity): member-weighted max_bucket on the jaccard
+    # composition must match the naive capped composition exactly — the
+    # near-dup viral-bucket guard minhash_lsh_pairs already had
+    for cap in (8, 2):
+        naive_c = _naive_jaccard(_naive_lsh(docs, max_bucket=cap))
+        got_c = {
+            tuple(r)
+            for r in lsh_jaccard_pairs(
+                docs, "doc_id", "text", 16, 4, 3, 0.3, max_bucket=cap
+            ).collect()
+        }
+        assert got_c == naive_c, cap
+    assert len(naive_c) < len(naive)
 
 
 def test_digest_max_group_composition(spark):

@@ -185,15 +185,55 @@ def replicate(src_dir: str, out_dir: str, factor: int) -> None:
         )
 
 
-def partition_profile(df):
-    # Rows per partition measured at the RDD boundary — the authoritative
-    # view of the FINAL plan's partitioning. A `spark_partition_id()`
-    # projection is useless here: Catalyst may evaluate the
-    # non-deterministic expression below the last Exchange (observed:
-    # it reported the 1-file scan's partitioning instead of the
-    # window stage's).
-    counts = sorted(
-        c for c in df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect() if c
+def _profile_counts_native(df) -> list[int]:
+    """Rows per partition of the FINAL plan stage, measured natively
+    (r09, VERDICT item 2): ``spark_partition_id()`` grouped JVM-side —
+    no row ever crosses into a Python worker, so the wall no longer
+    measures pickle throughput (the r08 finding: ±50% spread on 27M-row
+    outputs via ``df.rdd``).
+
+    Two pruning traps make the naive ``select(spark_partition_id())``
+    report the WRONG stage (r02 observed it reporting the scan's
+    partitioning under a global window):
+
+    1. If no output column is referenced above, ColumnPruning removes
+       the unreferenced operators (a Window whose expressions are
+       unused collapses to its child) and the pid lands on the scan.
+       → every output column is pinned with a ``max(col)`` aggregate
+       (``count(col)`` does NOT work: on a non-nullable column Catalyst
+       rewrites it to ``count(1)``, dropping the reference).
+    2. The pins must survive to the COLLECTED row — projecting the
+       count back out re-runs pruning and re-opens trap 1 — so the
+       full aggregate row is collected (one short row per partition).
+
+    Non-orderable columns (maps) are pinned via ``to_json(struct(c))``.
+    The pid itself is non-deterministic, so Catalyst never pushes it
+    below the final exchange; equality with the RDD-boundary profile is
+    pytest-asserted across the window/aggregate/narrow/repartition plan
+    shapes (tests/test_scale_smoke_profile.py)."""
+    from pyspark.sql import functions as F
+
+    pins = [
+        F.max(F.to_json(F.struct(F.col(c)))) if "map<" in t else F.max(F.col(c))
+        for c, t in df.dtypes
+    ]
+    proj = df.select(F.spark_partition_id().alias("__pid"), *df.columns)
+    agg = proj.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[p.alias(f"__c{i}") for i, p in enumerate(pins)],
+    )
+    return sorted(r["__n"] for r in agg.collect())
+
+
+def partition_profile(df, native: bool = True):
+    counts = (
+        _profile_counts_native(df)
+        if native
+        else sorted(
+            c
+            for c in df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+            if c
+        )
     )
     if not counts:
         return {"parts": 0, "max": 0, "median": 0}
@@ -396,6 +436,12 @@ def main() -> int:
                     help="profile ONLY the harvest/discovery composed "
                          "plans (quadtree BFS + calendar harvest) at "
                          "~100x e2e-test scale; skips replicate + gates")
+    ap.add_argument("--no-solo", action="store_true",
+                    help="skip the fresh-session solo re-measure pass "
+                         "(set automatically in the solo subprocesses)")
+    ap.add_argument("--solo-threshold", type=float, default=5.0,
+                    help="gates whose in-run sec_native exceeds this are "
+                         "auto re-measured in a fresh subprocess session")
     args = ap.parse_args()
 
     if args.pipeline:
@@ -435,23 +481,31 @@ def main() -> int:
     }
 
     spark = get_spark("scale-smoke", extra_conf=extra_conf)
+    # absorb one-time session costs (executor thread spin-up, codegen
+    # bootstrap) so neither the first gate of a full run nor a solo
+    # single-gate subprocess carries JVM warmup in its wall — keeps the
+    # in-run vs solo comparison apples-to-apples
+    spark.range(10**7).selectExpr("sum(id)").collect()
     specs = {s.name: s for s in q_mod.registry()}
     bad = []
+    inrun_native: dict[str, float] = {}
     for name in (args.queries if args.queries else CHECK):
         t0 = time.perf_counter()
         df = specs[name].spark(spark, args.out)
-        # native execution wall first: partition_profile ships every
-        # output row through the Python workers (df.rdd), so for
-        # big-output gates its time measures serialization throughput,
-        # not the query (r08 finding: 27M-pair gates read 7-38 s in
-        # "sec" run-to-run while the native count was a flat 1.7-2.6 s).
-        # "sec" keeps its historical meaning (build + profile) for
-        # cross-round comparability; "sec_native" is the honest
-        # growth-curve number.
+        t_build = time.perf_counter() - t0
+        # "sec_native" = build + one native count — the honest
+        # growth-curve number (r08 finding: the old df.rdd profile
+        # shipped every output row through Python workers, so on
+        # 27M-pair gates "sec" measured pickle throughput, ±50%).
+        # "sec" = build + profile, its pre-r08 meaning — the count is
+        # EXCLUDED from its window again (ADVICE r09: r08 accidentally
+        # timed build+count+profile under the old name). The profile
+        # itself is native since r09, so both numbers are JVM-only.
         n_rows = df.count()
         dt_native = round(time.perf_counter() - t0, 2)
+        t1 = time.perf_counter()
         prof = partition_profile(df)
-        dt = round(time.perf_counter() - t0, 2)
+        dt = round(t_build + (time.perf_counter() - t1), 2)
         total = prof["max"] if prof["parts"] == 1 else None
         # A parts==1 result is a defect only when the PLAN reduced
         # parallelism — an Exchange down to one partition (the global-
@@ -508,9 +562,51 @@ def main() -> int:
             skewed = rec["skewed"] = False
             rec["skew_benign"] = SKEW_BENIGN[name]
         print(json.dumps(rec))
+        sys.stdout.flush()
         prefixsum.release_pins()  # per-query pin hygiene, as in the gate
+        inrun_native[name] = dt_native
         if skewed:
             bad.append(name)
+    # Fresh-session solo re-measure (r09, VERDICT item 2): a long-lived
+    # smoke session contaminates individual gate walls (r08: j9 read
+    # 156 s in-run vs 20.2 s in a fresh session, identical conf), which
+    # previously forced manual solo adjudication of every outlier. Any
+    # gate whose in-run sec_native exceeds --solo-threshold is re-run in
+    # its own subprocess session; the record carries both walls plus a
+    # contaminated flag (in-run > 1.5x solo), so growth curves read the
+    # solo number and no hand-written adjudication paragraph is needed.
+    if not args.no_solo and not args.pipeline:
+        import subprocess
+
+        heavy = [n for n, s in inrun_native.items() if s > args.solo_threshold]
+        for name in heavy:
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--src", args.src, "--factor", str(args.factor),
+                "--out", args.out, "--skew-factor", str(args.skew_factor),
+                "--min-rows", str(args.min_rows),
+                "--queries", name, "--no-solo",
+            ]
+            try:
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=3600
+                ).stdout
+                solo = next(
+                    json.loads(line)
+                    for line in out.splitlines()
+                    if line.startswith("{") and json.loads(line).get("query") == name
+                )
+            except (StopIteration, subprocess.TimeoutExpired):
+                print(json.dumps({"solo_recheck": name, "err": "solo run failed"}))
+                continue
+            print(json.dumps({
+                "solo_recheck": name,
+                "inrun_sec_native": inrun_native[name],
+                "solo_sec_native": solo["sec_native"],
+                "solo_skewed": solo["skewed"],
+                "contaminated": inrun_native[name] > 1.5 * max(solo["sec_native"], 0.01),
+            }))
+            sys.stdout.flush()
     if args.curate:
         run_curate_profile(spark, args.out, factor=args.factor)
     print(json.dumps({"verdict": "FAIL" if bad else "PASS", "skewed": bad}))

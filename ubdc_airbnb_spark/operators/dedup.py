@@ -497,6 +497,7 @@ def lsh_jaccard_pairs(
     threshold: float = 0.3,
     shingle: str = "word",
     max_group: int | None = None,
+    max_bucket: int | None = None,
     verify_broadcast: bool = False,
 ) -> DataFrame:
     """Digest-contracted LSH candidates + exact word-n-gram Jaccard
@@ -524,6 +525,15 @@ def lsh_jaccard_pairs(
     noise of each other at sf0.1). ``verify_broadcast=True`` remains
     for callers whose rep table is known-small.
 
+    ``max_bucket`` (r09, ADVICE cap-parity fix): the viral NEAR-dup
+    bucket guard, same member-weighted semantics as
+    ``minhash_lsh_pairs`` — ``max_group`` only bounds EXACT-duplicate
+    clusters (one digest group each), so a boilerplate cluster of
+    distinct-but-similar texts still concentrated one band bucket and
+    went quadratic in the band self-join. Buckets over the cap drop out
+    of rep-pair generation; a group keeps its within-pairs only while it
+    survives in ≥1 bucket (the rows the naive banded join would keep).
+
     Output: (id_a, id_b, inter, union_n), id_a < id_b, counts as BIGINT
     (matching DuckDB's len())."""
     from ..functions.textstats import char_ngrams_expr, word_ngrams_expr
@@ -535,13 +545,20 @@ def lsh_jaccard_pairs(
         if shingle == "char"
         else word_ngrams_expr("`__text`", ngram)
     )
-    pairs, _ = _contracted_band_join(g, num_perm, bands, ngram, shingle)
+    pairs, banded = _contracted_band_join(
+        g, num_perm, bands, ngram, shingle, max_bucket=max_bucket
+    )
+    gs = g
+    if max_bucket is not None:
+        gs = g.join(
+            banded.select("__vid").distinct().hint("shuffle_hash"), "__vid", "semi"
+        )
     # within-group pairs ride the SAME verify + expansion via self value
     # pairs: the verify of (v, v) computes inter = union = |g(rep)| and
     # the shared threshold filter keeps/drops them exactly as the naive
     # per-member verify would (including the 0/0 ≥ 0 edge for gram-less
     # docs and the threshold > 1 rejection)
-    selfp = g.filter("size(__mids) > 1").selectExpr(
+    selfp = gs.filter("size(__mids) > 1").selectExpr(
         "__vid AS vid_a", "__vid AS vid_b", "__mids AS __ma", "__mids AS __mb"
     )
     allp = pairs.unionByName(selfp)

@@ -78,10 +78,112 @@ class LeaseHeld(RuntimeError):
     loss into THIS loud failure."""
 
 
+class _Lease:
+    """A held writer lease: nonce-owned, expiry-refreshed.
+
+    The lease file carries ``{pid, expires, nonce}``. The nonce is the
+    ownership token (r09, was pid+expiry only): every mutation of the
+    lease file first checks the on-disk nonce is ours, so a holder whose
+    expired lease was broken by a second writer discovers the loss
+    LOUDLY (:class:`LeaseHeld`) instead of deleting the new holder's
+    lease and admitting a third writer. While held, a daemon thread
+    refreshes the expiry every ``ttl/3`` seconds, so a healthy write
+    longer than the TTL keeps its lease live (the TTL only fences
+    CRASHED holders — a refresher dies with its process)."""
+
+    def __init__(self, path: str, ttl_sec: float):
+        import uuid
+
+        self.path = path
+        self.ttl_sec = ttl_sec
+        self.nonce = uuid.uuid4().hex
+        self._stop = None  # threading.Event once the refresher starts
+
+    def _payload(self) -> dict:
+        import os
+        import time
+
+        return {
+            "pid": os.getpid(),
+            "expires": time.time() + self.ttl_sec,
+            "nonce": self.nonce,
+        }
+
+    def _on_disk_nonce(self):
+        import json
+
+        try:
+            with open(self.path) as f:
+                return json.load(f).get("nonce")
+        except (OSError, ValueError):
+            return None
+
+    def verify(self) -> None:
+        """Raise :class:`LeaseHeld` unless the on-disk lease is still
+        OURS — call before any irreversible step (the pointer swap)."""
+        got = self._on_disk_nonce()
+        if got != self.nonce:
+            raise LeaseHeld(
+                f"writer lease {self.path!r} no longer ours (on-disk "
+                f"nonce {got!r}): a second writer broke it — likely the "
+                "write outlived the TTL without a refresh, or the lease "
+                "file was removed by hand; aborting before the pointer "
+                "swap so no generation is silently lost"
+            )
+
+    def refresh(self) -> None:
+        """Re-stamp the expiry (nonce-checked; tmp+replace so readers
+        never see a torn lease file)."""
+        import json
+        import os
+        import uuid
+
+        self.verify()
+        tmp = self.path + ".%s.tmp" % uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump(self._payload(), f)
+        os.replace(tmp, self.path)
+
+    def _start_refresher(self) -> None:
+        import threading
+
+        self._stop = threading.Event()
+        period = max(1.0, self.ttl_sec / 3.0)
+
+        def _run() -> None:
+            while not self._stop.wait(period):
+                try:
+                    self.refresh()
+                except LeaseHeld:
+                    return  # lost ownership: stop touching the file
+                except OSError:
+                    pass  # transient fs error: retry next period
+
+        t = threading.Thread(target=_run, daemon=True, name="writer-lease-refresh")
+        t.start()
+        self._thread = t
+
+    def _release(self) -> None:
+        import os
+
+        if self._stop is not None:
+            self._stop.set()
+            self._thread.join(timeout=5.0)
+        # conditional remove: only delete the lease if it is still OURS —
+        # an unconditional remove here was the ADVICE r09 medium finding
+        # (deleting the new holder's lease admits a third writer)
+        if self._on_disk_nonce() == self.nonce:
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+
+
 def _writer_lease(base: str, ttl_sec: float = 600.0):
     """Context manager: acquire ``base/.writer-lease`` via atomic
     create-exclusive (``O_CREAT|O_EXCL`` — the conditional-PUT /
-    If-None-Match analog on object stores), holding pid + expiry.
+    If-None-Match analog on object stores), holding pid + expiry +
+    a per-acquire ownership nonce. Yields the :class:`_Lease`.
 
     - live lease held by someone else → raise :class:`LeaseHeld`
       (loud, immediately — no waiting).
@@ -91,8 +193,11 @@ def _writer_lease(base: str, ttl_sec: float = 600.0):
       step), which is acceptable for a guard whose job is converting
       the COMMON silent-loss case into an error — the underlying
       contract remains single-writer.
-    - released on exit, success or failure (a crashed holder is covered
-      by the expiry)."""
+    - while held, the expiry is refreshed every ``ttl/3`` s by a daemon
+      thread, so a healthy long write keeps its lease (r09; the TTL now
+      only fences crashed holders).
+    - released on exit, success or failure — but only if the on-disk
+      nonce is still ours (never deletes a usurper's lease)."""
     import contextlib
     import json
     import os
@@ -100,13 +205,14 @@ def _writer_lease(base: str, ttl_sec: float = 600.0):
 
     @contextlib.contextmanager
     def _cm():
-        lease = os.path.join(base.rstrip("/"), ".writer-lease")
+        path = os.path.join(base.rstrip("/"), ".writer-lease")
+        lease = _Lease(path, ttl_sec)
         now = time.time()
         try:
-            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             try:
-                with open(lease) as f:
+                with open(path) as f:
                     info = json.load(f)
             except (OSError, ValueError):
                 info = {}
@@ -120,24 +226,24 @@ def _writer_lease(base: str, ttl_sec: float = 600.0):
                     "is known dead"
                 )
             try:  # expired: break and take over
-                os.remove(lease)
+                os.remove(path)
             except FileNotFoundError:
                 pass
-            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
-            json.dump({"pid": os.getpid(), "expires": now + ttl_sec}, f)
+            json.dump(lease._payload(), f)
+        lease._start_refresher()
         try:
-            yield
+            yield lease
         finally:
-            try:
-                os.remove(lease)
-            except OSError:
-                pass
+            lease._release()
 
     return _cm()
 
 
-def manifest_replace(write_fn, base: str, retention: int = 1) -> str:
+def manifest_replace(
+    write_fn, base: str, retention: int = 1, ttl_sec: float = 600.0
+) -> str:
     """Atomically replace a manifest-managed table's contents — the
     object-store-safe counterpart of the rename-swap in
     ``upsert.replace_parquet``.
@@ -170,7 +276,12 @@ def manifest_replace(write_fn, base: str, retention: int = 1) -> str:
     concurrent replace raise :class:`LeaseHeld` loudly instead of
     last-pointer-PUT-wins silently orphaning the loser's generation; a
     crashed holder's lease expires and is broken by the next writer.
-    Returns the new generation's path."""
+    r09: the lease is nonce-owned and auto-refreshed every ``ttl/3`` s
+    while ``write_fn`` runs (long writes no longer outlive their lease),
+    ownership is re-verified immediately before the pointer swap (a
+    usurped lease aborts loudly, leaving only an orphan generation), and
+    release never deletes a lease that is no longer ours. ``ttl_sec``
+    tunes the crash-fencing window. Returns the new generation's path."""
     import json
     import os
     import shutil
@@ -178,7 +289,7 @@ def manifest_replace(write_fn, base: str, retention: int = 1) -> str:
 
     b = base.rstrip("/")
     os.makedirs(b, exist_ok=True)
-    with _writer_lease(b):
+    with _writer_lease(b, ttl_sec=ttl_sec) as lease:
         cur = os.path.join(b, MANIFEST)
         prev_live, history = None, []
         if os.path.exists(cur):
@@ -194,6 +305,11 @@ def manifest_replace(write_fn, base: str, retention: int = 1) -> str:
         if prev_live is not None:
             history.append(prev_live)
         kept = history[-retention:] if retention > 0 else []
+        # last ownership check before the irreversible step: if a second
+        # writer usurped the lease during write_fn, abort — our finished
+        # generation stays an orphan (GC'd later) and the pointer is
+        # never contested
+        lease.verify()
         tmp = cur + ".%s.tmp" % uuid.uuid4().hex[:8]
         with open(tmp, "w") as f:
             json.dump({"generation": nxt, "history": kept}, f)
@@ -231,7 +347,7 @@ def manifest_gc(base: str, retention: int = 0) -> int:
     cur = os.path.join(b, MANIFEST)
     if not os.path.exists(cur):
         return 0
-    with _writer_lease(b):  # GC rewrites the pointer: same writer contract
+    with _writer_lease(b) as lease:  # GC rewrites the pointer: same writer contract
         with open(cur) as f:
             m = json.load(f)
         live = m["generation"]
@@ -244,6 +360,7 @@ def manifest_gc(base: str, retention: int = 0) -> int:
                 shutil.rmtree(os.path.join(b, d), ignore_errors=True)
                 n += 1
         if kept != history:
+            lease.verify()
             tmp = cur + ".%s.tmp" % uuid.uuid4().hex[:8]
             with open(tmp, "w") as f:
                 json.dump({"generation": live, "history": kept}, f)
