@@ -102,3 +102,59 @@ def test_lsh_compact_preserves_collisions_and_drops_files(spark, tmp_path):
     after = {tuple(r) for r in query_lsh_index(spark, idx, probe).collect()}
     assert after == before and len(after) > 0
     assert nf_after < nf_before
+
+
+def test_two_appenders_fail_loudly_under_lease(spark, tmp_path):
+    """r09 (VERDICT item 5): the add-paths enforce the single-appender
+    contract with the index root's writer lease — interleaved appends
+    are NOT commutative (params read-modify-write loses an increment;
+    concurrent jobs race on the shared _temporary staging dir), so a
+    second concurrent appender must raise LeaseHeld instead of silently
+    corrupting the index. Covers all three index families; an expired
+    lease (crashed appender) is broken and the append proceeds."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from ubdc_airbnb_spark.operators.ann_index import add_to_ivf_index, build_ivf_index
+    from ubdc_airbnb_spark.operators.dedup_index import add_to_lsh_index, build_lsh_index
+    from ubdc_airbnb_spark.operators.tfidf import add_to_bm25_index, build_bm25_index
+    from ubdc_airbnb_spark.sources.layout import LeaseHeld
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") < 30)
+    batch = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    vecs = load_table(spark, SF, "embeddings")
+    vcorpus = vecs.filter(F.col("vec_id") < 60)
+    vbatch = vecs.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
+
+    cases = []
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(corpus, lsh, n_buckets=8)
+    cases.append((lsh, lambda: add_to_lsh_index(batch, lsh)))
+    bm25 = str(tmp_path / "bm25")
+    build_bm25_index(corpus, bm25, n_buckets=8)
+    cases.append((bm25, lambda: add_to_bm25_index(batch, bm25)))
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(vcorpus, ivf, k=4, iters=2)
+    cases.append((ivf, lambda: add_to_ivf_index(vbatch, ivf)))
+
+    for root, append in cases:
+        lease = os.path.join(root, ".writer-lease")
+        # live lease held by "another appender" -> loud failure, and the
+        # foreign lease survives
+        with open(lease, "w") as f:
+            json.dump(
+                {"pid": 99999, "expires": time.time() + 600, "nonce": "foreign"}, f
+            )
+        with pytest.raises(LeaseHeld, match="writer lease held"):
+            append()
+        assert os.path.exists(lease), root
+        # expired lease (crashed appender) -> broken, append proceeds,
+        # lease released afterwards
+        with open(lease, "w") as f:
+            json.dump({"pid": 99999, "expires": time.time() - 1}, f)
+        append()
+        assert not os.path.exists(lease), root

@@ -181,11 +181,29 @@ def add_to_ivf_index(
     serving semantics are unchanged; drift is handled by re-running
     ``build_ivf_index`` on a schedule (compare ``kmeans_inertia`` of old
     vs fresh centroids to decide), not per batch. Update ``params`` last
-    so a crashed append under-counts rather than phantom-counts."""
-    from ..sources.layout import current_path
+    so a crashed append under-counts rather than phantom-counts.
+
+    Single-appender contract, ENFORCED (r09): the whole append — params
+    read, data append, params swap — runs under the index root's writer
+    lease, so a second concurrent appender raises ``LeaseHeld`` loudly.
+    Two interleaved appends are NOT commutative: the params update is a
+    read-modify-write (both appenders would read the same ``n_vectors``
+    and one increment would be silently lost), and two Spark jobs
+    appending into the same directory race on the shared ``_temporary``
+    staging dir (the first commit's cleanup can delete the second job's
+    staged files). A crashed appender's lease expires and is broken by
+    the next writer."""
+    from ..sources.layout import _writer_lease, current_path
 
     spark = new_vectors.sparkSession
     params_path = os.path.join(path, "params")
+    with _writer_lease(path):
+        _add_to_ivf_index_locked(new_vectors, path, id_col, vec_col, spark, params_path)
+
+
+def _add_to_ivf_index_locked(new_vectors, path, id_col, vec_col, spark, params_path):
+    from ..sources.layout import current_path
+
     [p] = spark.read.parquet(current_path(params_path)).collect()
     if "__max_batch_id" in p.asDict():
         # streaming-maintained layout: assignments live one level deeper

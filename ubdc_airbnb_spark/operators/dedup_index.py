@@ -156,10 +156,24 @@ def add_to_lsh_index(
     """Fold a screened batch into the corpus index: band it with the
     index's constants and parquet-append into the touched bucket
     partitions only — no rewrite of existing buckets, params unchanged
-    (banding constants are fixed at build)."""
-    from ..sources.layout import current_path
+    (banding constants are fixed at build).
+
+    Single-appender contract, ENFORCED (r09): the append runs under the
+    index root's writer lease — a second concurrent appender raises
+    ``LeaseHeld``. Unlike the BM25/IVF adds there is no params
+    read-modify-write here, but two jobs appending into one directory
+    still race on the shared ``_temporary`` staging dir (the first
+    commit's cleanup can delete the second job's staged files)."""
+    from ..sources.layout import _writer_lease
 
     spark = new_docs.sparkSession
+    with _writer_lease(path):
+        _add_to_lsh_index_locked(new_docs, path, id_col, text_col, spark)
+
+
+def _add_to_lsh_index_locked(new_docs, path, id_col, text_col, spark):
+    from ..sources.layout import current_path
+
     [p] = spark.read.parquet(current_path(os.path.join(path, "params"))).collect()
     if "__max_batch_id" in p.asDict():
         # streaming-maintained layout: banded rows live one level deeper

@@ -496,14 +496,29 @@ def add_to_bm25_index(
     Caller contract (same as the IVF append): new doc ids must be new —
     re-adding an id double-counts its postings. ``params`` updates LAST
     via atomic replace, so a crashed append under-counts (new postings
-    visible, old constants) rather than phantom-counting."""
+    visible, old constants) rather than phantom-counting.
+
+    Single-appender contract, ENFORCED (r09): the whole append runs
+    under the index root's writer lease — a second concurrent appender
+    raises ``LeaseHeld``. Interleaved appends are NOT commutative: the
+    params update is a read-modify-write (one increment would be
+    silently lost) and two jobs appending into one directory race on
+    the shared ``_temporary`` staging dir (the first commit's cleanup
+    can delete the second's staged files)."""
     import os
 
-    from .prefixsum import _pin
-    from .upsert import replace_parquet
+    from ..sources.layout import _writer_lease
 
     spark = new_docs.sparkSession
     params_path = os.path.join(path, "params")
+    with _writer_lease(path):
+        _add_to_bm25_index_locked(new_docs, path, id_col, text_col, spark, params_path)
+
+
+def _add_to_bm25_index_locked(new_docs, path, id_col, text_col, spark, params_path):
+    from .prefixsum import _pin
+    from .upsert import replace_parquet
+
     [p] = spark.read.parquet(_comp(path, "params")).collect()
     if "__max_batch_id" in p.asDict():
         # streaming-maintained layout: postings live one level deeper
