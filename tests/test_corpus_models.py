@@ -390,3 +390,50 @@ def test_collocations_lift_oracle(spark):
     assert lift == (6 * 33) / (6 * 6)
     best = [bg for bg, v in out.items() if v[4] == 1]
     assert best and out[best[0]][3] == max(v[3] for v in out.values())
+
+
+def test_rp_lsh_viral_near_dup_bucket_cap(spark):
+    """r09 cap parity (the embedding twin of lsh_jaccard_pairs
+    max_bucket): max_group only bounds EXACT-duplicate vector groups,
+    so a dense cluster of DISTINCT near-identical embeddings still
+    concentrates one band bucket and goes quadratic. max_bucket drops
+    member-weighted-overfull buckets from pair generation; groups
+    surviving in no bucket lose their within-pairs too (uncapped-join
+    semantics); small genuine clusters are untouched."""
+    from ubdc_airbnb_spark.operators import similarity
+
+    # viral cluster: 6 DISTINCT near-identical values x 5 exact copies
+    # each = bucket weight 30 from only 6 value nodes (member-weighted
+    # capping must fire on 30, not 6)
+    viral = [
+        (g * 10 + c, [1.0, 1e-9 * g, 0.0, 0.0])
+        for g in range(6)
+        for c in range(5)
+    ]
+    # small genuine cluster: 3 exact copies + 1 near-dup (weight 4)
+    small = [(100, [0.0, 1.0, 0.0, 0.0])] * 3 + [(103, [0.05, 0.995, 0.0, 0.0])]
+    small = [(100 + i, v) for i, (_, v) in enumerate(small)]
+    emb = spark.createDataFrame(
+        viral + small, "vec_id long, embedding array<double>"
+    )
+
+    def run(**kw):
+        return {
+            (r.id_a, r.id_b)
+            for r in similarity.rp_lsh_pairs(
+                emb, num_planes=16, bands=4, threshold=0.9, dim=4, **kw
+            ).collect()
+        }
+
+    uncapped = run()
+    assert len({p for p in uncapped if p[0] < 100}) == 30 * 29 // 2
+    small_pairs = {p for p in uncapped if p[0] >= 100}
+    assert small_pairs == {(100, 101), (100, 102), (101, 102),
+                           (100, 103), (101, 103), (102, 103)}
+    capped = run(max_bucket=10)
+    # viral cluster gone ENTIRELY (cross AND within: its groups survive
+    # in no bucket); the small cluster is byte-identical
+    assert capped == small_pairs
+    # max_group alone would NOT have caught it: every viral group has
+    # only 5 members
+    assert run(max_group=9) == uncapped

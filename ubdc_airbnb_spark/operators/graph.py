@@ -31,6 +31,7 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 25,
     label_col: str | None = None,
+    on_round=None,
 ) -> DataFrame:
     """(id, component) for every node in ``nodes``; component = min node
     id in the connected component (singletons keep their own id).
@@ -97,8 +98,15 @@ def connected_components(
             .select("id", F.col("__lbl").alias("component"))
         )
 
+    # ``on_round`` (r09, smoke instrumentation): called after every
+    # fixpoint round with (round_index, n_changed, round_wall_sec) so
+    # scale evidence can record the O(log diameter) convergence without
+    # wrapping the loop externally.
+    import time as _time
+
     try:
-        for _ in range(max_iter):
+        for _round in range(max_iter):
+            _t0 = _time.perf_counter()
             nbr_min = (
                 sym.join(labels.hint("shuffle_hash"), sym["b"] == labels["id"])
                 .groupBy("a")
@@ -135,6 +143,8 @@ def connected_components(
             )
             label_chain.retire(keep=1)  # prior round consumed — free it
             labels = new_labels
+            if on_round is not None:
+                on_round(_round, changed, _time.perf_counter() - _t0)
             if changed == 0:
                 return _with_seeds(labels)
         raise RuntimeError(

@@ -306,6 +306,7 @@ def _expand_value_pairs(
     val_pairs: DataFrame,
     vec_col: str,
     threshold: float,
+    surviving: DataFrame | None = None,
 ) -> DataFrame:
     """Member-level (id_a < id_b) pairs from verified VALUE pairs:
 
@@ -315,10 +316,17 @@ def _expand_value_pairs(
       (``cosine(v, v)`` — handles zero-norm vectors identically);
     - cross-value pairs: verified ``(vid_a, vid_b)`` × the members of
       each side. Groups partition the ids, so the two branches are
-      disjoint by construction."""
+      disjoint by construction.
+
+    ``surviving`` (r09, with ``max_bucket``): when bucket capping is in
+    play, a group keeps its within-pairs only while it still appears in
+    ≥1 surviving bucket — the rows the uncapped banded join would have
+    generated (same semantics as ``dedup.minhash_lsh_pairs``)."""
     ok = vals.filter(
         cosine_cols(vec_col, vec_col) >= F.lit(threshold)
     ).select("__vid")
+    if surviving is not None:
+        ok = ok.join(surviving.hint("shuffle_hash"), "__vid", "semi")
     mx = members.select("__vid", F.col("__mid").alias("id_a"))
     my = members.select("__vid", F.col("__mid").alias("id_b"))
     zero = (
@@ -512,6 +520,7 @@ def rp_lsh_pairs(
     salt: str = "rp",
     dim: int = 64,
     max_group: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH banding: the
     data-independent alternative to IVF (no centroid training step).
@@ -525,7 +534,17 @@ def rp_lsh_pairs(
     candidate cost follows content diversity, not corpus multiplicity).
     Join cost is Σ|bucket|² over 2^(bits/band)-way buckets per band —
     never n². Same contract as ``ivf_threshold_pairs``: recall < 1 by
-    construction, precision 1 after the verify."""
+    construction, precision 1 after the verify.
+
+    ``max_bucket`` (r09, cap parity with ``dedup.lsh_jaccard_pairs``):
+    the viral NEAR-dup bucket guard — ``max_group`` only bounds
+    exact-duplicate vector groups (one value node each), so a dense
+    cluster of DISTINCT near-identical embeddings (augmented copies,
+    re-encoded crops) still concentrates one band bucket and goes
+    quadratic in the band self-join. Bucket occupancy is
+    member-weighted (Σ group sizes — the count the uncapped join sees);
+    buckets over the cap drop out of pair generation; a group keeps its
+    within-pairs only while it survives in ≥1 bucket."""
     width = num_planes // bands
     vals, members = _value_nodes(vectors, id_col, vec_col, max_group)
     sigs = rp_signature(vals, "__vid", vec_col, num_planes, salt, dim)
@@ -539,6 +558,19 @@ def rp_lsh_pairs(
             )
         ).alias("band_id", "band_key"),
     )
+    surviving = None
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        gsz = members.groupBy("__vid").agg(F.count(F.lit(1)).alias("__gn"))
+        w = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.join(gsz.hint("shuffle_hash"), "__vid")
+            .withColumn("__bw", F.sum("__gn").over(w))
+            .filter(F.col("__bw") <= max_bucket)
+            .drop("__bw", "__gn")
+        )
+        surviving = banded.select("__vid").distinct()
     a = banded.select(
         "band_id", "band_key", F.col("__vid").alias("vid_a"), F.col(vec_col).alias("vec_a")
     )
@@ -556,7 +588,9 @@ def rp_lsh_pairs(
         .select("vid_a", "vid_b")
         .distinct()
     )
-    return _expand_value_pairs(members, vals, val_pairs, vec_col, threshold)
+    return _expand_value_pairs(
+        members, vals, val_pairs, vec_col, threshold, surviving=surviving
+    )
 
 
 def kmeans_centroids(
