@@ -222,6 +222,15 @@ def test_lsh_jaccard_contraction_equivalence(spark):
         for r in lsh_jaccard_pairs(docs, "doc_id", "text", 16, 4, 3, 0.3).collect()
     }
     assert got == naive
+    # r09: the prefiltered-grams verify variant is a pure plan-shape
+    # change (grams only for reps appearing in a candidate pair)
+    pre = {
+        tuple(r)
+        for r in lsh_jaccard_pairs(
+            docs, "doc_id", "text", 16, 4, 3, 0.3, prefilter_grams=True
+        ).collect()
+    }
+    assert pre == naive
     # sanity: the 0/0 degenerate pairs are IN (naive semantics), and
     # within-group rows carry inter == union_n (J = 1)
     zero = {t for t in naive if t[2] == 0}

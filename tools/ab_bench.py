@@ -131,6 +131,32 @@ def _gate(name):
     return run
 
 
+def _jaccard_variant(**kw):
+    def run(spark, docs, sf_dir):
+        from ubdc_airbnb_spark.operators import dedup
+
+        return dedup.lsh_jaccard_pairs(docs, "doc_id", "text", 16, 4, 3, 0.3, **kw)
+
+    return run
+
+
+def _jaccard_aqe_off(spark, docs, sf_dir):
+    # AQE toggled at build time; the timed collect follows immediately
+    # in the A/B loop, and every other variant builder re-enables it
+    from ubdc_airbnb_spark.operators import dedup
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    return dedup.lsh_jaccard_pairs(docs, "doc_id", "text", 16, 4, 3, 0.3)
+
+
+def _with_aqe_on(fn):
+    def run(spark, docs, sf_dir):
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        return fn(spark, docs, sf_dir)
+
+    return run
+
+
 AB_SUITES = {
     "minhash_contraction": {
         "lsh_naive": _naive_minhash_lsh,
@@ -160,6 +186,18 @@ AB_SUITES = {
         "ngram_new": _gate("ns_lang_id_ngram"),
         "stopword_old": _old_lang_id,
         "stopword_new": _gate("ns_lang_id"),
+    },
+    # r09 item 4: the slowest headline gate's verify-join strategies —
+    # run at sf0.1 AND sf1 (--sf /tmp/scale_sf1). shuffle_hash is the
+    # committed scale-safe default; broadcast is the known-small-reps
+    # escape hatch; prefiltered shrinks the gram side to candidate reps
+    # at the cost of re-traversing the band join; aqe_off isolates
+    # adaptive re-planning overhead on the contracted multi-stage plan.
+    "jaccard_verify": {
+        "shuffle_hash": _with_aqe_on(_jaccard_variant()),
+        "broadcast": _with_aqe_on(_jaccard_variant(verify_broadcast=True)),
+        "prefiltered": _with_aqe_on(_jaccard_variant(prefilter_grams=True)),
+        "aqe_off": _jaccard_aqe_off,
     },
 }
 

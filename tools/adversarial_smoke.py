@@ -1,0 +1,412 @@
+"""Adversarial (zipfian) corpus smoke — r09, VERDICT item 1.
+
+Every prior smoke ran on near-uniform synthetic data, so the skew
+detector NEVER fired and the viral-cluster machinery (``max_bucket`` /
+``max_group`` caps, ``salted_join``/``salted_agg``, AQE skew-join) had
+only composition pytests behind it. This harness generates a hostile
+variant of the sf1 replica and proves, on data-scale inputs, that:
+
+1. the skew detector actually fires (zipf keys, hot join key), and the
+   repairs (salted join, AQE skew split) measurably flatten the same
+   workload, result-identical;
+2. the caps measurably truncate a viral exact-duplicate cluster AND a
+   viral NEAR-dup band bucket (distinct texts/vectors), with
+   ``exact_duplicates`` recovering the capped mass in O(B);
+3. ``connected_components`` converges on the giant cluster and on a
+   100k-node chain within the pointer-jump bound (rounds ~ log2 d).
+
+Adversarial ingredients (written to --out as parquet, same schemas as
+the driver tables):
+- documents: base replica + a 3,500-copy boilerplate cluster (ONE text
+  — exact-duplicate mass) + a 1,200-doc near-dup family (DISTINCT
+  texts sharing a 60-word prefix — they collide in minhash bands
+  without being exact duplicates, the case max_group cannot catch) +
+  zipf(1.5)-distributed source over 20 values.
+- events: 25% of rows reassigned to ONE user id (hot join/agg key).
+- embeddings: base + 400 DISTINCT near-identical vectors x 5 exact
+  copies each (member-weighted bucket cap must fire on 2,000, not 400).
+
+Usage: python tools/adversarial_smoke.py [--src /tmp/scale_sf1]
+       [--out /tmp/adv_sf1] [--skip-gen]
+Prints one JSON line per check plus a verdict; exit 1 if any
+expectation fails (detector silent where it must fire, caps not
+truncating, equality broken, fixpoint overrun).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+N_BOILER = 3_500
+N_HOT = 1_200
+N_DENSE_VALS = 400
+DENSE_COPIES = 5
+ZIPF_S = 1.5
+ZIPF_K = 20
+HOT_USER_PCT = 25
+
+BOILER_TEXT = (
+    "please enable javascript to continue your browser settings are "
+    "blocking required content on this page contact support if the "
+    "problem persists error code seven zero three"
+)
+HOT_PREFIX = " ".join(
+    f"w{i} shared boilerplate navigation header footer term{i % 7}"
+    for i in range(12)
+)  # 60 words shared by every hot-family doc
+
+
+def _zipf_thresholds(k: int, s: float) -> list[float]:
+    ws = [1.0 / (i + 1) ** s for i in range(k)]
+    tot = sum(ws)
+    acc, out = 0.0, []
+    for w in ws:
+        acc += w / tot
+        out.append(acc)
+    return out
+
+
+def generate(spark, src: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    # --- documents: base + boilerplate cluster + near-dup family, zipf source
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    cum = _zipf_thresholds(ZIPF_K, ZIPF_S)
+    # deterministic zipf via inverse CDF over a content-hash uniform
+    u = (F.pmod(F.xxhash64(F.col("doc_id"), F.lit("zipf")), F.lit(1_000_000))
+         / F.lit(1_000_000.0))
+    zipf_idx = F.lit(ZIPF_K - 1)
+    for i in range(ZIPF_K - 1, -1, -1):
+        zipf_idx = F.when(u < cum[i], F.lit(i)).otherwise(zipf_idx)
+    base = docs.withColumn("source", F.concat(F.lit("src"), zipf_idx.cast("string")))
+    boiler = spark.range(N_BOILER).select(
+        (F.lit(max_id) + 1 + F.col("id")).alias("doc_id"),
+        F.lit(BOILER_TEXT).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.lit(len(BOILER_TEXT)).cast("long").alias("n_chars"),
+    )
+    hot = spark.range(N_HOT).select(
+        (F.lit(max_id) + 1 + N_BOILER + F.col("id")).alias("doc_id"),
+        F.concat(
+            F.lit(HOT_PREFIX + " variant "),
+            F.col("id").cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        (F.lit(len(HOT_PREFIX)) + 12).cast("long").alias("n_chars"),
+    )
+    (
+        base.unionByName(boiler).unionByName(hot)
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    # --- events: hot user key (25% of all rows on user 0)
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    ev = ev.withColumn(
+        "user_id",
+        F.when(
+            F.pmod(F.xxhash64(F.col("event_id"), F.lit("hot")), F.lit(100))
+            < HOT_USER_PCT,
+            F.lit(0),
+        ).otherwise(F.col("user_id")),
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    # the user dim as a real table: AQE's OptimizeSkewedJoin only
+    # pattern-matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — an
+    # in-plan distinct() on the dim side makes that child an aggregate
+    # output and silently disables the skew split for the WHOLE join
+    # (found by this harness's first run); production dims are tables
+    ev.select("user_id").distinct().withColumn(
+        "segment", F.pmod(F.col("user_id"), F.lit(7))
+    ).coalesce(4).write.mode("overwrite").parquet(os.path.join(out, "users.parquet"))
+    # --- embeddings: base + dense DISTINCT near-identical cluster
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    max_vid = emb.agg(F.max("vec_id")).first()[0]
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    dense = spark.range(N_DENSE_VALS * DENSE_COPIES).select(
+        (F.lit(max_vid) + 1 + F.col("id")).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(i == 0, F.lit(1.0))
+            .when(i == 1, (F.col("id") / F.lit(DENSE_COPIES)).cast("int") * 1e-7)
+            .otherwise(F.lit(0.0))
+            .cast("float"),
+        ).alias("embedding"),
+        F.lit(999).alias("label"),
+    )
+    emb.unionByName(dense).repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+
+def _emit(rec: dict) -> None:
+    print(json.dumps(rec))
+    sys.stdout.flush()
+
+
+def _skew_verdict(prof: dict, min_rows: int = 10_000, factor: float = 4.0) -> bool:
+    return (
+        prof["parts"] > 0
+        and prof["max"] >= min_rows
+        and (prof["parts"] == 1 or prof["max"] > factor * max(prof["median"], 1))
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/tmp/scale_sf1")
+    ap.add_argument("--out", default="/tmp/adv_sf1")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from scale_smoke import partition_profile, replicate
+    from ubdc_airbnb_spark.session import get_spark
+
+    spark = get_spark("adversarial-smoke", extra_conf={
+        # the detector must see the PLAN's partitioning, as in scale_smoke
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+    })
+    spark.range(10**7).selectExpr("sum(id)").collect()  # session warmup
+
+    if not os.path.exists(os.path.join(args.src, "documents.parquet")):
+        replicate("/root/testdata/sf0.1", args.src, 10)
+    if not args.skip_gen:
+        t0 = time.perf_counter()
+        generate(spark, args.src, args.out)
+        _emit({"check": "generate", "sec": round(time.perf_counter() - t0, 2)})
+
+    failures: list[str] = []
+
+    def expect(cond: bool, name: str) -> bool:
+        if not cond:
+            failures.append(name)
+        return cond
+
+    docs = spark.read.parquet(os.path.join(args.out, "documents.parquet"))
+    ev = spark.read.parquet(os.path.join(args.out, "events.parquet"))
+    emb = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
+
+    # ---- 1. the skew detector fires on the zipf keys -------------------
+    from ubdc_airbnb_spark.operators.skew import key_skew_report
+
+    for name, df, key in (("documents.source", docs, "source"),
+                          ("events.user_id", ev, "user_id")):
+        top = key_skew_report(df, key, top=3).collect()
+        rec = {"check": f"skew_report:{name}",
+               "top": [(r.key, r.cnt, round(r.share, 4)) for r in top],
+               "imbalance": round(top[0].imbalance, 2)}
+        rec["fired"] = top[0].imbalance > 4.0
+        expect(rec["fired"], f"skew_report:{name} must fire")
+        _emit(rec)
+
+    # ---- 2. hot-key join: plain fires, salted passes, AQE-split passes -
+    from ubdc_airbnb_spark.operators.joins import salted_join
+
+    dim = spark.read.parquet(os.path.join(args.out, "users.parquet"))
+    legs = {}
+    # plain sort-merge, AQE skew split OFF: the hot user's rows land on
+    # ONE reducer — the detector MUST fire
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    t0 = time.perf_counter()
+    plain = ev.join(dim.hint("merge"), "user_id")
+    n_plain = plain.count()
+    prof = partition_profile(plain)
+    legs["plain"] = {"sec": round(time.perf_counter() - t0, 2), **prof,
+                     "skewed": _skew_verdict(prof)}
+    expect(legs["plain"]["skewed"], "plain hot-key join must show skew")
+    # salted: same result, hot key spread over 16 reducers
+    t0 = time.perf_counter()
+    salted = salted_join(ev, dim, "user_id")
+    n_salted = salted.count()
+    prof = partition_profile(salted)
+    legs["salted"] = {"sec": round(time.perf_counter() - t0, 2), **prof,
+                      "skewed": _skew_verdict(prof)}
+    expect(not legs["salted"]["skewed"], "salted join must flatten the skew")
+    expect(n_salted == n_plain, "salted join must be result-identical")
+    # AQE skew split: runtime repair of the SAME plain plan (thresholds
+    # lowered so the toy-scale hot partition qualifies; at 100 TB the
+    # defaults fire on real bytes)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    t0 = time.perf_counter()
+    aqe = ev.join(dim.hint("merge"), "user_id")
+    n_aqe = aqe.count()
+    prof = partition_profile(aqe)
+    legs["aqe_skew_split"] = {"sec": round(time.perf_counter() - t0, 2), **prof,
+                              "skewed": _skew_verdict(prof)}
+    expect(not legs["aqe_skew_split"]["skewed"], "AQE skew split must flatten")
+    expect(n_aqe == n_plain, "AQE join must be result-identical")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    _emit({"check": "hot_key_join", "rows": n_plain, "legs": legs})
+
+    # ---- 2b. salted_agg == plain agg on the zipf key --------------------
+    from ubdc_airbnb_spark.operators.skew import count_agg, salted_agg, sum_agg
+
+    plain_agg = {
+        r.user_id: (r.n, round(r.v, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    salted = {
+        r.user_id: (r.n, round(r.v, 6))
+        for r in salted_agg(
+            ev, ["user_id"], F.col("event_id").cast("string"),
+            [count_agg("n"), sum_agg("value", "v")],
+        ).collect()
+    }
+    expect(salted == plain_agg, "salted_agg must equal plain agg")
+    _emit({"check": "salted_agg_equality", "n_keys": len(plain_agg),
+           "hot_key_rows": plain_agg[0][0], "equal": salted == plain_agg})
+
+    # ---- 3. dedup caps truncate the viral clusters ----------------------
+    from ubdc_airbnb_spark.operators import dedup
+
+    # pre-cap bucket occupancy: the evidence the hot bucket EXISTS
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", 16, 3, "word")
+    banded = dedup.banded_signatures(sigs, "doc_id", 16, 4)
+    occ = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"),
+             F.sum(F.when(F.col("n") > 500, 1).otherwise(0)).alias("over_500"))
+        .first()
+    )
+    _emit({"check": "band_bucket_occupancy", "max_bucket_members": occ.mx,
+           "buckets_over_500": occ.over_500})
+    expect(occ.mx >= N_BOILER, "boilerplate cluster must concentrate a band bucket")
+
+    t0 = time.perf_counter()
+    n_uncapped = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4).count()
+    sec_uncapped = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    capped_df = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", 16, 4, max_bucket=500, max_group=100
+    )
+    n_capped = capped_df.count()
+    sec_capped = round(time.perf_counter() - t0, 2)
+    prof = partition_profile(capped_df)
+    _emit({"check": "minhash_caps", "uncapped_pairs": n_uncapped,
+           "capped_pairs": n_capped, "truncated": n_uncapped - n_capped,
+           "sec_uncapped": sec_uncapped, "sec_capped": sec_capped, **prof,
+           "skewed": _skew_verdict(prof)})
+    # the boilerplate cluster alone is B(B-1)/2 pairs; capping must
+    # remove at least that mass
+    expect(n_uncapped - n_capped >= N_BOILER * (N_BOILER - 1) // 2,
+           "caps must truncate the viral clusters")
+
+    t0 = time.perf_counter()
+    n_jac = dedup.lsh_jaccard_pairs(
+        docs, "doc_id", "text", 16, 4, 3, 0.3, max_group=100, max_bucket=500
+    ).count()
+    _emit({"check": "jaccard_caps", "capped_pairs": n_jac,
+           "sec": round(time.perf_counter() - t0, 2)})
+    expect(n_jac <= n_capped, "jaccard verify only filters candidates")
+
+    # the capped mass is recovered by the O(B) exact pass
+    t0 = time.perf_counter()
+    ex = {
+        (r.keep_id, r.n_docs)
+        for r in dedup.exact_duplicates(docs, "doc_id", "text")
+        .filter(F.col("n_docs") >= 100).collect()
+    }
+    _emit({"check": "exact_recovery", "clusters": sorted(ex),
+           "sec": round(time.perf_counter() - t0, 2)})
+    expect(any(n == N_BOILER for _, n in ex),
+           "exact_duplicates must recover the capped boilerplate cluster")
+
+    # ---- 4. components: giant cluster + 100k chain, pointer-jump bound -
+    from ubdc_airbnb_spark.operators.graph import connected_components
+
+    rounds: list[tuple[int, int, float]] = []
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4)
+    t0 = time.perf_counter()
+    comp = connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id",
+        on_round=lambda r, ch, w: rounds.append((r, ch, round(w, 2))),
+    )
+    giant = (
+        comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n")).first()[0]
+    )
+    _emit({"check": "components_giant_cluster",
+           "sec": round(time.perf_counter() - t0, 2),
+           "rounds": len(rounds), "round_log": rounds, "giant_component": giant})
+    expect(len(rounds) <= 8, "giant-cluster components must converge fast")
+    expect(giant >= N_BOILER, "the boilerplate cluster must form one component")
+
+    chain_n = 100_000
+    chain_edges = spark.range(chain_n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    rounds2: list[tuple[int, int, float]] = []
+    t0 = time.perf_counter()
+    ccomp = connected_components(
+        chain_edges, spark.range(chain_n).withColumnRenamed("id", "node"),
+        id_col="node",
+        on_round=lambda r, ch, w: rounds2.append((r, ch, round(w, 2))),
+    )
+    one = ccomp.select("component").distinct().count()
+    _emit({"check": "components_chain_100k",
+           "sec": round(time.perf_counter() - t0, 2),
+           "rounds": len(rounds2), "round_log": rounds2, "components": one})
+    expect(one == 1, "chain must collapse to one component")
+    expect(len(rounds2) <= 25, "100k chain must stay inside the jump bound")
+
+    # ---- 5. embedding near-dup bucket cap (member-weighted) ------------
+    from ubdc_airbnb_spark.operators.similarity import rp_lsh_pairs
+
+    # 32 planes / 4 bands = 8-bit band keys (256 buckets per band): the
+    # base corpus spreads to ~90 members per bucket while the dense
+    # cluster still concentrates ONE (2,086 members) — so the cap has to
+    # be SELECTIVE, truncating the viral bucket while the base corpus's
+    # pairs survive (a 4-bit key space would overfill every bucket on a
+    # replica corpus and make the cap look like `return empty`)
+    t0 = time.perf_counter()
+    n_eun = rp_lsh_pairs(emb, num_planes=32, bands=4, threshold=0.99).count()
+    sec_eun = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ecap_df = rp_lsh_pairs(emb, num_planes=32, bands=4, threshold=0.99,
+                           max_bucket=500)
+    n_ecap = ecap_df.count()
+    sec_ecap = round(time.perf_counter() - t0, 2)
+    dense_pairs = (N_DENSE_VALS * DENSE_COPIES) * (N_DENSE_VALS * DENSE_COPIES - 1) // 2
+    _emit({"check": "rp_lsh_bucket_cap", "uncapped_pairs": n_eun,
+           "capped_pairs": n_ecap, "truncated": n_eun - n_ecap,
+           "sec_uncapped": sec_eun, "sec_capped": sec_ecap,
+           "dense_cluster_pairs": dense_pairs})
+    expect(n_eun - n_ecap >= dense_pairs * 0.9,
+           "member-weighted bucket cap must truncate the dense cluster")
+    expect(n_ecap > 0, "the cap must be selective, not a blanket drop")
+
+    _emit({"verdict": "FAIL" if failures else "PASS", "failures": failures})
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

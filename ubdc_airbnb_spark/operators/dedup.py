@@ -499,6 +499,7 @@ def lsh_jaccard_pairs(
     max_group: int | None = None,
     max_bucket: int | None = None,
     verify_broadcast: bool = False,
+    prefilter_grams: bool = False,
 ) -> DataFrame:
     """Digest-contracted LSH candidates + exact word-n-gram Jaccard
     verify — set-identical to the production composition (LSH candidate
@@ -562,6 +563,19 @@ def lsh_jaccard_pairs(
         "__vid AS vid_a", "__vid AS vid_b", "__mids AS __ma", "__mids AS __mb"
     )
     allp = pairs.unionByName(selfp)
+    reps = g
+    if prefilter_grams:
+        # verify-side reduction (r09 A/B variant): compute grams only
+        # for reps that actually appear in a candidate pair. Shrinks the
+        # gram build/shuffle when candidates are sparse, at the price of
+        # a second traversal of the band-join subtree (the vid set
+        # derives from `allp`) — the A/B decides whether that trade wins
+        vids = (
+            allp.selectExpr("vid_a AS __vid")
+            .unionByName(allp.selectExpr("vid_b AS __vid"))
+            .distinct()
+        )
+        reps = g.join(vids.hint("shuffle_hash"), "__vid", "semi")
     hint = (
         "/*+ BROADCAST(ga), BROADCAST(gb) */"
         if verify_broadcast
@@ -584,7 +598,7 @@ def lsh_jaccard_pairs(
               >= (size(ga.gr) + size(gb.gr)
                   - size(array_intersect(ga.gr, gb.gr))) * {num}
         """,
-        reps=g,
+        reps=reps,
         allp=allp,
     )
     return _explode_pairs(verified, "inter", "union_n").select(
@@ -699,6 +713,7 @@ def simhash_components(
     bands: int = 4,
     max_hamming: int = 3,
     max_iter: int = 25,
+    on_round=None,
 ) -> DataFrame:
     """(id, component) over the hamming<=max near-dup graph WITHOUT ever
     materializing document-level pairs — component = min member id, the
@@ -730,6 +745,7 @@ def simhash_components(
         id_col="__sk",
         label_col="__lbl",
         max_iter=max_iter,
+        on_round=on_round,
     )
     return sk.join(
         comp.withColumnRenamed("id", "__sk").hint("shuffle_hash"), "__sk"
