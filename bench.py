@@ -123,7 +123,7 @@ def _dup20_dir(sf_dir: str) -> str:
           FROM read_parquet('{src}') d
           LEFT JOIN (
             SELECT doc_id AS tid, text FROM read_parquet('{src}') WHERE doc_id < 10
-          ) t ON d.doc_id % 10 = t.tid
+          ) t ON (d.doc_id // 5) % 10 = t.tid
           ORDER BY d.doc_id
         ) TO '{marker}' (FORMAT PARQUET)
         """

@@ -39,7 +39,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dirs", nargs="*",
                     default=["/tmp/scale_sf10", "/tmp/scale_sf100"])
-    ap.add_argument("--pagerank-iters", type=int, nargs=2, default=[2, 4])
+    ap.add_argument("--pagerank-iters", type=int, nargs=2, default=[2, 10])
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -106,12 +106,20 @@ def main() -> int:
         sys.stdout.flush()
 
         # --- pagerank marginal round cost ------------------------------
+        # dst spreads over a 500M key space: a narrow modulus (the first
+        # r09 attempt used % 10k) SATURATES the distinct edge set at
+        # ~100k rows by sf10, so every decade ran the same per-round
+        # input and "linear growth" was unmeasurable — pagerank's
+        # per-round cost is driven by the DISTINCT edge table (the
+        # static_chain contraction), which itself is evidence, but the
+        # growth claim needs edges that actually grow.
         lo, hi = args.pagerank_iters
         ev = load_table(spark, sf_dir, "events")
         edges = ev.select(
             F.col("user_id").alias("src"),
-            F.pmod(F.col("event_id"), F.lit(10_000)).alias("dst"),
+            F.pmod(F.xxhash64("event_id"), F.lit(500_000_000)).alias("dst"),
         )
+        n_edges = edges.distinct().count()
         walls = {}
         for iters in (lo, hi):
             t0 = time.perf_counter()
@@ -121,7 +129,8 @@ def main() -> int:
             walls[iters] = round(time.perf_counter() - t0, 2)
         print(json.dumps({
             "check": f"pagerank:{tag}", "walls": walls,
-            "marginal_round_sec": round((walls[hi] - walls[lo]) / (hi - lo), 2),
+            "n_distinct_edges": n_edges,
+            "marginal_round_sec": round((walls[hi] - walls[lo]) / (hi - lo), 3),
         }))
         sys.stdout.flush()
     return 0
