@@ -567,6 +567,8 @@ def main() -> int:
         inrun_native[name] = dt_native
         if skewed:
             bad.append(name)
+    if args.curate:
+        run_curate_profile(spark, args.out, factor=args.factor)
     # Fresh-session solo re-measure (r09, VERDICT item 2): a long-lived
     # smoke session contaminates individual gate walls (r08: j9 read
     # 156 s in-run vs 20.2 s in a fresh session, identical conf), which
@@ -575,7 +577,12 @@ def main() -> int:
     # its own subprocess session; the record carries both walls plus a
     # contaminated flag (in-run > 1.5x solo), so growth curves read the
     # solo number and no hand-written adjudication paragraph is needed.
+    # The parent session is STOPPED first: a resident multi-GB parent
+    # heap evicts the page cache the solo JVM needs, inflating I/O-heavy
+    # solos 2-6x (measured in the first r09 sf10 run: j9 290 s with the
+    # 48g parent resident vs 35.9 s on an idle box).
     if not args.no_solo and not args.pipeline:
+        spark.stop()
         import subprocess
 
         heavy = [n for n, s in inrun_native.items() if s > args.solo_threshold]
@@ -607,8 +614,6 @@ def main() -> int:
                 "contaminated": inrun_native[name] > 1.5 * max(solo["sec_native"], 0.01),
             }))
             sys.stdout.flush()
-    if args.curate:
-        run_curate_profile(spark, args.out, factor=args.factor)
     print(json.dumps({"verdict": "FAIL" if bad else "PASS", "skewed": bad}))
     return 1 if bad else 0
 
