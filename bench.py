@@ -112,6 +112,11 @@ def _dup20_dir(sf_dir: str) -> str:
         if not os.path.exists(dst):
             os.symlink(os.path.join(os.path.abspath(sf_dir), f"{t}.parquet"), dst)
     src = os.path.join(sf_dir, "documents.parquet")
+    # COPY to a temp path and os.replace into place (ADVICE r09): the
+    # cache key is the final file's EXISTENCE, so a crashed/interrupted
+    # COPY that wrote directly would leave a partial file later runs
+    # silently benchmark as a valid variant corpus
+    tmp = marker + ".tmp"
     duckdb.connect().execute(
         f"""
         COPY (
@@ -125,9 +130,10 @@ def _dup20_dir(sf_dir: str) -> str:
             SELECT doc_id AS tid, text FROM read_parquet('{src}') WHERE doc_id < 10
           ) t ON (d.doc_id // 5) % 10 = t.tid
           ORDER BY d.doc_id
-        ) TO '{marker}' (FORMAT PARQUET)
+        ) TO '{tmp}' (FORMAT PARQUET)
         """
     )
+    os.replace(tmp, marker)
     return out
 
 

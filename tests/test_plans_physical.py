@@ -784,3 +784,65 @@ def test_report_query_names_all_registered(spark):
     names = {s.name for s in q_mod.registry()}
     missing = [n for n in cli._REPORT_QUERIES if n not in names]
     assert missing == []
+
+
+def test_build_vocab_topk_before_rank(spark):
+    """VERDICT r09 item 1: the vocab build must bound the distinct-word
+    table with TakeOrderedAndProject BEFORE the ranking window — the old
+    rank-then-filter shape sorted the FULL corpus vocabulary (billions
+    of junk tokens at web scale) on one reducer, and Spark's
+    InferWindowGroupLimit rescue never fires on a predicate over
+    row_number()-1 (rank arithmetic, not the raw rank attribute)."""
+    from ubdc_airbnb_spark.operators.tfidf import build_vocab
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta word%d" % (i % 7)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(build_vocab(df, size=5))
+    assert "TakeOrderedAndProject" in plan
+    # the Window's child must be the bounded top-k, not a full-table
+    # single-partition sort: formatted plans list nodes child-first, so
+    # TakeOrdered must appear in the tree ABOVE (before) the Window line
+    tree = plan.split("\n\n")[0].splitlines()
+    win = next(i for i, l in enumerate(tree) if "Window" in l)
+    tko = next(i for i, l in enumerate(tree) if "TakeOrderedAndProject" in l)
+    assert tko > win, "TakeOrderedAndProject must be the Window's child"
+    # and no full-vocab single-partition exchange feeds the Window
+    assert "SinglePartition" not in plan
+
+
+def test_rank_filter_rescue_fires_only_on_raw_rank(spark):
+    """The Catalyst lesson behind the build_vocab trap, encoded: Spark
+    rescues filter-over-row_number ONLY when the predicate is on the
+    RAW rank attribute. On a PARTITIONED window, InferWindowGroupLimit
+    inserts a WindowGroupLimit (per-partition top-k before the sort);
+    on a GLOBAL window, LimitPushDownThroughWindow turns it into
+    TakeOrderedAndProject under the Window. `rn <= k` gets the rescue;
+    `rn - 1 < k` (rank arithmetic) defeats BOTH rules and leaves the
+    full table sorting on one reducer — which is why top-k-then-rank
+    must be written explicitly whenever the filtered column is derived
+    from the rank rather than the rank itself."""
+    from pyspark.sql import Window
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("v")
+    )
+    # global window: rescue = TakeOrderedAndProject below the Window
+    wg = Window.orderBy(F.desc("v"))
+    rescued_g = df.withColumn("rn", F.row_number().over(wg)).filter(F.col("rn") <= 5)
+    defeated_g = (
+        df.withColumn("rn", F.row_number().over(wg) - 1).filter(F.col("rn") < 5)
+    )
+    assert "TakeOrderedAndProject" in _plan(rescued_g)
+    pd_plan = _plan(defeated_g)
+    assert "TakeOrderedAndProject" not in pd_plan
+    assert "SinglePartition" in pd_plan  # the full-table trap
+    # partitioned window: rescue = WindowGroupLimit
+    wp = Window.partitionBy("g").orderBy(F.desc("v"))
+    rescued_p = df.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 5)
+    defeated_p = (
+        df.withColumn("rn", F.row_number().over(wp) - 1).filter(F.col("rn") < 5)
+    )
+    assert "WindowGroupLimit" in _plan(rescued_p)
+    assert "WindowGroupLimit" not in _plan(defeated_p)

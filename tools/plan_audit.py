@@ -30,12 +30,25 @@ classified):
    (unlike class 1, where the estimate is structurally wrong at every
    scale).
 
+Second detector (round-10, VERDICT r09 item 2): single-partition
+windows. A full-table ``Exchange SinglePartition`` feeding a
+``Sort``/``Window`` is the build_vocab trap — the whole input sorts on
+ONE reducer, invisible to the broadcast detector and to five rounds of
+"plan audit clean". Flag any gate whose plan has a SinglePartition
+exchange consumed by a Window/Sort UNLESS the exchange's own subtree is
+bounded (TakeOrderedAndProject / Limit / WindowGroupLimit / a keyless
+= one-row aggregate). Bounded-by-adjudication names (day-grain tables,
+post-limit rank windows, fixed-bucket histograms) live in
+WINDOW_BENIGN. The pre-fix build_vocab shape is the regression test
+(tests/test_plan_audit_detector.py).
+
 Usage: python tools/plan_audit.py <sf_dir> [name ...]
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -67,6 +80,91 @@ BENIGN = frozenset(
         "q11_important_parts", "q15_top_supplier", "q22_idle_balances",
     }
 )
+
+
+#: single-partition-window sites ADJUDICATED BENIGN: the window's input
+#: is bounded by construction but not by a plan node the detector can
+#: see (group-cardinality tables: per-day/per-source/per-bucket grains;
+#: k-row centroid/model tables). Re-adjudicate before extending.
+WINDOW_BENIGN = frozenset()
+
+
+def _parse_formatted(plan: str):
+    """Formatted explain → (tree nodes, id→detail map). Tree nodes are
+    (indent, name, id) in top-down order; details carry the Arguments
+    lines the tree section omits (SinglePartition lives there)."""
+    parts = plan.split("\n\n")
+    tree = parts[0].splitlines()
+    details = "\n\n".join(parts[1:])
+    blocks = {
+        m.group(1): m.group(0)
+        for m in re.finditer(
+            r"^\((\d+)\) \S.*?(?=^\(\d+\) |\Z)", details, re.S | re.M
+        )
+    }
+    node_re = re.compile(r"([A-Za-z][\w.]*) \((\d+)\)")
+    parsed = []
+    for line in tree:
+        m = node_re.search(line)
+        if not m:
+            continue
+        indent = len(line) - len(line.lstrip(" :+-*"))
+        parsed.append((indent, m.group(1), m.group(2)))
+    return parsed, blocks
+
+
+_BOUNDING_NODES = frozenset(
+    {
+        "TakeOrderedAndProject",
+        "CollectLimit",
+        "GlobalLimit",
+        "LocalLimit",
+        "WindowGroupLimit",
+    }
+)
+
+
+def single_partition_window_suspect(plan: str) -> bool:
+    """True if the plan funnels an UNBOUNDED input through an
+    ``Exchange SinglePartition`` consumed by a Sort/Window — the
+    one-reducer global sort that dies at 100x scale. Bounded feeds
+    (top-k, limit, keyless one-row aggregates) are fine: the single
+    partition then holds <=k rows by construction."""
+    parsed, blocks = _parse_formatted(plan)
+    for i, (ind, name, nid) in enumerate(parsed):
+        if name != "Exchange" or "SinglePartition" not in blocks.get(nid, ""):
+            continue
+        # consumer chain: nearest ancestors (strictly shallower indent)
+        ancestors = []
+        cur = ind
+        for j in range(i - 1, -1, -1):
+            pind, pname, _ = parsed[j]
+            if pind < cur:
+                ancestors.append(pname)
+                cur = pind
+        # hazard only when a Sort/Window consumes the exchange (a
+        # keyless HashAggregate's SinglePartition feed is a scalar
+        # reduce — partials already combined map-side)
+        consumers = ancestors[:2]
+        if not any(c in ("Window", "Sort") for c in consumers):
+            continue
+        # bounded below? walk the exchange's subtree
+        bounded = False
+        for j in range(i + 1, len(parsed)):
+            sind, sname, sid = parsed[j]
+            if sind <= ind:
+                break
+            if sname in _BOUNDING_NODES:
+                bounded = True
+                break
+            if sname.endswith("Aggregate") and re.search(
+                r"Keys(?: \[\d+\])?: \[\]", blocks.get(sid, "")
+            ):
+                bounded = True
+                break
+        if not bounded:
+            return True
+    return False
 
 
 def main() -> None:
@@ -116,6 +214,7 @@ def main() -> None:
         "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
     })
     suspects = []
+    win_suspects = []
     for s in q_mod.registry():
         if only and s.name not in only:
             continue
@@ -144,14 +243,23 @@ def main() -> None:
             if any("HashAggregate" in l2 or "SortAggregate" in l2 for l2 in sub):
                 hit = True
                 break
-        print(f"{s.name}: {'SUSPECT' if hit else 'ok'}", flush=True)
+        win_hit = single_partition_window_suspect(plan)
+        verdicts = ("SUSPECT" if hit else "ok") + (
+            " WINDOW-SUSPECT" if win_hit else ""
+        )
+        print(f"{s.name}: {verdicts}", flush=True)
         if hit:
             suspects.append(s.name)
+        if win_hit:
+            win_suspects.append(s.name)
         release_pins()
     print("SUSPECTS:", sorted(set(suspects)), flush=True)
     new = sorted(set(suspects) - BENIGN)
     print("NEW SUSPECTS (not adjudicated benign):", new, flush=True)
-    sys.exit(1 if new else 0)
+    print("WINDOW SUSPECTS:", sorted(set(win_suspects)), flush=True)
+    new_win = sorted(set(win_suspects) - WINDOW_BENIGN)
+    print("NEW WINDOW SUSPECTS (not adjudicated benign):", new_win, flush=True)
+    sys.exit(1 if (new or new_win) else 0)
 
 
 if __name__ == "__main__":

@@ -598,12 +598,24 @@ def main() -> int:
                 out = subprocess.run(
                     cmd, capture_output=True, text=True, timeout=3600
                 ).stdout
-                solo = next(
-                    json.loads(line)
-                    for line in out.splitlines()
-                    if line.startswith("{") and json.loads(line).get("query") == name
-                )
-            except (StopIteration, subprocess.TimeoutExpired):
+                # per-line parse is defensive (ADVICE r09): a malformed
+                # or interleaved '{'-prefixed line (JVM stderr bleed,
+                # partial flush) must not crash the parent AFTER all
+                # gates ran — that loses the final verdict line
+                solo = None
+                for line in out.splitlines():
+                    if not line.startswith("{"):
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("query") == name:
+                        solo = rec
+                        break
+                if solo is None or "sec_native" not in solo:
+                    raise LookupError
+            except (LookupError, subprocess.TimeoutExpired, OSError):
                 print(json.dumps({"solo_recheck": name, "err": "solo run failed"}))
                 continue
             print(json.dumps({

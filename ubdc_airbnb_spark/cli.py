@@ -773,31 +773,25 @@ def cmd_compact_index(args) -> int:
         if _marker(os.path.join(path, "params")) is not None:
             n = compact_bm25_index(spark, path)
         else:
-            n = layout.compact_partitioned(
-                spark, os.path.join(path, "postings"), ["term_bucket"]
-            )
-            layout.compact(spark, os.path.join(path, "doclen"))
+            # batch-built layout: hold the index ROOT lease across both
+            # component compactions so an appender retries after, never
+            # appends into a tree mid-rename-swap (r10)
+            with layout._writer_lease(path):
+                n = layout.compact_partitioned(
+                    spark, os.path.join(path, "postings"), ["term_bucket"]
+                )
+                layout.compact(spark, os.path.join(path, "doclen"))
         comps = ("postings", "doclen", "params")
     elif args.kind == "ivf":
-        comp, parts = "assignments", ["centroid_id"]
-        m = _marker(os.path.join(path, "params"))
-        base = os.path.join(path, comp)
-        n = (
-            layout.compact_streaming_partitioned(spark, base, parts, m)
-            if m is not None
-            else layout.compact_partitioned(spark, base, parts)
-        )
-        comps = (comp, "centroids", "params")
+        from .operators.ann_index import compact_ivf_index
+
+        n = compact_ivf_index(spark, path)
+        comps = ("assignments", "centroids", "params")
     elif args.kind == "lsh":
-        comp, parts = "banded", ["key_bucket"]
-        m = _marker(os.path.join(path, "params"))
-        base = os.path.join(path, comp)
-        n = (
-            layout.compact_streaming_partitioned(spark, base, parts, m)
-            if m is not None
-            else layout.compact_partitioned(spark, base, parts)
-        )
-        comps = (comp, "params")
+        from .operators.dedup_index import compact_lsh_index
+
+        n = compact_lsh_index(spark, path)
+        comps = ("banded", "params")
     else:  # pragma: no cover - argparse choices guard
         raise ValueError(args.kind)
     gc = sum(layout.manifest_gc(os.path.join(path, c)) for c in comps)

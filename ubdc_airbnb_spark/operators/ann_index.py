@@ -197,11 +197,15 @@ def add_to_ivf_index(
 
     spark = new_vectors.sparkSession
     params_path = os.path.join(path, "params")
-    with _writer_lease(path):
-        _add_to_ivf_index_locked(new_vectors, path, id_col, vec_col, spark, params_path)
+    with _writer_lease(path) as lease:
+        _add_to_ivf_index_locked(
+            new_vectors, path, id_col, vec_col, spark, params_path, lease
+        )
 
 
-def _add_to_ivf_index_locked(new_vectors, path, id_col, vec_col, spark, params_path):
+def _add_to_ivf_index_locked(
+    new_vectors, path, id_col, vec_col, spark, params_path, lease=None
+):
     from ..sources.layout import current_path
 
     [p] = spark.read.parquet(current_path(params_path)).collect()
@@ -218,6 +222,11 @@ def _add_to_ivf_index_locked(new_vectors, path, id_col, vec_col, spark, params_p
         )
     cents = spark.read.parquet(current_path(os.path.join(path, "centroids")))
     assigned = assign_ivf_buckets(new_vectors, cents, id_col, vec_col)
+    # ownership check BEFORE the first irreversible commit (ADVICE r09):
+    # a stalled refresher means a second writer may hold the lease now —
+    # committing would interleave two read-modify-write params swaps
+    if lease is not None:
+        lease.verify()
     (
         # append into the LIVE generation on manifest layouts (a no-op
         # resolver for plain ones) — appends are new files only, so no
@@ -230,6 +239,8 @@ def _add_to_ivf_index_locked(new_vectors, path, id_col, vec_col, spark, params_p
     n_new = new_vectors.count()
     from .upsert import replace_parquet
 
+    if lease is not None:
+        lease.verify()  # and again before the params pointer swap
     replace_parquet(
         spark.createDataFrame(
             [(p.k, p.iters, p.dim, p.n_vectors + n_new)],
@@ -237,3 +248,35 @@ def _add_to_ivf_index_locked(new_vectors, path, id_col, vec_col, spark, params_p
         ),
         params_path,
     )
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> int:
+    """Small-file compaction for an IVF index's assignments table —
+    collapses the per-append (or per-micro-batch) file sets into one
+    per centroid partition, preserving the layout the probe
+    partition-prunes on. Streaming-maintained layouts keep their
+    ``__batch`` exactly-once marker (orphaned uncommitted batches are
+    dropped so redelivery stays idempotent).
+
+    Single-writer contract, ENFORCED (r10): compaction holds the index
+    ROOT's writer lease — the same lease ``add_to_ivf_index`` takes —
+    so an appender arriving mid-compaction raises ``LeaseHeld`` loudly
+    and retries after, instead of appending files into an assignments
+    tree the rename-swap is about to discard. Returns the parquet file
+    count after compaction."""
+    from ..sources.layout import (
+        _writer_lease,
+        compact_partitioned,
+        compact_streaming_partitioned,
+        current_path,
+    )
+
+    with _writer_lease(path):
+        [p] = spark.read.parquet(current_path(os.path.join(path, "params"))).collect()
+        d = p.asDict()
+        base = os.path.join(path, "assignments")
+        if "__max_batch_id" in d:
+            return compact_streaming_partitioned(
+                spark, base, ["centroid_id"], int(d["__max_batch_id"])
+            )
+        return compact_partitioned(spark, base, ["centroid_id"])

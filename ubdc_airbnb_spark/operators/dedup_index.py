@@ -167,11 +167,11 @@ def add_to_lsh_index(
     from ..sources.layout import _writer_lease
 
     spark = new_docs.sparkSession
-    with _writer_lease(path):
-        _add_to_lsh_index_locked(new_docs, path, id_col, text_col, spark)
+    with _writer_lease(path) as lease:
+        _add_to_lsh_index_locked(new_docs, path, id_col, text_col, spark, lease)
 
 
-def _add_to_lsh_index_locked(new_docs, path, id_col, text_col, spark):
+def _add_to_lsh_index_locked(new_docs, path, id_col, text_col, spark, lease=None):
     from ..sources.layout import current_path
 
     [p] = spark.read.parquet(current_path(os.path.join(path, "params"))).collect()
@@ -189,6 +189,11 @@ def _add_to_lsh_index_locked(new_docs, path, id_col, text_col, spark):
         new_docs, id_col, text_col, p.num_perm, p.ngram, p.shingle
     )
     banded = banded_signatures(sigs, id_col, p.num_perm, p.bands)
+    # ownership check BEFORE the append commit (ADVICE r09): no params
+    # read-modify-write here, but a second writer appending concurrently
+    # still races on the shared _temporary staging dir
+    if lease is not None:
+        lease.verify()
     (
         # append into the LIVE generation on manifest layouts (a no-op
         # resolver for plain ones) — appends are new files only, so no
@@ -199,3 +204,35 @@ def _add_to_lsh_index_locked(new_docs, path, id_col, text_col, spark):
         .partitionBy("key_bucket")
         .parquet(current_path(os.path.join(path, "banded")))
     )
+
+
+def compact_lsh_index(spark: SparkSession, path: str) -> int:
+    """Small-file compaction for an LSH index's banded table — collapses
+    the per-append (or per-micro-batch) file sets into one per
+    ``key_bucket`` partition, preserving the layout the probe
+    partition-prunes on. Streaming-maintained layouts keep their
+    ``__batch`` exactly-once marker (orphaned uncommitted batches are
+    dropped so redelivery stays idempotent).
+
+    Single-writer contract, ENFORCED (r10): compaction holds the index
+    ROOT's writer lease — the same lease ``add_to_lsh_index`` takes —
+    so an appender arriving mid-compaction raises ``LeaseHeld`` loudly
+    and retries after, instead of appending files into a banded tree
+    the rename-swap is about to discard. Returns the parquet file count
+    after compaction."""
+    from ..sources.layout import (
+        _writer_lease,
+        compact_partitioned,
+        compact_streaming_partitioned,
+        current_path,
+    )
+
+    with _writer_lease(path):
+        [p] = spark.read.parquet(current_path(os.path.join(path, "params"))).collect()
+        d = p.asDict()
+        base = os.path.join(path, "banded")
+        if "__max_batch_id" in d:
+            return compact_streaming_partitioned(
+                spark, base, ["key_bucket"], int(d["__max_batch_id"])
+            )
+        return compact_partitioned(spark, base, ["key_bucket"])

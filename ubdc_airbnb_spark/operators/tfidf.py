@@ -102,10 +102,18 @@ def build_vocab(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # Top-k FIRST (TakeOrderedAndProject: per-partition heaps of size
+    # `size`, no global sort), THEN rank inside the <=size survivors.
+    # The naive shape — row_number over the FULL distinct-word table
+    # with the size filter applied after — funnels the entire corpus
+    # vocabulary through one reducer: at web scale the distinct-token
+    # table is billions of junk tokens, and InferWindowGroupLimit
+    # cannot rescue a predicate on row_number()-1 (rank arithmetic).
+    # Rank order IS the limit order, so output is bit-identical.
+    topk = counts.orderBy(F.desc("cnt"), F.col("word")).limit(size)
     w = Window.orderBy(F.desc("cnt"), F.col("word"))
     return (
-        counts.withColumn("token_id", F.row_number().over(w) - 1)
-        .filter(F.col("token_id") < size)
+        topk.withColumn("token_id", F.row_number().over(w) - 1)
         .select("word", "token_id")
     )
 
@@ -511,11 +519,15 @@ def add_to_bm25_index(
 
     spark = new_docs.sparkSession
     params_path = os.path.join(path, "params")
-    with _writer_lease(path):
-        _add_to_bm25_index_locked(new_docs, path, id_col, text_col, spark, params_path)
+    with _writer_lease(path) as lease:
+        _add_to_bm25_index_locked(
+            new_docs, path, id_col, text_col, spark, params_path, lease
+        )
 
 
-def _add_to_bm25_index_locked(new_docs, path, id_col, text_col, spark, params_path):
+def _add_to_bm25_index_locked(
+    new_docs, path, id_col, text_col, spark, params_path, lease=None
+):
     from .prefixsum import _pin
     from .upsert import replace_parquet
 
@@ -547,6 +559,13 @@ def _add_to_bm25_index_locked(new_docs, path, id_col, text_col, spark, params_pa
         post = terms.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
     else:
         post = terms
+    # ownership check BEFORE the first irreversible commit (ADVICE r09
+    # medium): if the refresher stalled past the TTL and a second writer
+    # broke the lease, committing here would interleave two appends'
+    # read-modify-write params swaps — the exact lost-increment
+    # corruption the lease exists to prevent. Fail loudly instead.
+    if lease is not None:
+        lease.verify()
     (
         post.withColumn("term_bucket", term_bucket(F.col("term"), p.n_buckets))
         .repartition("term_bucket")
@@ -558,6 +577,8 @@ def _add_to_bm25_index_locked(new_docs, path, id_col, text_col, spark, params_pa
     tot = dl.agg(
         F.sum("dl").cast("long").alias("toktot"), F.count(F.lit(1)).alias("n_docs")
     ).collect()[0]
+    if lease is not None:
+        lease.verify()  # and again before the params pointer swap
     replace_parquet(
         spark.createDataFrame(
             [(p.n_docs + tot.n_docs, p.toktot + (tot.toktot or 0), p.n_buckets)],
@@ -765,7 +786,23 @@ def compact_bm25_index(spark, path: str) -> int:
     counts, and the exactly-once marker stays valid. Run it between
     ingests (the standard maintenance-window contract, same as
     ``sources.layout.compact``). Returns the postings parquet-file count
-    after compaction."""
+    after compaction.
+
+    Single-writer contract, ENFORCED (r10): compaction holds the index
+    ROOT's writer lease — the same lease ``add_to_bm25_index`` and the
+    streaming appender take — so an appender arriving mid-compaction
+    raises ``LeaseHeld`` loudly and retries after, instead of appending
+    files into a postings tree the rename-swap is about to discard."""
+    import os
+    import shutil
+
+    from ..sources.layout import _writer_lease
+
+    with _writer_lease(path) as lease:
+        return _compact_bm25_index_locked(spark, path, lease)
+
+
+def _compact_bm25_index_locked(spark, path: str, lease=None) -> int:
     import os
     import shutil
 
@@ -814,6 +851,8 @@ def compact_bm25_index(spark, path: str) -> int:
         .filter(F.col("__batch") <= marker)
         .withColumn("__batch", F.lit(marker).cast("long"))
     )
+    if lease is not None:
+        lease.verify()  # root ownership before the first irreversible swap
     _swap_partitioned(
         post.repartition("term_bucket"), postings_path, ["term_bucket", "__batch"]
     )

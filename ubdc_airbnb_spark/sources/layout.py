@@ -109,14 +109,17 @@ class _Lease:
             "nonce": self.nonce,
         }
 
-    def _on_disk_nonce(self):
+    def _on_disk(self) -> dict:
         import json
 
         try:
             with open(self.path) as f:
-                return json.load(f).get("nonce")
+                return json.load(f)
         except (OSError, ValueError):
-            return None
+            return {}
+
+    def _on_disk_nonce(self):
+        return self._on_disk().get("nonce")
 
     def verify(self) -> None:
         """Raise :class:`LeaseHeld` unless the on-disk lease is still
@@ -133,16 +136,49 @@ class _Lease:
 
     def refresh(self) -> None:
         """Re-stamp the expiry (nonce-checked; tmp+replace so readers
-        never see a torn lease file)."""
+        never see a torn lease file).
+
+        TOCTOU guard (ADVICE r09): verify-then-replace leaves a window
+        where a usurper legally breaks a genuinely-EXPIRED lease between
+        our read and our ``os.replace`` — and the old holder's replace
+        would then clobber the usurper's lease file, admitting a third
+        writer. Two mitigations, best-effort CAS on a filesystem with
+        no compare-and-swap: (a) if the on-disk lease is already past
+        its expiry when we wake (process suspension, refresher stall),
+        treat ownership as LOST — a breaker may be mid-takeover — and
+        raise instead of replacing; (b) after the replace, re-read: a
+        foreign nonce means a usurper replaced after us and wins —
+        stop touching the file."""
         import json
         import os
+        import time
         import uuid
 
-        self.verify()
+        info = self._on_disk()
+        if info.get("nonce") != self.nonce:
+            raise LeaseHeld(
+                f"writer lease {self.path!r} no longer ours (on-disk "
+                f"nonce {info.get('nonce')!r}): a second writer broke "
+                "it; refresher stopping"
+            )
+        if float(info.get("expires", 0)) <= time.time():
+            # our own lease is expired on disk: a breaker may be racing
+            # us RIGHT NOW (remove+create is not atomic) — replacing
+            # here could clobber the new holder's lease. Concede.
+            raise LeaseHeld(
+                f"writer lease {self.path!r} expired on disk before the "
+                "refresh landed (refresher stalled past the TTL); "
+                "conceding ownership instead of racing a breaker"
+            )
         tmp = self.path + ".%s.tmp" % uuid.uuid4().hex[:8]
         with open(tmp, "w") as f:
             json.dump(self._payload(), f)
         os.replace(tmp, self.path)
+        if self._on_disk_nonce() != self.nonce:
+            # a usurper replaced after us — they win; never touch again
+            raise LeaseHeld(
+                f"writer lease {self.path!r} taken over during refresh"
+            )
 
     def _start_refresher(self) -> None:
         import threading
@@ -168,7 +204,15 @@ class _Lease:
 
         if self._stop is not None:
             self._stop.set()
-            self._thread.join(timeout=5.0)
+            # join BEFORE the conditional remove, and skip the remove if
+            # the refresher is somehow still alive: an in-flight
+            # os.replace racing the remove would resurrect a
+            # just-released lease and block new writers for a full TTL
+            # (ADVICE r09). Letting the lease expire naturally costs the
+            # same worst case without the resurrection hazard.
+            self._thread.join(timeout=max(30.0, self.ttl_sec))
+            if self._thread.is_alive():
+                return
         # conditional remove: only delete the lease if it is still OURS —
         # an unconditional remove here was the ADVICE r09 medium finding
         # (deleting the new holder's lease admits a third writer)
@@ -205,6 +249,7 @@ def _writer_lease(base: str, ttl_sec: float = 600.0):
 
     @contextlib.contextmanager
     def _cm():
+        os.makedirs(base.rstrip("/"), exist_ok=True)  # bootstrap writers
         path = os.path.join(base.rstrip("/"), ".writer-lease")
         lease = _Lease(path, ttl_sec)
         now = time.time()

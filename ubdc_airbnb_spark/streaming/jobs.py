@@ -483,9 +483,18 @@ def foreach_batch_bm25_append(
     from ..operators.prefixsum import _pin, unpin
     from ..operators.tfidf import doc_terms, term_bucket
     from ..operators.upsert import recover_swap, replace_parquet
-    from ..sources.layout import current_path
+    from ..sources.layout import _writer_lease, current_path
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # single-writer contract (r10): the fold holds the index ROOT's
+        # writer lease — the same lease compact_bm25_index and
+        # add_to_bm25_index take — so a fold arriving mid-compaction
+        # fails the batch loudly (LeaseHeld) and the stream's redelivery
+        # retries it idempotently after compaction finishes
+        with _writer_lease(index_path):
+            _fold_locked(batch_df, batch_id)
+
+    def _fold_locked(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         params_path = os.path.join(index_path, "params")
         p = None
@@ -599,9 +608,15 @@ def foreach_batch_ivf_append(
 
     from ..operators.similarity import assign_ivf_buckets
     from ..operators.upsert import recover_swap, replace_parquet
-    from ..sources.layout import current_path
+    from ..sources.layout import _writer_lease, current_path
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # single-writer contract (r10): see foreach_batch_bm25_append —
+        # mutual exclusion with compact_ivf_index / add_to_ivf_index
+        with _writer_lease(index_path):
+            _fold_locked(batch_df, batch_id)
+
+    def _fold_locked(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         params_path = os.path.join(index_path, "params")
         if not recover_swap(params_path):
@@ -679,9 +694,15 @@ def foreach_batch_lsh_append(
     from ..operators.dedup import banded_signatures, minhash_signatures
     from ..operators.dedup_index import _key_bucket
     from ..operators.upsert import recover_swap, replace_parquet
-    from ..sources.layout import current_path
+    from ..sources.layout import _writer_lease, current_path
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # single-writer contract (r10): see foreach_batch_bm25_append —
+        # mutual exclusion with compact_lsh_index / add_to_lsh_index
+        with _writer_lease(index_path):
+            _fold_locked(batch_df, batch_id)
+
+    def _fold_locked(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         params_path = os.path.join(index_path, "params")
         if not recover_swap(params_path):
