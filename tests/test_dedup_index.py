@@ -158,3 +158,42 @@ def test_two_appenders_fail_loudly_under_lease(spark, tmp_path):
             json.dump({"pid": 99999, "expires": time.time() - 1}, f)
         append()
         assert not os.path.exists(lease), root
+
+
+def test_probe_side_max_bucket_caps_viral_bucket(spark, tmp_path):
+    """r10 (VERDICT item 3): a corpus band bucket holding a B-member
+    boilerplate cluster emits B candidates for EVERY probe doc landing
+    in it; ``query_lsh_index(max_bucket=)`` drops over-limit corpus
+    buckets from candidate generation — same contract as
+    ``lsh_candidate_pairs(max_bucket=)`` — while small buckets are
+    untouched (selective, not a blanket drop)."""
+    from ubdc_airbnb_spark.operators.dedup_index import build_lsh_index, query_lsh_index
+
+    docs = load_table(spark, SF, "documents")
+    boiler = spark.range(60).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.lit("please enable javascript to continue error code seven").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("srcX").alias("source"),
+        F.lit(54).cast("long").alias("n_chars"),
+    )
+    corpus = docs.filter(F.col("doc_id") < 40).unionByName(boiler)
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(corpus, idx, n_buckets=8)
+
+    hot_batch = spark.range(5).select(
+        (F.col("id") + 20_000).alias("doc_id"),
+        F.lit("please enable javascript to continue error code seven").alias("text"),
+    )
+    n_unc = query_lsh_index(spark, idx, hot_batch).count()
+    n_cap = query_lsh_index(spark, idx, hot_batch, max_bucket=50).count()
+    assert n_unc >= 5 * 60  # every probe doc hits the whole cluster
+    assert n_cap == 0  # the viral bucket is dropped from generation
+
+    # selectivity: a base-doc probe (small buckets) is untouched
+    base_batch = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 30_000).alias("doc_id"), "text"
+    )
+    n_base_unc = query_lsh_index(spark, idx, base_batch).count()
+    n_base_cap = query_lsh_index(spark, idx, base_batch, max_bucket=50).count()
+    assert n_base_cap == n_base_unc >= 10

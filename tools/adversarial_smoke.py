@@ -173,6 +173,9 @@ def main() -> int:
     ap.add_argument("--src", default="/tmp/scale_sf1")
     ap.add_argument("--out", default="/tmp/adv_sf1")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--only-indexes", action="store_true",
+                    help="run only section 6 (skewed-index probe paths) "
+                         "against an existing --out corpus")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -204,6 +207,11 @@ def main() -> int:
     docs = spark.read.parquet(os.path.join(args.out, "documents.parquet"))
     ev = spark.read.parquet(os.path.join(args.out, "events.parquet"))
     emb = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
+
+    if args.only_indexes:
+        run_index_probes(spark, args.out, docs, emb, expect, partition_profile)
+        _emit({"verdict": "FAIL" if failures else "PASS", "failures": failures})
+        return 1 if failures else 0
 
     # ---- 1. the skew detector fires on the zipf keys -------------------
     from ubdc_airbnb_spark.operators.skew import key_skew_report
@@ -404,8 +412,166 @@ def main() -> int:
            "member-weighted bucket cap must truncate the dense cluster")
     expect(n_ecap > 0, "the cap must be selective, not a blanket drop")
 
+    run_index_probes(spark, args.out, docs, emb, expect, partition_profile)
+
     _emit({"verdict": "FAIL" if failures else "PASS", "failures": failures})
     return 1 if failures else 0
+
+
+def run_index_probes(spark, out, docs, emb, expect, partition_profile) -> None:
+    # ---- 6. skewed-index PROBE paths (r10, VERDICT item 3) --------------
+    # The zipfian corpus exercised the BUILD-side machinery; the serving
+    # paths were untested under skew: a hot term bucket in the BM25
+    # index (a stopword-like posting list), a hot IVF centroid (the
+    # dense embedding cluster), and a hot LSH band bucket at query time.
+    # Each probe is machine-adjudicated: either the hot-partition cost
+    # is BOUNDED by construction (pruning + a partial top-k/TakeOrdered
+    # tail) or a cap repairs it; walls and scan profiles are recorded
+    # against a uniform control.
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.ann_index import build_ivf_index, query_ivf_index
+    from ubdc_airbnb_spark.operators.dedup_index import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+    from ubdc_airbnb_spark.operators.tfidf import build_bm25_index, query_bm25_index
+
+    idx_root = os.path.join(out, "indexes")
+    shutil.rmtree(idx_root, ignore_errors=True)
+
+    # -- 6a. BM25: the boilerplate terms are stopword-like (df >= N_BOILER)
+    bm25 = os.path.join(idx_root, "bm25")
+    t0 = time.perf_counter()
+    build_bm25_index(docs, bm25, n_buckets=64)
+    sec_b = round(time.perf_counter() - t0, 2)
+    hot_terms = ["javascript", "browser", "blocking"]
+    postings = spark.read.parquet(os.path.join(bm25, "postings"))
+    total_rows = postings.count()
+    dfs = {
+        r.term: r.n
+        for r in postings.filter(F.col("term").isin(hot_terms))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # uniform control: 3 lowest-df base-corpus terms (replica corpora
+    # multiply every df by the factor, so no fixed band is portable —
+    # take the quietest terms that still hit >= 2 docs)
+    cold_terms = [
+        r.term
+        for r in postings.filter(~F.col("term").isin(hot_terms))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy("n", "term").limit(3).collect()
+    ]
+    t0 = time.perf_counter()
+    hot_hits = query_bm25_index(spark, bm25, hot_terms, k=10).collect()
+    sec_hot = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    cold_hits = query_bm25_index(spark, bm25, cold_terms, k=10).collect()
+    sec_cold = round(time.perf_counter() - t0, 2)
+    # the hot probe's scan is bounded by the probed buckets' postings,
+    # never the corpus: measure the pruned slice it actually reads
+    from ubdc_airbnb_spark.operators.tfidf import _py_term_bucket
+
+    hb = sorted({_py_term_bucket(t, 64) for t in hot_terms})
+    hot_slice = postings.filter(
+        F.col("term_bucket").isin(hb) & F.col("term").isin(hot_terms)
+    )
+    slice_rows = hot_slice.count()
+    plan = (
+        query_bm25_index(spark, bm25, hot_terms, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    _emit({"check": "bm25_hot_term_probe", "sec_build": sec_b,
+           "hot_term_dfs": dfs, "cold_terms": cold_terms,
+           "sec_hot": sec_hot, "sec_cold": sec_cold,
+           "hot_slice_rows": slice_rows, "total_postings_rows": total_rows,
+           "scan_profile": partition_profile(hot_slice),
+           "bounded_tail": "TakeOrderedAndProject" in plan})
+    expect(max(dfs.values() or [0]) >= N_BOILER,
+           "boilerplate terms must form a hot posting list")
+    expect(len(hot_hits) == 10 and len(cold_hits) >= 1,
+           "BM25 probes must return rows (hot: full k)")
+    expect(slice_rows < total_rows * 0.5,
+           "bucket pruning must bound the hot probe's scan")
+    expect("TakeOrderedAndProject" in plan,
+           "BM25 tail must stay top-k-bounded (agg -> TakeOrdered)")
+
+    # -- 6b. IVF: the dense cluster concentrates one centroid cell
+    ivf = os.path.join(idx_root, "ivf")
+    t0 = time.perf_counter()
+    build_ivf_index(emb, ivf, k=32, iters=2)
+    sec_b = round(time.perf_counter() - t0, 2)
+    assigned = spark.read.parquet(os.path.join(ivf, "assignments"))
+    cells = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    hot_cell = cells.orderBy(F.desc("n")).first()
+    n_dense = N_DENSE_VALS * DENSE_COPIES
+    max_vid_base = (
+        emb.filter(F.col("label") != 999).agg(F.max("vec_id")).first()[0]
+    )
+    hot_q = emb.filter(F.col("vec_id") == max_vid_base + 1)  # a dense vector
+    cold_q = emb.filter(F.col("vec_id") == 42)               # a base vector
+    t0 = time.perf_counter()
+    hot_nn = query_ivf_index(spark, ivf, hot_q, k=10, probes=1).collect()
+    sec_hot = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    cold_nn = query_ivf_index(spark, ivf, cold_q, k=10, probes=1).collect()
+    sec_cold = round(time.perf_counter() - t0, 2)
+    plan = (
+        query_ivf_index(spark, ivf, hot_q, k=10, probes=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the rescue that keeps the hot cell off one reducer: the rank<=k
+    # filter gets a PARTIAL WindowGroupLimit per scan split, so the
+    # query_id shuffle carries <= k rows per split, not the whole cell
+    _emit({"check": "ivf_hot_cell_probe", "sec_build": sec_b,
+           "hot_cell": [hot_cell.centroid_id, hot_cell.n],
+           "dense_cluster": n_dense,
+           "sec_hot": sec_hot, "sec_cold": sec_cold,
+           "partial_topk": "WindowGroupLimit" in plan})
+    expect(hot_cell.n >= n_dense, "dense cluster must concentrate one cell")
+    expect(len(hot_nn) == 10 and len(cold_nn) == 10,
+           "both IVF probes must return k rows")
+    expect("WindowGroupLimit" in plan,
+           "IVF rerank must carry the partial top-k rescue")
+
+    # -- 6c. LSH: a probe batch hitting the viral band bucket
+    lsh = os.path.join(idx_root, "lsh")
+    t0 = time.perf_counter()
+    build_lsh_index(docs, lsh, num_perm=16, bands=4, n_buckets=64)
+    sec_b = round(time.perf_counter() - t0, 2)
+    m2 = docs.agg(F.max("doc_id")).first()[0]
+    hot_batch = spark.range(20).select(
+        (F.lit(m2) + 1 + F.col("id")).alias("doc_id"),
+        F.lit(BOILER_TEXT).alias("text"),
+    )
+    # uniform control: 20 base docs re-identified (each finds its source)
+    base_batch = (
+        docs.filter(F.col("doc_id") < 10_000).orderBy("doc_id").limit(20)
+        .select((F.col("doc_id") + m2 + 1000).alias("doc_id"), "text")
+    )
+    t0 = time.perf_counter()
+    n_hot_unc = query_lsh_index(spark, lsh, hot_batch).count()
+    sec_hot_unc = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    capped_df = query_lsh_index(spark, lsh, hot_batch, max_bucket=500)
+    n_hot_cap = capped_df.count()
+    sec_hot_cap = round(time.perf_counter() - t0, 2)
+    n_base_unc = query_lsh_index(spark, lsh, base_batch).count()
+    n_base_cap = query_lsh_index(spark, lsh, base_batch, max_bucket=500).count()
+    _emit({"check": "lsh_hot_bucket_probe", "sec_build": sec_b,
+           "hot_uncapped": n_hot_unc, "hot_capped": n_hot_cap,
+           "sec_hot_uncapped": sec_hot_unc, "sec_hot_capped": sec_hot_cap,
+           "base_uncapped": n_base_unc, "base_capped": n_base_cap,
+           "profile_capped": partition_profile(capped_df)})
+    expect(n_hot_unc >= 20 * N_BOILER * 0.9,
+           "uncapped hot probe must show the quadratic candidate blowup")
+    expect(n_hot_cap <= n_hot_unc * 0.05,
+           "probe-side max_bucket must truncate the viral bucket")
+    expect(n_base_cap == n_base_unc and n_base_cap >= 20,
+           "the probe cap must be selective (small buckets untouched)")
 
 
 if __name__ == "__main__":

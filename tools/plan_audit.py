@@ -78,15 +78,38 @@ BENIGN = frozenset(
         "ns_tfidf_cosine_pairs", "ns_token_budget", "ns_tokenize_vocab",
         "ns_unigram_kl", "ns_vocab_coverage", "ns_winsorize",
         "q11_important_parts", "q15_top_supplier", "q22_idle_balances",
+        # r10 (two-pass forced in the audit, see main): the prefixsum
+        # family broadcasts its per-bucket offsets table — a groupBy on
+        # __rb whose key space is num_buckets (bounded by construction,
+        # class 2), broadcast by explicit F.broadcast hint
+        "ns_dedup_sorted_neighborhood", "ns_sequence_pack", "w6_batch_assign",
     }
 )
 
 
-#: single-partition-window sites ADJUDICATED BENIGN: the window's input
-#: is bounded by construction but not by a plan node the detector can
-#: see (group-cardinality tables: per-day/per-source/per-bucket grains;
-#: k-row centroid/model tables). Re-adjudicate before extending.
-WINDOW_BENIGN = frozenset()
+#: single-partition-window sites ADJUDICATED BENIGN (r10 seeding): the
+#: window's input is bounded by construction but not by a plan node the
+#: detector can see — a KEYED aggregate whose key space is bounded.
+#: Classes traced:
+#: - day-grain: window over a per-day aggregate (~2.4k rows at any
+#:   scale): w8_moving_avg, w9_lag_delta
+#: - fixed-width histogram sketch: cumsum over O(range/width) bucket
+#:   rows (sketches.histogram_quantiles contract): ns_quantile_sketch,
+#:   ns_winsorize, ns_outlier_mad
+#: - length histogram: window over groupBy(n_tokens) rows, bounded by
+#:   max document length: ns_length_buckets, ns_token_budget
+#: - two-pass prefix-sum offsets: window over the per-bucket totals
+#:   table, <= num_buckets rows (operators/prefixsum.py:239):
+#:   ns_sequence_pack, w6_batch_assign
+#: Re-adjudicate before extending.
+WINDOW_BENIGN = frozenset(
+    {
+        "w8_moving_avg", "w9_lag_delta",
+        "ns_quantile_sketch", "ns_winsorize", "ns_outlier_mad",
+        "ns_length_buckets", "ns_token_budget",
+        "ns_sequence_pack", "w6_batch_assign",
+    }
+)
 
 
 def _parse_formatted(plan: str):
@@ -206,8 +229,15 @@ def main() -> None:
             )
 
     from ubdc_airbnb_spark import queries as q_mod
+    from ubdc_airbnb_spark.operators import prefixsum
     from ubdc_airbnb_spark.operators.prefixsum import release_pins
     from ubdc_airbnb_spark.session import get_spark
+
+    # The audit validates the AT-SCALE physical plan (same rationale as
+    # scale_smoke): auto mode legitimately picks the single-partition
+    # window below its size threshold — Catalyst's estimate of a small
+    # audit table is tiny — but that's the plan we're NOT here to test.
+    prefixsum.SINGLE_PARTITION_MAX_BYTES = -1
 
     spark = get_spark("plan-audit", extra_conf={
         "spark.sql.adaptive.coalescePartitions.enabled": "false",

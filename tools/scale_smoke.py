@@ -29,6 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+#: one canonical driver heap per replication factor (sf1 = 10x sf0.1,
+#: sf10 = 100x): growth comparisons across rounds are only valid
+#: between artifacts whose headers carry the SAME heap (page-cache
+#: eviction by a larger JVM moves I/O-heavy walls 2-6x on this box).
+_CANONICAL_HEAP = {10: "8g", 100: "48g"}
+
 #: (table, id columns to shift so replicas don't collide)
 SHIFT_COLS = {
     "orders": ["o_orderkey"],
@@ -443,6 +449,35 @@ def main() -> int:
                     help="gates whose in-run sec_native exceeds this are "
                          "auto re-measured in a fresh subprocess session")
     args = ap.parse_args()
+
+    # Canonical driver heap PER SCALE FACTOR (VERDICT r09 item 5): sf10
+    # walls are not cross-round comparable without matching heap — a 48g
+    # JVM on this 128 GiB box evicts ~40 GB of page cache an 8g run
+    # keeps, moving I/O-heavy gates 2-6x. Pin one heap per factor unless
+    # the caller overrides explicitly, and STAMP heap + box state into
+    # the artifact header so growth tables can reject mismatched pairs.
+    if "SPARK_DRIVER_MEMORY" not in os.environ:
+        os.environ["SPARK_DRIVER_MEMORY"] = _CANONICAL_HEAP.get(args.factor, "8g")
+    meminfo = {}
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, v = line.split(":", 1)
+                if k in ("MemFree", "MemAvailable", "Cached"):
+                    meminfo[k] = round(int(v.split()[0]) / 1024 / 1024, 1)
+    except OSError:
+        pass
+    print(json.dumps({
+        "header": True,
+        "driver_mem": os.environ["SPARK_DRIVER_MEMORY"],
+        "factor": args.factor,
+        "src": args.src,
+        "out": args.out,
+        "box_free_gb": meminfo.get("MemFree"),
+        "box_page_cache_gb": meminfo.get("Cached"),
+        "box_available_gb": meminfo.get("MemAvailable"),
+    }))
+    sys.stdout.flush()
 
     if args.pipeline:
         from ubdc_airbnb_spark.session import get_spark

@@ -110,6 +110,7 @@ def query_lsh_index(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Screen a new batch against the index: band the batch with the
     index's own constants, read ONLY the bucket partitions its band keys
@@ -118,7 +119,18 @@ def query_lsh_index(
     The bucket-id collect is bounded by ``n_buckets`` (not batch size),
     so the driver round-trip is O(1). Output: (corpus_id, new_id)
     distinct candidate pairs — feed them to ``ngram_jaccard_pairs``-style
-    verification exactly as with in-session LSH."""
+    verification exactly as with in-session LSH.
+
+    ``max_bucket`` is the PROBE-side viral-bucket guard (r10, VERDICT
+    item 3): a corpus band bucket holding a B-member boilerplate cluster
+    emits B candidates for EVERY probe doc that lands in it — a hot
+    stopword-template bucket turns each daily drop's screen quadratic.
+    Same contract as ``lsh_candidate_pairs(max_bucket=)``: corpus
+    buckets with more than ``max_bucket`` members are dropped from
+    candidate generation (their members are near-exact duplicates at
+    extreme multiplicity — ``exact_duplicates`` against the batch
+    recovers them in O(B)). The cap costs one map-side-combinable count
+    over the PRUNED corpus slice only. Default ``None`` (off)."""
     from ..sources.layout import current_path
 
     [p] = spark.read.parquet(current_path(os.path.join(path, "params"))).collect()
@@ -134,6 +146,14 @@ def query_lsh_index(
     corpus = spark.read.parquet(current_path(os.path.join(path, "banded"))).filter(
         F.col("key_bucket").isin(buckets)
     )
+    if max_bucket is not None:
+        small = (
+            corpus.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band_id", "band_key")
+        )
+        corpus = corpus.join(small.hint("shuffle_hash"), ["band_id", "band_key"], "left_semi")
     new_side = nb.select(
         F.col(id_col).alias("new_id"), "band_id", "band_key"
     )
