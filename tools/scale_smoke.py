@@ -316,6 +316,112 @@ def _bfs_split_fetcher(kind: str, key: str, offset: int) -> tuple[int, str, str]
 _BFS_DEPTH_TARGET = 12
 _BFS_PAGE_CAP = 30
 
+# --- adversarial hot-tile discovery (r10, VERDICT item 6) ---------------
+_HOT_SEED = "0313131000"  # the one city-center tile among 256 seeds
+_HOT_MAX_LEVEL = 22  # ref MAX_GRID_LEVEL: the hot pocket descends to cap
+_HOT_PAGE_CAP = 400  # 40 pages of 10 at the depth cap
+
+
+def _hot_tile_fetcher(kind: str, key: str, offset: int) -> tuple[int, str, str]:
+    """One pathological density pocket, 99% empty frontier: the hot seed's
+    '0' descendant chain splits all the way to MAX_GRID_LEVEL, then
+    paginates 40 pages; every other tile finalizes on its first fetch.
+    The depth-cap pages use an ALTERNATING payload seed, so consecutive
+    pages re-deliver the same listings (the real-world pagination-
+    overlap case) — the listing MERGE must hold under those re-visits."""
+    from ubdc_airbnb_spark.sources import payloads
+
+    o = int(offset)
+    tail = key[len(_HOT_SEED):] if key.startswith(_HOT_SEED) else None
+    is_hot = tail is not None and (tail == "" or set(tail) <= {"0"})
+    if is_hot and len(key) < _HOT_MAX_LEVEL:
+        has_next, seed = True, f"{key}:{o}"
+    elif is_hot:
+        has_next = (o + 10) < _HOT_PAGE_CAP
+        seed = f"{key}:{(o // 10) % 2}"  # pages alternate between 2 listing sets
+    else:
+        has_next, seed = False, f"{key}:{o}"
+    body = payloads.search_payload(
+        key, has_next_page=has_next, items_offset=o, seed=seed
+    )
+    return 200, body, f"mock://hot/{key}?o={o}"
+
+
+def run_hot_tile_discovery(spark, skew_factor: float = 4.0,
+                           min_rows: int = 10_000) -> list[str]:
+    """Adversarial BFS case the uniform pipeline smoke never hits: ONE
+    quadkey descends to MAX_GRID_LEVEL with pagination fan-out while
+    99% of the frontier is empty. Machine checks:
+
+    - fetch economy: the 255 cold tiles are fetched EXACTLY once — the
+      hot chain never re-enqueues finalized work (fetches stay ~343,
+      not 256 x waves);
+    - the descent is exactly the hot chain (12 splits, one per level);
+    - dedup holds under page re-visits: the alternating page seeds
+      re-deliver the same 20 listings for 40 pages, and the listing
+      MERGE keeps them unique (hot-tile listings <= ~20 + collisions);
+    - the data-scale outputs pass the same skew/single-partition rule
+      as every other smoke output.
+    """
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.plans import discovery
+
+    bad: list[str] = []
+    seeds = [_HOT_SEED[:6] + "".join(t) for t in itertools.product("0123", repeat=4)]
+    assert _HOT_SEED in seeds and len(seeds) == 256
+    t0 = time.perf_counter()
+    res = discovery.discover(
+        spark, _hot_tile_fetcher, seeds,
+        max_level=_HOT_MAX_LEVEL, max_waves=60, partitions=32,
+    )
+    wall = round(time.perf_counter() - t0, 2)
+    n_bronze = res.bronze.count()
+    n_listings = res.listings.count()
+    levels = _HOT_MAX_LEVEL - len(_HOT_SEED)  # splits along the hot chain
+    pages = _HOT_PAGE_CAP // 10
+    # 256 seeds once + 4 children per split level + the pagination tail
+    expected_fetches = 256 + 4 * levels + (pages - 1)
+    hot22 = _HOT_SEED + "0" * levels
+    n_hot_listings = res.listings.filter(
+        F.col("quadkey").startswith(hot22)
+    ).count()
+    checks = {
+        "fetch_economy": res.fetches <= expected_fetches + 8,
+        "no_refetch_of_finalized": res.fetches >= 256 + 4 * levels,
+        "splits_are_hot_chain_only": len(res.splits) == levels
+        and all(s.startswith(_HOT_SEED) for s in res.splits),
+        "wave_bound": res.waves <= 1 + levels + pages + 2,
+        "revisit_dedup": 10 <= n_hot_listings <= 30,
+        "listings_unique": n_listings
+        == res.listings.select("listing_id").distinct().count(),
+    }
+    print(json.dumps({
+        "query": "hot_tile:discovery", "sec": wall, "waves": res.waves,
+        "fetches": res.fetches, "expected_fetches": expected_fetches,
+        "splits": len(res.splits), "bronze_rows": n_bronze,
+        "listings": n_listings, "hot_tile_listings": n_hot_listings,
+        "checks": checks,
+    }))
+    sys.stdout.flush()
+    bad.extend(f"hot_tile:{k}" for k, v in checks.items() if not v)
+    for name, df, n in (("hot_tile:bronze", res.bronze, n_bronze),
+                        ("hot_tile:listings", res.listings, n_listings)):
+        prof = partition_profile(df)
+        skewed = (
+            prof["parts"] > 0
+            and prof["max"] >= min_rows
+            and (prof["parts"] == 1
+                 or prof["max"] > skew_factor * max(prof["median"], 1))
+        )
+        print(json.dumps({"query": name, "rows": n, **prof, "skewed": skewed}))
+        sys.stdout.flush()
+        if skewed:
+            bad.append(name)
+    return bad
+
 
 def run_pipeline_profile(spark, skew_factor: float = 4.0, min_rows: int = 10_000,
                          harvest_cap: int = 20_000) -> list[str]:
@@ -438,6 +544,11 @@ def main() -> int:
     ap.add_argument("--curate", action="store_true",
                     help="also profile the composed curation pipeline "
                          "end-to-end with per-stage timings")
+    ap.add_argument("--hot-tile", action="store_true",
+                    help="adversarial hot-tile discovery (one city-center "
+                         "quadkey descends to MAX_GRID_LEVEL with pagination "
+                         "fan-out while 99%% of the frontier is empty); "
+                         "skips replicate + gates")
     ap.add_argument("--pipeline", action="store_true",
                     help="profile ONLY the harvest/discovery composed "
                          "plans (quadtree BFS + calendar harvest) at "
@@ -479,14 +590,19 @@ def main() -> int:
     }))
     sys.stdout.flush()
 
-    if args.pipeline:
+    if args.pipeline or args.hot_tile:
         from ubdc_airbnb_spark.session import get_spark
 
         spark = get_spark("scale-smoke-pipeline", extra_conf={
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
         })
-        bad = run_pipeline_profile(spark, skew_factor=args.skew_factor,
+        bad = (
+            run_hot_tile_discovery(spark, skew_factor=args.skew_factor,
                                    min_rows=args.min_rows)
+            if args.hot_tile
+            else run_pipeline_profile(spark, skew_factor=args.skew_factor,
+                                      min_rows=args.min_rows)
+        )
         print(json.dumps({"verdict": "FAIL" if bad else "PASS", "skewed": bad}))
         return 1 if bad else 0
 

@@ -122,12 +122,21 @@ def discover(
     - paginated at max depth → continue with the next page offset — T8;
     - not paginated → grid finalized; record ``estimated_listings``.
     """
+    from ..operators.iterstate import CheckpointChain
+
     frontier: list[tuple[str, int]] = sorted((qk, 0) for qk in seed_quadkeys)
     bronze_parts: list[DataFrame] = []
     all_listings: DataFrame | None = None
     grid_rows: dict[str, int] = {}  # quadkey -> estimated listings
     splits: list[str] = []
     waves = fetches = 0
+    # the accumulated-listings MERGE references its previous state twice
+    # (anti-join + union), so an un-severed chain DOUBLES the logical
+    # plan per wave: a deep pagination chain (40+ waves at the depth
+    # cap — the real city-center case) pins Catalyst analysis at 100%
+    # of one core before any task runs (r10 hot-tile smoke finding).
+    # CheckpointChain keeps the state bounded at O(1) generations.
+    chain = CheckpointChain(spark)
 
     while frontier and waves < max_waves:
         waves += 1
@@ -170,11 +179,12 @@ def discover(
         wave_new = wave_listings.select(
             "listing_id", "lon", "lat", "quadkey", "host_id", "city"
         ).dropDuplicates(["listing_id"])
-        all_listings = (
+        all_listings = chain.step(
             wave_new
             if all_listings is None
             else upsert(all_listings, wave_new, ["listing_id"])
         )
+        chain.retire(keep=1)
 
         # frontier bookkeeping: one collect of frontier-sized metadata
         # (pagination flags + per-grid counts), never listing-scale data
@@ -238,6 +248,9 @@ def discover(
         [(qk, n) for qk, n in sorted(grid_rows.items())],
         "quadkey string, estimated_listings long",
     )
+    # the returned listings frame IS the last generation: keep it live,
+    # free everything else the chain pinned
+    chain.close(keep_last=True)
     return DiscoveryResult(
         bronze=bronze_all,
         listings=all_listings,
