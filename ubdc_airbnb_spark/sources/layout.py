@@ -205,12 +205,13 @@ class _Lease:
         if self._stop is not None:
             self._stop.set()
             # join BEFORE the conditional remove, and skip the remove if
-            # the refresher is somehow still alive: an in-flight
-            # os.replace racing the remove would resurrect a
-            # just-released lease and block new writers for a full TTL
-            # (ADVICE r09). Letting the lease expire naturally costs the
-            # same worst case without the resurrection hazard.
-            self._thread.join(timeout=max(30.0, self.ttl_sec))
+            # the refresher is somehow still alive (wedged filesystem):
+            # an in-flight os.replace racing the remove would resurrect
+            # a just-released lease and block new writers for a full TTL
+            # (ADVICE r09). Skipping the remove is safe and bounded —
+            # the lease then expires naturally, the same worst case the
+            # resurrection hazard had, without the race.
+            self._thread.join(timeout=5.0)
             if self._thread.is_alive():
                 return
         # conditional remove: only delete the lease if it is still OURS —
