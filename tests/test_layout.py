@@ -585,3 +585,82 @@ def test_writer_lease_nonce_refresh_and_usurper(spark, tmp_path):
     with open(lease) as f:
         assert json.load(f)["nonce"] == "foreign"  # usurper's lease survives
     os.remove(lease)
+
+
+def test_lease_refresh_concedes_on_expired_and_foreign(tmp_path):
+    """r10 (ADVICE low, the verify-then-replace TOCTOU): refresh() must
+    CONCEDE ownership instead of re-stamping when the on-disk lease is
+    already past its expiry (a breaker may legally be mid-takeover —
+    re-stamping could clobber the new holder's lease), and must stop
+    permanently when the on-disk nonce is foreign."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from ubdc_airbnb_spark.sources.layout import LeaseHeld, _Lease
+
+    path = str(tmp_path / ".writer-lease")
+
+    # healthy refresh: re-stamps the expiry
+    lease = _Lease(path, ttl_sec=600.0)
+    with open(path, "w") as f:
+        json.dump(lease._payload(), f)
+    before = json.load(open(path))["expires"]
+    time.sleep(0.05)
+    lease.refresh()
+    assert json.load(open(path))["expires"] > before
+
+    # expired-on-disk (refresher stalled past the TTL): concede, never
+    # replace — the file must be byte-untouched afterwards
+    stale = {"pid": os.getpid(), "expires": time.time() - 1, "nonce": lease.nonce}
+    with open(path, "w") as f:
+        json.dump(stale, f)
+    with pytest.raises(LeaseHeld, match="expired on disk"):
+        lease.refresh()
+    assert json.load(open(path)) == stale  # no clobber
+
+    # foreign nonce: a usurper owns the file — stop loudly
+    with open(path, "w") as f:
+        json.dump({"pid": 1, "expires": time.time() + 600, "nonce": "foreign"}, f)
+    with pytest.raises(LeaseHeld, match="no longer ours"):
+        lease.refresh()
+    assert json.load(open(path))["nonce"] == "foreign"
+
+
+def test_lease_release_skips_remove_when_refresher_wedged(tmp_path):
+    """r10 (ADVICE low): _release joins the refresher BEFORE the
+    conditional remove and SKIPS removal if the thread is still alive —
+    an in-flight os.replace racing the remove would resurrect a
+    just-released lease and block new writers for a full TTL."""
+    import json
+    import os
+    import threading
+    import time
+
+    from ubdc_airbnb_spark.sources.layout import _Lease
+
+    path = str(tmp_path / ".writer-lease")
+    lease = _Lease(path, ttl_sec=600.0)
+    with open(path, "w") as f:
+        json.dump(lease._payload(), f)
+
+    # normal release: refresher joined, lease removed
+    lease._start_refresher()
+    lease._release()
+    assert not os.path.exists(path)
+
+    # wedged refresher (simulated with a thread that ignores the stop
+    # event): release must leave the lease file in place
+    with open(path, "w") as f:
+        json.dump(lease._payload(), f)
+    hang = threading.Event()
+    lease._stop = threading.Event()
+    lease._thread = threading.Thread(target=hang.wait, daemon=True)
+    lease._thread.start()
+    t0 = time.time()
+    lease._release()
+    assert time.time() - t0 < 10  # bounded exit (5 s join timeout)
+    assert os.path.exists(path), "wedged refresher must skip the remove"
+    hang.set()
