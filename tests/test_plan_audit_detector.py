@@ -109,3 +109,124 @@ def test_detector_flags_unbounded_global_sort_window(spark):
     assert single_partition_window_suspect(
         _plan(df.withColumn("r", F.dense_rank().over(w)))
     )
+
+
+# ---------------------------------------------------------------------------
+# third detector (r10): unbounded nested-loop joins
+
+
+def test_nlj_detector_flags_corpus_cross_corpus(spark):
+    """crossJoin of two ungated fact tables — |L| x |R| output, the
+    quadratic scale-killer the banded/bucketed operators exist to
+    avoid. Must flag."""
+    from plan_audit import nested_loop_join_suspect
+
+    a = spark.range(500).select(F.col("id").alias("a"))
+    b = spark.range(500).select(F.col("id").alias("b"))
+    assert nested_loop_join_suspect(_plan(a.crossJoin(b)))
+
+
+def test_nlj_detector_passes_scalar_cross_corpus(spark):
+    """crossJoin against a keyless (one-row) aggregate — the sidecar
+    stats-broadcast pattern (totals, norms, thresholds). Linear pass,
+    must not flag."""
+    from plan_audit import nested_loop_join_suspect
+
+    corpus = spark.range(500).select(F.col("id").alias("a"))
+    stats = corpus.agg(F.sum("a").alias("total"))
+    assert not nested_loop_join_suspect(_plan(corpus.crossJoin(stats)))
+
+
+def test_nlj_detector_passes_limit_cross_corpus(spark):
+    """crossJoin against an explicit top-k side (limit bounds it) —
+    k x N output is a linear pass. Must not flag."""
+    from plan_audit import nested_loop_join_suspect
+
+    corpus = spark.range(500).select(F.col("id").alias("a"))
+    topk = (
+        spark.range(500)
+        .select(F.col("id").alias("b"))
+        .orderBy(F.desc("b"))
+        .limit(3)
+    )
+    assert not nested_loop_join_suspect(_plan(corpus.crossJoin(topk)))
+
+
+def test_nlj_detector_flags_inequality_bnlj_corpus_sides(spark):
+    """A non-equi theta join Catalyst can only plan as
+    BroadcastNestedLoopJoin, with both sides corpus-sized. Must flag —
+    this is the shape interval_join's banding exists to avoid."""
+    from plan_audit import nested_loop_join_suspect
+
+    a = spark.range(300).select(F.col("id").alias("a"))
+    b = spark.range(300).select(F.col("id").alias("b"))
+    theta = a.join(b, F.col("a") < F.col("b"))
+    assert nested_loop_join_suspect(_plan(theta))
+
+
+def test_nlj_detector_ignores_hash_joins(spark):
+    """Plain equi-joins (broadcast hash / SMJ / shuffled hash) are not
+    nested loops — never flagged by this detector."""
+    from plan_audit import nested_loop_join_suspect
+
+    a = spark.range(500).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    b = spark.range(500).select(F.col("id").alias("k"), F.lit(2).alias("y"))
+    assert not nested_loop_join_suspect(_plan(a.join(b, "k")))
+
+
+# ---------------------------------------------------------------------------
+# fourth detector (r10): row-at-a-time Python UDFs
+
+
+def test_rowudf_detector_flags_plain_python_udf(spark):
+    """A plain @udf pickles row-at-a-time (BatchEvalPython) — the
+    10-100x slow path no gate may use."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import IntegerType
+
+    from plan_audit import row_udf_suspect
+
+    slow = udf(lambda x: x + 1, IntegerType())
+    df = spark.range(100).select(slow(F.col("id").cast("int")).alias("v"))
+    assert row_udf_suspect(_plan(df))
+
+
+def test_rowudf_detector_passes_pandas_udf(spark):
+    """Arrow-batched pandas_udf plans as ArrowEvalPython — sanctioned,
+    must not flag."""
+    from pyspark.sql.functions import pandas_udf
+
+    from plan_audit import row_udf_suspect
+
+    # lambda (no type hints): `from __future__ import annotations`
+    # stringifies hints in this module, which pandas_udf's inference
+    # rejects — the hint-free form defaults to SCALAR
+    fast = pandas_udf(lambda s: s + 1, "long")
+
+    df = spark.range(100).select(fast("id").alias("v"))
+    assert not row_udf_suspect(_plan(df))
+
+
+def test_rowudf_detector_passes_map_in_pandas(spark):
+    """mapInPandas plans as MapInPandas (Arrow-batched) — sanctioned."""
+    from plan_audit import row_udf_suspect
+
+    def gen(it):
+        for pdf in it:
+            yield pdf
+
+    df = spark.range(100).mapInPandas(gen, "id long")
+    assert not row_udf_suspect(_plan(df))
+
+
+def test_nlj_detector_passes_driver_local_side(spark):
+    """A nested loop whose build side reads only driver-local leaves
+    (createDataFrame -> LocalTableScan / ExistingRDD) is bounded by
+    construction — the data already fit on the driver. The AOI
+    cover-union anti-join is this shape."""
+    from plan_audit import nested_loop_join_suspect
+
+    corpus = spark.range(500).select(F.col("id").alias("a"))
+    aoi = spark.createDataFrame([(1, "0313"), (2, "0312")], "aoi_id int, qk string")
+    theta = corpus.join(aoi, F.col("a") > F.col("aoi_id"))
+    assert not nested_loop_join_suspect(_plan(theta))

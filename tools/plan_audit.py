@@ -125,14 +125,19 @@ def _parse_formatted(plan: str):
             r"^\((\d+)\) \S.*?(?=^\(\d+\) |\Z)", details, re.S | re.M
         )
     }
-    node_re = re.compile(r"([A-Za-z][\w.]*) \((\d+)\)")
+    # name = FIRST identifier on the tree line, id = the trailing
+    # "(n)": multi-token lines like "BroadcastNestedLoopJoin Cross
+    # BuildRight (6)" must parse as the join node, not "BuildRight"
+    name_re = re.compile(r"([A-Za-z][\w.]*)")
+    id_re = re.compile(r"\((\d+)\)\s*$")
     parsed = []
     for line in tree:
-        m = node_re.search(line)
-        if not m:
+        m = name_re.search(line)
+        mid = id_re.search(line)
+        if not m or not mid:
             continue
         indent = len(line) - len(line.lstrip(" :+-*"))
-        parsed.append((indent, m.group(1), m.group(2)))
+        parsed.append((indent, m.group(1), mid.group(1)))
     return parsed, blocks
 
 
@@ -190,6 +195,114 @@ def single_partition_window_suspect(plan: str) -> bool:
     return False
 
 
+_DRIVER_LOCAL_LEAF = re.compile(
+    r"^\(\d+\) (Scan ExistingRDD|LocalTableScan|Scan OneRowRelation)"
+)
+
+
+def _subtree_bounded(parsed, blocks, start, root_indent) -> bool:
+    """True if the subtree rooted at ``parsed[start]`` (whose indent is
+    ``root_indent``) contains a row-bounding node — an explicit limit /
+    top-k, or a keyless (= one-row) aggregate — OR reads only
+    driver-local leaves (ExistingRDD / LocalTableScan: data that was
+    already materialized on the driver is definitionally not
+    corpus-scale)."""
+    end = start
+    leaves_local = True
+    saw_leaf = False
+    for j in range(start, len(parsed)):
+        sind, sname, sid = parsed[j]
+        if j > start and sind <= root_indent:
+            break
+        end = j
+        if sname in _BOUNDING_NODES:
+            return True
+        if sname.endswith("Aggregate") and re.search(
+            r"Keys(?: \[\d+\])?: \[\]", blocks.get(sid, "")
+        ):
+            return True
+    for j in range(start, end + 1):
+        sind, _, sid = parsed[j]
+        is_leaf = j == end or parsed[j + 1][0] <= sind
+        if not is_leaf:
+            continue
+        saw_leaf = True
+        if not _DRIVER_LOCAL_LEAF.match(blocks.get(sid, "")):
+            leaves_local = False
+    return saw_leaf and leaves_local
+
+
+def nested_loop_join_suspect(plan: str) -> bool:
+    """Third detector (r10): unbounded nested-loop joins. A
+    ``CartesianProduct`` or ``BroadcastNestedLoopJoin`` whose output is
+    |L| x |R| rows is fine when one side is bounded by construction
+    (k-row params / 1-row stats joined against the corpus — a linear
+    pass) and a quadratic scale-killer when BOTH sides grow with the
+    data. Flag joins where neither child subtree carries a bounding
+    node; keyed-but-bounded feeds (fixed histograms, k centroids) go in
+    NLJ_BENIGN by adjudication."""
+    parsed, blocks = _parse_formatted(plan)
+    for i, (ind, name, _) in enumerate(parsed):
+        if name not in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            continue
+        # child roots: minimal-indent nodes inside the join's region
+        region_end = i + 1
+        while region_end < len(parsed) and parsed[region_end][0] > ind:
+            region_end += 1
+        if region_end == i + 1:
+            continue
+        child_indent = min(p[0] for p in parsed[i + 1 : region_end])
+        roots = [
+            j
+            for j in range(i + 1, region_end)
+            if parsed[j][0] == child_indent
+        ]
+        if not any(
+            _subtree_bounded(parsed, blocks, j, child_indent) for j in roots
+        ):
+            return True
+    return False
+
+
+#: Arrow-batched Python evaluation nodes — the sanctioned slow paths.
+#: ``BatchEvalPython`` (row-at-a-time pickling, ~10-100x slower) is the
+#: one the fourth detector flags.
+def row_udf_suspect(plan: str) -> bool:
+    """Fourth detector (r10): row-at-a-time Python UDFs in a gate plan.
+    ``BatchEvalPython`` pickles row by row; every sanctioned Python
+    escape in this repo is Arrow-batched (ArrowEvalPython, MapInPandas,
+    FlatMapGroupsInPandas). The only adjudicated row-UDF site is the X7
+    generic-JSONPath escape hatch, which is not a gate."""
+    return "BatchEvalPython" in plan
+
+
+#: nested-loop sites ADJUDICATED BENIGN — seeded r10 from a
+#: full-registry sweep at sf0.01 (each traced to source). Classes:
+#: - literal-bounded query batch: the probe side is a constant-range
+#:   key filter (``vec_id < 10`` / ``< 16``) — <=k rows at any corpus
+#:   size, invisible to the plan: ns_embed_topk, ns_embed_ivf_topk,
+#:   ns_embed_ivf_multiprobe, ns_embed_ivf_index, ns_embed_outliers,
+#:   ns_rank_fusion, ns_ann_recall (the 2500-doc recall sample)
+#: - keyed-but-bounded aggregate feed (class 2 of the broadcast
+#:   taxonomy): per-label centroids (#labels) x per-label centroids:
+#:   ns_label_centroid_sim; per-source counts (#sources) x scalar
+#:   totals: ns_source_balance_gini
+#: Driver-local feeds (Scan ExistingRDD / LocalTableScan) are cleared
+#: mechanically by _subtree_bounded, not listed here. Re-adjudicate
+#: before extending.
+NLJ_BENIGN = frozenset(
+    {
+        "ns_ann_recall", "ns_embed_ivf_index", "ns_embed_ivf_multiprobe",
+        "ns_embed_ivf_topk", "ns_embed_outliers", "ns_embed_topk",
+        "ns_label_centroid_sim", "ns_rank_fusion", "ns_source_balance_gini",
+    }
+)
+
+#: row-UDF sites ADJUDICATED BENIGN — none; the registry is expected to
+#: stay BatchEvalPython-free (X7 is the only row-UDF and has no gate).
+ROWUDF_BENIGN = frozenset(set())
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf10"
     only = set(sys.argv[2:])
@@ -245,6 +358,8 @@ def main() -> None:
     })
     suspects = []
     win_suspects = []
+    nlj_suspects = []
+    rowudf_suspects = []
     for s in q_mod.registry():
         if only and s.name not in only:
             continue
@@ -274,14 +389,23 @@ def main() -> None:
                 hit = True
                 break
         win_hit = single_partition_window_suspect(plan)
-        verdicts = ("SUSPECT" if hit else "ok") + (
-            " WINDOW-SUSPECT" if win_hit else ""
+        nlj_hit = nested_loop_join_suspect(plan)
+        rowudf_hit = row_udf_suspect(plan)
+        verdicts = (
+            ("SUSPECT" if hit else "ok")
+            + (" WINDOW-SUSPECT" if win_hit else "")
+            + (" NLJ-SUSPECT" if nlj_hit else "")
+            + (" ROWUDF-SUSPECT" if rowudf_hit else "")
         )
         print(f"{s.name}: {verdicts}", flush=True)
         if hit:
             suspects.append(s.name)
         if win_hit:
             win_suspects.append(s.name)
+        if nlj_hit:
+            nlj_suspects.append(s.name)
+        if rowudf_hit:
+            rowudf_suspects.append(s.name)
         release_pins()
     print("SUSPECTS:", sorted(set(suspects)), flush=True)
     new = sorted(set(suspects) - BENIGN)
@@ -289,7 +413,15 @@ def main() -> None:
     print("WINDOW SUSPECTS:", sorted(set(win_suspects)), flush=True)
     new_win = sorted(set(win_suspects) - WINDOW_BENIGN)
     print("NEW WINDOW SUSPECTS (not adjudicated benign):", new_win, flush=True)
-    sys.exit(1 if (new or new_win) else 0)
+    print("NLJ SUSPECTS:", sorted(set(nlj_suspects)), flush=True)
+    new_nlj = sorted(set(nlj_suspects) - NLJ_BENIGN)
+    print("NEW NLJ SUSPECTS (not adjudicated benign):", new_nlj, flush=True)
+    print("ROWUDF SUSPECTS:", sorted(set(rowudf_suspects)), flush=True)
+    new_rowudf = sorted(set(rowudf_suspects) - ROWUDF_BENIGN)
+    print(
+        "NEW ROWUDF SUSPECTS (not adjudicated benign):", new_rowudf, flush=True
+    )
+    sys.exit(1 if (new or new_win or new_nlj or new_rowudf) else 0)
 
 
 if __name__ == "__main__":

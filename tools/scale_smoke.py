@@ -168,9 +168,15 @@ def replicate(src_dir: str, out_dir: str, factor: int) -> None:
         if os.path.exists(dst):
             continue
         src = os.path.join(src_dir, f"{t}.parquet")
+        # COPY to a temp path and os.replace into place (same hazard
+        # ADVICE r09 found in bench._dup20_dir): a killed mid-COPY run
+        # must not leave a partial parquet the existence cache above
+        # treats as a valid replica
+        tmp = dst + ".tmp"
         shift = SHIFT_COLS.get(t, [])
         if not shift:
-            con.execute(f"COPY (SELECT * FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)")
+            con.execute(f"COPY (SELECT * FROM read_parquet('{src}')) TO '{tmp}' (FORMAT PARQUET)")
+            os.replace(tmp, dst)
             continue
         base = con.execute(
             f"SELECT {' ,'.join(f'MAX({c})' for c in shift)} FROM read_parquet('{src}')"
@@ -187,8 +193,9 @@ def replicate(src_dir: str, out_dir: str, factor: int) -> None:
         # scan-following stage reads as parts=1 and false-alarms
         con.execute(
             f"COPY (SELECT {cols} FROM read_parquet('{src}') CROSS JOIN range({factor}) t(i)) "
-            f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
+            f"TO '{tmp}' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
         )
+        os.replace(tmp, dst)
 
 
 def _profile_counts_native(df) -> list[int]:
