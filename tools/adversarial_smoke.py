@@ -176,6 +176,9 @@ def main() -> int:
     ap.add_argument("--only-indexes", action="store_true",
                     help="run only section 6 (skewed-index probe paths) "
                          "against an existing --out corpus")
+    ap.add_argument("--only-streaming", action="store_true",
+                    help="run only section 7 (streaming folds under "
+                         "hostile ingest) against an existing --out corpus")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -208,8 +211,11 @@ def main() -> int:
     ev = spark.read.parquet(os.path.join(args.out, "events.parquet"))
     emb = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
 
-    if args.only_indexes:
-        run_index_probes(spark, args.out, docs, emb, expect, partition_profile)
+    if args.only_indexes or args.only_streaming:
+        if args.only_indexes:
+            run_index_probes(spark, args.out, docs, emb, expect, partition_profile)
+        if args.only_streaming:
+            run_streaming_folds(spark, args.out, docs, emb, expect)
         _emit({"verdict": "FAIL" if failures else "PASS", "failures": failures})
         return 1 if failures else 0
 
@@ -413,6 +419,7 @@ def main() -> int:
     expect(n_ecap > 0, "the cap must be selective, not a blanket drop")
 
     run_index_probes(spark, args.out, docs, emb, expect, partition_profile)
+    run_streaming_folds(spark, args.out, docs, emb, expect)
 
     _emit({"verdict": "FAIL" if failures else "PASS", "failures": failures})
     return 1 if failures else 0
@@ -572,6 +579,165 @@ def run_index_probes(spark, out, docs, emb, expect, partition_profile) -> None:
            "probe-side max_bucket must truncate the viral bucket")
     expect(n_base_cap == n_base_unc and n_base_cap >= 20,
            "the probe cap must be selective (small buckets untouched)")
+
+
+
+
+def run_streaming_folds(spark, out, docs, emb, expect) -> None:
+    # ---- 7. streaming maintenance under hostile ingest (r10b) -----------
+    # The batch index families have skewed-PROBE evidence (section 6) and
+    # small-scale equality/redelivery pytests; what nothing measured is
+    # the streaming folds' AT-SCALE property: fold cost must be
+    # O(micro-batch), not O(index) — a fold that re-reads or re-tokenizes
+    # the accumulated index gets linearly slower as ingestion proceeds
+    # and dies on a long-running stream. Each family ingests the HOSTILE
+    # corpus (boilerplate stopword cluster / dense embedding cluster) in
+    # M staged availableNow micro-batches on ONE persistent checkpoint,
+    # timing every fold; the machine check is late-batch wall ~= early-
+    # batch wall. BM25 additionally closes the loop e2e: mid-stream
+    # compaction, then more folds, then score equality against a
+    # from-scratch batch build of the same corpus.
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.ann_index import build_ivf_index, query_ivf_index
+    from ubdc_airbnb_spark.operators.dedup_index import build_lsh_index, query_lsh_index
+    from ubdc_airbnb_spark.operators.tfidf import (
+        build_bm25_index,
+        compact_bm25_index,
+        query_bm25_index,
+    )
+    from ubdc_airbnb_spark.streaming import jobs
+
+    M = 8
+    root = os.path.join(out, "stream_smoke")
+    shutil.rmtree(root, ignore_errors=True)
+
+    def _flat(walls: list[float]) -> bool:
+        early = sorted(walls[:3])[1]  # median of first 3
+        late = sum(walls[-3:]) / 3
+        return late <= 2.5 * max(early, 0.5)
+
+    def _staged_ingest(frames, src, idx, ckpt, fold) -> list[float]:
+        walls = []
+        schema = frames[0].schema
+        for batch in frames:
+            batch.coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            t0 = time.perf_counter()
+            fold(stream, idx, ckpt)
+            walls.append(round(time.perf_counter() - t0, 2))
+        return walls
+
+    # -- 7a. BM25: hot stopword terms grow across every batch ------------
+    src = os.path.join(root, "bm25_src")
+    idx = os.path.join(root, "bm25_idx")
+    ckpt = os.path.join(root, "bm25_ckpt")
+    slices = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(M)) == i) for i in range(M)
+    ]
+    walls = _staged_ingest(
+        slices[: M - 2], src, idx, ckpt,
+        lambda s, i, c: jobs.foreach_batch_bm25_append(
+            s, i, n_buckets=64, checkpoint=c
+        ),
+    )
+    # mid-stream compaction, then the remaining folds on the SAME
+    # checkpoint — the single-writer lease serializes them
+    n_files_before = compact_bm25_index(spark, idx)
+    walls += _staged_ingest(
+        slices[M - 2:], src, idx, ckpt,
+        lambda s, i, c: jobs.foreach_batch_bm25_append(
+            s, i, n_buckets=64, checkpoint=c
+        ),
+    )
+    hot_terms = ["javascript", "browser", "blocking"]
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in query_bm25_index(spark, idx, hot_terms, k=10).collect()]
+    sec_hot = round(time.perf_counter() - t0, 2)
+    control = os.path.join(root, "bm25_control")
+    build_bm25_index(docs, control, n_buckets=64)
+    want = [tuple(r) for r in query_bm25_index(spark, control, hot_terms, k=10).collect()]
+    _emit({"check": "stream_bm25_fold", "batches": len(walls),
+           "fold_walls": walls, "compacted_files": n_files_before,
+           "sec_hot_probe": sec_hot, "rows": len(got),
+           "matches_batch_build": got == want})
+    expect(_flat(walls), "bm25 fold wall must stay flat as the index grows")
+    expect(got == want and len(got) > 0,
+           "streamed+compacted bm25 must score exactly like a batch build")
+
+    # -- 7b. IVF: the dense cluster floods one centroid cell -------------
+    src = os.path.join(root, "ivf_src")
+    idx = os.path.join(root, "ivf_idx")
+    ckpt = os.path.join(root, "ivf_ckpt")
+    vecs = emb.select("vec_id", "embedding")
+    is_dense = F.col("label") == 999
+    base = emb.filter(~is_dense).select("vec_id", "embedding")
+    rest = emb.filter(is_dense).select("vec_id", "embedding")
+    seed = base.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    build_ivf_index(seed, idx, k=16, iters=2, streaming=True)
+    stream_side = base.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1).unionByName(rest)
+    # hash-spread: the stream side holds only ODD base ids, so
+    # pmod(vec_id, M) would leave even residues dense-only and make
+    # batch sizes oscillate 10x — the flat-wall check needs equal batches
+    frames = [
+        stream_side.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit("b")), F.lit(M)) == i
+        )
+        for i in range(M)
+    ]
+    walls = _staged_ingest(
+        frames, src, idx, ckpt,
+        lambda s, i, c: jobs.foreach_batch_ivf_append(s, i, checkpoint=c),
+    )
+    hot_q = rest.limit(5)
+    t0 = time.perf_counter()
+    n_hot = query_ivf_index(spark, idx, hot_q, k=5, probes=1).count()
+    sec_hot = round(time.perf_counter() - t0, 2)
+    _emit({"check": "stream_ivf_fold", "batches": len(walls),
+           "fold_walls": walls, "hot_cell_rows": n_hot,
+           "sec_hot_probe": sec_hot})
+    expect(_flat(walls), "ivf fold wall must stay flat as the index grows")
+    expect(n_hot == 25, "hot-cell probe must return exactly k per query")
+
+    # -- 7c. LSH: every boilerplate doc lands in the same viral buckets --
+    src = os.path.join(root, "lsh_src")
+    idx = os.path.join(root, "lsh_idx")
+    ckpt = os.path.join(root, "lsh_ckpt")
+    seed_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    build_lsh_index(seed_docs, idx, streaming=True)
+    stream_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    frames = [
+        stream_docs.filter(F.pmod(F.col("doc_id"), F.lit(2 * M)) == 2 * i + 1)
+        for i in range(M)
+    ]
+    walls = _staged_ingest(
+        frames, src, idx, ckpt,
+        lambda s, i, c: jobs.foreach_batch_lsh_append(s, i, checkpoint=c),
+    )
+    hot_batch = (
+        spark.range(20)
+        .select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit(BOILER_TEXT).alias("text"),
+        )
+    )
+    t0 = time.perf_counter()
+    n_unc = query_lsh_index(spark, idx, hot_batch).count()
+    sec_unc = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_cap = query_lsh_index(spark, idx, hot_batch, max_bucket=500).count()
+    sec_cap = round(time.perf_counter() - t0, 2)
+    _emit({"check": "stream_lsh_fold", "batches": len(walls),
+           "fold_walls": walls, "hot_uncapped": n_unc, "hot_capped": n_cap,
+           "sec_hot_uncapped": sec_unc, "sec_hot_capped": sec_cap})
+    expect(_flat(walls), "lsh fold wall must stay flat as the index grows")
+    expect(n_unc > 20 * 1000,
+           "uncapped viral-bucket probe must show the candidate blowup "
+           "on the STREAMED index")
+    expect(n_cap <= n_unc * 0.05,
+           "probe-side max_bucket must hold on the streamed layout")
 
 
 if __name__ == "__main__":
