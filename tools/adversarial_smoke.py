@@ -179,6 +179,10 @@ def main() -> int:
     ap.add_argument("--only-streaming", action="store_true",
                     help="run only section 7 (streaming folds under "
                          "hostile ingest) against an existing --out corpus")
+    ap.add_argument("--only-funnel", action="store_true",
+                    help="run only section 8 (composed curation funnel "
+                         "on the hostile corpus) against an existing "
+                         "--out corpus")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -211,11 +215,13 @@ def main() -> int:
     ev = spark.read.parquet(os.path.join(args.out, "events.parquet"))
     emb = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
 
-    if args.only_indexes or args.only_streaming:
+    if args.only_indexes or args.only_streaming or args.only_funnel:
         if args.only_indexes:
             run_index_probes(spark, args.out, docs, emb, expect, partition_profile)
         if args.only_streaming:
             run_streaming_folds(spark, args.out, docs, emb, expect)
+        if args.only_funnel:
+            run_curation_funnel(spark, args.out, docs, expect)
         _emit({"verdict": "FAIL" if failures else "PASS", "failures": failures})
         return 1 if failures else 0
 
@@ -420,6 +426,7 @@ def main() -> int:
 
     run_index_probes(spark, args.out, docs, emb, expect, partition_profile)
     run_streaming_folds(spark, args.out, docs, emb, expect)
+    run_curation_funnel(spark, args.out, docs, expect)
 
     _emit({"verdict": "FAIL" if failures else "PASS", "failures": failures})
     return 1 if failures else 0
@@ -738,6 +745,56 @@ def run_streaming_folds(spark, out, docs, emb, expect) -> None:
            "on the STREAMED index")
     expect(n_cap <= n_unc * 0.05,
            "probe-side max_bucket must hold on the streamed layout")
+
+def run_curation_funnel(spark, out, docs, expect) -> None:
+    # ---- 8. composed curation funnel on the hostile corpus (r10b) -------
+    # Every adversarial check so far is per-operator; the composed
+    # curation plan (NS40) had e2e profiles only on uniform replicas.
+    # The hostile corpus is exactly what the funnel's STAGE ORDER is
+    # designed for: quality/cap/exact-dedup run FIRST, so the 3,500-copy
+    # boilerplate cluster is collapsed to one doc before the banded
+    # near-dup stage (quadratic in cluster size) ever sees it, and the
+    # 1,200-doc shared-prefix family is what near-dup then removes.
+    # Machine checks are semantic (survivor counts), not walls.
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.prefixsum import release_pins
+    from ubdc_airbnb_spark.plans.curation import run_curation
+
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    orig_limit = (int(max_id) + 1) // 10  # the sf1 replica's i=0 id range
+    eval_docs = docs.filter(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < orig_limit)
+    ).select("doc_id", "text")
+    t0 = time.perf_counter()
+    res = run_curation(
+        spark, docs, eval_docs=eval_docs,
+        min_tokens=10, min_quality=0.3, max_per_source=10**9,
+    )
+    corpus = res.corpus.cache()
+    n_out = corpus.count()
+    sec = round(time.perf_counter() - t0, 2)
+    n_boiler = corpus.filter(F.col("text") == BOILER_TEXT).count()
+    n_hot = corpus.filter(F.col("text").startswith(HOT_PREFIX)).count()
+    corpus.unpersist()
+    release_pins()
+    _emit({"check": "curation_funnel_hostile", "sec": sec,
+           "rows_out": n_out, "report": res.report,
+           "stage_seconds": res.stage_seconds,
+           "boiler_survivors": n_boiler, "hot_family_survivors": n_hot})
+    expect(n_boiler <= 1,
+           "exact dedup inside the funnel must collapse the boilerplate "
+           "cluster to at most one survivor")
+    expect(n_hot <= N_HOT * 0.05,
+           "near-dup inside the funnel must collapse the shared-prefix "
+           "family (>=95%)")
+    expect(n_out > 0, "the funnel must not empty the corpus")
+    # the stage ORDER is the scale defence: by the time the banded
+    # near-dup stage runs, exact dedup has already removed the viral
+    # exact cluster, so its input is the deduped corpus, not raw
+    expect(res.report["exact_dedup"] <= res.report["source_cap"] - (N_BOILER - 1),
+           "exact dedup must run before near-dup and remove the cluster")
+
 
 
 if __name__ == "__main__":
