@@ -2,10 +2,16 @@
 cosine top-k as the exact baseline, and an IVF (inverted-file) variant as
 the scale path.
 
-Dot products are native higher-order functions (``zip_with`` +
-``aggregate``) in double precision — sequential fold, so results are
-deterministic and reproducible by the DuckDB oracle. No Python UDF in
-either path.
+The cosine kernel is Arrow-vectorized (pandas_udf over numpy matrix
+ops, r10): the previous higher-order-function form (``zip_with`` +
+``aggregate``) is a sequential per-element fold that Catalyst
+interprets rather than codegens — measured 2.7x slower on the
+200k-score brute-force shape at sf1 (BENCH_NOTES r10). The HOF form
+survives as ``dot``/``norm``/``cosine_expr`` (the text twins the
+SQL-string call sites and the oracle replays use) and behind
+``VECTORIZED_COSINE = False`` for bit-exact fold-order reproduction.
+Ranks/ids that gates output are invariant to the kernel's summation
+order (verified by the full 221-gate oracle run at the swap).
 
 Scale notes: brute force is O(n·q) dot products — fine when the query set
 is broadcastable. IVF turns it into O(n/k · q · probes) by bucketing both
@@ -17,9 +23,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
+from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.sql.types import DoubleType
 
 from .windows import first_row_per_key
+
+#: route the shared cosine kernel through the Arrow-vectorized path.
+#: False restores the sequential-fold HOF (bit-exact with cosine_expr).
+VECTORIZED_COSINE = True
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -41,6 +52,30 @@ def norm(a: Column) -> Column:
     )
 
 
+def _cosine_batch(a, b):
+    """Arrow batch kernel: stack the batch into (n, dim) matrices and do
+    one einsum + two vectorized norms — ~2.7x the HOF fold's throughput.
+    Zero-norm rows produce NaN here (0/0); the Column wrapper maps NaN
+    to NULL to keep the engine-wide zero-norm contract (see cosine)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy()).astype("float64", copy=False)
+    B = np.stack(b.to_numpy()).astype("float64", copy=False)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = num / den  # den == 0 -> nan (num is 0 there too)
+    return pd.Series(out)
+
+
+# a DataType instance (not a DDL string) keeps the module importable
+# with no active SparkSession — the string form parses DDL at import
+_cosine_udf = pandas_udf(_cosine_batch, DoubleType())
+
+
 def cosine(a: Column, b: Column) -> Column:
     """NULL (not NaN, not an error) when either norm is zero: under
     Spark 4's default ANSI mode a bare ``x / 0.0`` THROWS
@@ -48,7 +83,17 @@ def cosine(a: Column, b: Column) -> Column:
     kill every cosine gate (caught by the r07 contraction edge-case
     test). NULL fails every ``>= threshold`` predicate, so zero-norm
     vectors are deterministically "similar to nothing" on every engine,
-    instead of inheriting NaN's engine-specific comparison order."""
+    instead of inheriting NaN's engine-specific comparison order (Spark
+    treats NaN as GREATER than any number, which would make a zero-norm
+    vector similar to everything).
+
+    Vectorized path: the batch kernel yields NaN exactly on zero-norm
+    rows (0/0); the ``nanvl``+``nullif`` wrapper maps NaN to NULL.
+    Spark's ExtractPythonUDFs rule dedupes the two identical UDF
+    references into ONE Arrow evaluation."""
+    if VECTORIZED_COSINE:
+        raw = _cosine_udf(a, b)
+        return F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(raw)
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
@@ -83,7 +128,22 @@ def cosine_expr(a_sql: str, b_sql: str) -> str:
 
 
 def cosine_cols(a_name: str, b_name: str) -> Column:
-    """:func:`cosine` over two NAMED columns via the single-parse path."""
+    """:func:`cosine` over two NAMED columns. Routes through the shared
+    kernel (vectorized by default, r10); with ``VECTORIZED_COSINE``
+    off it falls back to the single-parse HOF text form."""
+    if VECTORIZED_COSINE:
+        return cosine(F.col(a_name), F.col(b_name))
+    return cosine_cols_exact(a_name, b_name)
+
+
+def cosine_cols_exact(a_name: str, b_name: str) -> Column:
+    """The sequential-fold HOF form, ALWAYS — for operators whose
+    OUTPUT column is the cosine value itself (embedding_outliers,
+    rp_lsh_query_topk): the oracle compares floats at full repr
+    precision, so an output float must reproduce the oracle's exact
+    left-to-right summation order. Operators that only ORDER or
+    THRESHOLD on the cosine use the vectorized kernel instead — their
+    id/rank outputs are invariant to last-ulp summation differences."""
     return F.expr(cosine_expr(f"`{a_name}`", f"`{b_name}`"))
 
 
@@ -969,7 +1029,7 @@ def rp_lsh_query_topk(
         banded(cb, "neighbor_id", "cvec")
         .join(broadcast(banded(qb, "query_id", "qvec")), ["band_id", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_cols("qvec", "cvec"))
+        .withColumn("cos", cosine_cols_exact("qvec", "cvec"))
         .select("query_id", "neighbor_id", "cos")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -1000,8 +1060,10 @@ def embedding_outliers(
     is free on top of an index build.
 
     Output: (vec_id, centroid_id, cos, outlier)."""
+    # exact fold-order kernel: `cos` is an OUTPUT column here (see
+    # cosine_cols_exact) — the oracle compares it at full precision
     scored = vectors.join(broadcast(centroids)).withColumn(
-        "cos", cosine_cols(vec_col, "centroid_vec")
+        "cos", cosine_cols_exact(vec_col, "centroid_vec")
     )
     best = first_row_per_key(
         scored, [id_col], [F.col("cos").desc(), F.col("centroid_id").asc()]
