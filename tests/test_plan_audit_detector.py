@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
+from conftest import SF_DIR  # noqa: E402
 from plan_audit import single_partition_window_suspect  # noqa: E402
 
 
@@ -230,3 +231,88 @@ def test_nlj_detector_passes_driver_local_side(spark):
     aoi = spark.createDataFrame([(1, "0313"), (2, "0312")], "aoi_id int, qk string")
     theta = corpus.join(aoi, F.col("a") > F.col("aoi_id"))
     assert not nested_loop_join_suspect(_plan(theta))
+
+
+def test_nlj_detector_flags_limit_below_join_inside_child(spark):
+    """r11 (ADVICE r10): a limit sitting BELOW a row-expanding join
+    inside one child bounds only that join input — the child's output
+    is corpus x k, and joining it against the other corpus side is
+    still quadratic-class. The old anywhere-in-subtree scan cleared
+    this shape; the root-spine scan must flag it."""
+    from plan_audit import nested_loop_join_suspect
+
+    corpus = spark.range(500).select(F.col("id").alias("a"))
+    other = spark.range(500).select(F.col("id").alias("b"))
+    topk = spark.range(500).select(F.col("id").alias("c")).orderBy(F.desc("c")).limit(3)
+    # child = other x topk (bounded below a join, output is 500 x 3)
+    child = other.crossJoin(topk)
+    theta = corpus.join(child, F.col("a") < F.col("b"))
+    assert nested_loop_join_suspect(_plan(theta))
+
+
+def test_nlj_detector_still_passes_spine_limit_after_fix(spark):
+    """Sanity: the root-spine restriction must not regress the plain
+    limit-on-the-spine clearance (limit ABOVE everything in the
+    child)."""
+    from plan_audit import nested_loop_join_suspect
+
+    corpus = spark.range(500).select(F.col("id").alias("a"))
+    other = spark.range(500).select(F.col("id").alias("b"))
+    joined_then_limited = (
+        other.join(spark.range(500).select(F.col("id").alias("c")), F.col("b") == F.col("c"))
+        .orderBy(F.desc("b"))
+        .limit(3)
+    )
+    theta = corpus.join(joined_then_limited, F.col("a") < F.col("b"))
+    assert not nested_loop_join_suspect(_plan(theta))
+
+
+# ---------------------------------------------------------------------------
+# fifth detector (r11): partition-prune verification for index probes
+
+
+def test_prune_detector_passes_pruned_probe(spark, tmp_path):
+    """A literal key filter on the partition column reaches the scan as
+    a non-empty PartitionFilters — the healthy index-probe shape."""
+    from plan_audit import index_prune_suspect
+
+    path = str(tmp_path / "idx")
+    spark.range(200).select(
+        (F.col("id") % 8).alias("bucket"), F.col("id").alias("v")
+    ).write.partitionBy("bucket").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("bucket") == 3)
+    assert not index_prune_suspect(_plan(probe))
+
+
+def test_prune_detector_flags_stripped_probe(spark, tmp_path):
+    """A probe whose predicate mixes the partition column with a DATA
+    column (the bucket recomputed from the payload instead of taken as
+    a literal) cannot be evaluated from partition values alone —
+    partition pruning is defeated and the probe silently full-scans
+    the index. Must flag. (A pure partition-column expression, even a
+    hash, still prunes: Spark evaluates any deterministic
+    partition-only predicate against the partition listing.)"""
+    from plan_audit import index_prune_suspect
+
+    path = str(tmp_path / "idx2")
+    spark.range(200).select(
+        (F.col("id") % 8).alias("bucket"), F.col("id").alias("v")
+    ).write.partitionBy("bucket").parquet(path)
+    stripped = spark.read.parquet(path).filter(
+        F.col("bucket") == F.pmod(F.col("v"), F.lit(8))
+    )
+    assert index_prune_suspect(_plan(stripped))
+
+
+def test_prune_detector_on_real_index_probe_gates(spark):
+    """The three persisted-index probe gates must plan a pruned index
+    scan at gate scale — the exact check the audit now enforces."""
+    from plan_audit import INDEX_PROBE_GATES, index_prune_suspect
+
+    from ubdc_airbnb_spark import queries as q_mod
+
+    specs = {s.name: s for s in q_mod.registry()}
+    assert INDEX_PROBE_GATES <= set(specs)
+    for name in sorted(INDEX_PROBE_GATES):
+        df = specs[name].spark(spark, SF_DIR)
+        assert not index_prune_suspect(_plan(df)), name

@@ -678,7 +678,6 @@ def run_streaming_folds(spark, out, docs, emb, expect) -> None:
     src = os.path.join(root, "ivf_src")
     idx = os.path.join(root, "ivf_idx")
     ckpt = os.path.join(root, "ivf_ckpt")
-    vecs = emb.select("vec_id", "embedding")
     is_dense = F.col("label") == 999
     base = emb.filter(~is_dense).select("vec_id", "embedding")
     rest = emb.filter(is_dense).select("vec_id", "embedding")

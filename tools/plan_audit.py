@@ -200,21 +200,43 @@ _DRIVER_LOCAL_LEAF = re.compile(
 )
 
 
+#: row-expanding operators: a bounding node BELOW one of these no
+#: longer bounds the subtree's output (limit-k joined against the
+#: corpus is corpus x k rows). Expand (grouping sets) multiplies by a
+#: constant, but conservatively counts as expanding — false positives
+#: go to adjudication, false negatives hide scale-killers (ADVICE r10).
+_EXPANDING_NODES = re.compile(
+    r"Join$|^CartesianProduct$|^Generate$|^Expand$"
+)
+
+
 def _subtree_bounded(parsed, blocks, start, root_indent) -> bool:
     """True if the subtree rooted at ``parsed[start]`` (whose indent is
     ``root_indent``) contains a row-bounding node — an explicit limit /
-    top-k, or a keyless (= one-row) aggregate — OR reads only
-    driver-local leaves (ExistingRDD / LocalTableScan: data that was
-    already materialized on the driver is definitionally not
-    corpus-scale)."""
+    top-k, or a keyless (= one-row) aggregate — ON ITS ROOT SPINE
+    (r11, ADVICE: a limit sitting BELOW a join/generate inside the
+    child bounds only that join input, not the child's output, so the
+    scan stops crediting bounding nodes whose path to the child root
+    crosses a row-expanding operator) — OR reads only driver-local
+    leaves (ExistingRDD / LocalTableScan: data that was already
+    materialized on the driver is definitionally not corpus-scale)."""
     end = start
     leaves_local = True
     saw_leaf = False
+    # stack of (indent, under_expander) mirroring the path from the
+    # subtree root to the current node
+    path: list[tuple[int, bool]] = []
     for j in range(start, len(parsed)):
         sind, sname, sid = parsed[j]
         if j > start and sind <= root_indent:
             break
         end = j
+        while path and path[-1][0] >= sind:
+            path.pop()
+        under_expander = path[-1][1] if path else False
+        path.append((sind, under_expander or bool(_EXPANDING_NODES.search(sname))))
+        if under_expander:
+            continue
         if sname in _BOUNDING_NODES:
             return True
         if sname.endswith("Aggregate") and re.search(
@@ -303,6 +325,41 @@ NLJ_BENIGN = frozenset(
 ROWUDF_BENIGN = frozenset(set())
 
 
+#: Fifth detector (r11, VERDICT r10 item 2): the persisted-index probe
+#: gates are partition-pruned BY DESIGN (postings bucketed by term
+#: md5-bucket, IVF by centroid_id, LSH by band bucket) — an edit that
+#: wraps the probe key in an expression would silently turn the probe
+#: into a full index scan, and the structural detectors cannot see it
+#: because an unpruned scan is a missing annotation, not a suspicious
+#: node. These gates therefore REQUIRE >=1 parquet scan with non-empty
+#: ``PartitionFilters`` in their plan. No benign list: a hit is always
+#: a regression (tests/test_plan_audit_detector.py has the
+#: prune-stripped shape).
+INDEX_PROBE_GATES = frozenset(
+    {"ns_bm25_index", "ns_embed_ivf_index", "ns_dedup_lsh_index"}
+)
+
+_PRUNE_LIST = re.compile(r"PartitionFilters: \[([^\]]*)\]")
+#: trivial null-guards Catalyst attaches to ANY partition-column
+#: reference — present even when the real predicate cannot prune
+_TRIVIAL_FILTER = re.compile(r"^(isnotnull|isnull)\([^()]*\)$")
+
+
+def index_prune_suspect(plan: str) -> bool:
+    """True when NO scan in the plan carries a NON-TRIVIAL
+    ``PartitionFilters`` entry — for :data:`INDEX_PROBE_GATES` that
+    means the probe key stopped reaching the partitioned index layout
+    and the probe reads every partition. ``isnotnull(bucket)`` alone
+    does not count: Catalyst emits that null-guard even when the
+    actual predicate mixes in a data column and cannot prune."""
+    for m in _PRUNE_LIST.finditer(plan):
+        for term in m.group(1).split(","):
+            term = term.strip()
+            if term and not _TRIVIAL_FILTER.match(term):
+                return False
+    return True
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf10"
     only = set(sys.argv[2:])
@@ -357,6 +414,7 @@ def main() -> None:
         "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
     })
     suspects = []
+    prune_suspects = []
     win_suspects = []
     nlj_suspects = []
     rowudf_suspects = []
@@ -391,11 +449,13 @@ def main() -> None:
         win_hit = single_partition_window_suspect(plan)
         nlj_hit = nested_loop_join_suspect(plan)
         rowudf_hit = row_udf_suspect(plan)
+        prune_hit = s.name in INDEX_PROBE_GATES and index_prune_suspect(plan)
         verdicts = (
             ("SUSPECT" if hit else "ok")
             + (" WINDOW-SUSPECT" if win_hit else "")
             + (" NLJ-SUSPECT" if nlj_hit else "")
             + (" ROWUDF-SUSPECT" if rowudf_hit else "")
+            + (" PRUNE-SUSPECT" if prune_hit else "")
         )
         print(f"{s.name}: {verdicts}", flush=True)
         if hit:
@@ -406,6 +466,8 @@ def main() -> None:
             nlj_suspects.append(s.name)
         if rowudf_hit:
             rowudf_suspects.append(s.name)
+        if prune_hit:
+            prune_suspects.append(s.name)
         release_pins()
     print("SUSPECTS:", sorted(set(suspects)), flush=True)
     new = sorted(set(suspects) - BENIGN)
@@ -421,7 +483,11 @@ def main() -> None:
     print(
         "NEW ROWUDF SUSPECTS (not adjudicated benign):", new_rowudf, flush=True
     )
-    sys.exit(1 if (new or new_win or new_nlj or new_rowudf) else 0)
+    print("PRUNE SUSPECTS (no benign list — any hit is a regression):",
+          sorted(set(prune_suspects)), flush=True)
+    sys.exit(
+        1 if (new or new_win or new_nlj or new_rowudf or prune_suspects) else 0
+    )
 
 
 if __name__ == "__main__":

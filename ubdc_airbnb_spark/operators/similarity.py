@@ -56,18 +56,66 @@ def _cosine_batch(a, b):
     """Arrow batch kernel: stack the batch into (n, dim) matrices and do
     one einsum + two vectorized norms — ~2.7x the HOF fold's throughput.
     Zero-norm rows produce NaN here (0/0); the Column wrapper maps NaN
-    to NULL to keep the engine-wide zero-norm contract (see cosine)."""
+    to NULL to keep the engine-wide zero-norm contract (see cosine).
+
+    NaN-COMPONENT vectors are out of contract (r11, ADVICE): this path
+    cannot emit a true NaN result — pandas->Arrow serialization of a
+    float64 Series treats NaN as null — so a vector containing NaN
+    components yields NULL here, while the HOF fold yields NaN (which
+    Spark and DuckDB both order ABOVE every number in cos DESC). The
+    divergence is pinned by test_similarity_kernels.py; feed sanitized
+    embeddings (embedding_health / profile ops) if NaN can occur."""
     import numpy as np
     import pandas as pd
 
-    if len(a) == 0:
+    n = len(a)
+    if n == 0:
         return pd.Series([], dtype="float64")
-    A = np.stack(a.to_numpy()).astype("float64", copy=False)
-    B = np.stack(b.to_numpy()).astype("float64", copy=False)
-    num = np.einsum("ij,ij->i", A, B)
-    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out = num / den  # den == 0 -> nan (num is 0 there too)
+    av = a.to_numpy()
+    bv = b.to_numpy()
+    try:
+        # fast path: the common case — no NULL rows, uniform dim.
+        # np.stack raises on None rows / ragged dims (and a batch whose
+        # two sides stacked to different shapes is caught explicitly).
+        A = np.stack(av).astype("float64", copy=False)
+        B = np.stack(bv).astype("float64", copy=False)
+        if A.ndim != 2 or A.shape != B.shape:
+            raise ValueError("non-uniform cosine batch")
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den  # den == 0 -> nan (num is 0 there too)
+        return pd.Series(out)
+    except (ValueError, TypeError):
+        pass
+    # Fallback (r11, ADVICE): the batch has NULL rows or
+    # dimension-mismatched pairs. The HOF fold propagates NULL for such
+    # rows; this kernel must not crash the stage on them (one null
+    # vector in a 100 TB corpus would fail every caller). Mask the
+    # invalid rows to NaN (-> NULL via the Column wrapper) and stack
+    # the valid remainder per-dimension group — still one einsum per
+    # distinct dim, not per row.
+    out = np.full(n, np.nan, dtype="float64")
+    groups: dict = {}
+    for i in range(n):
+        x, y = av[i], bv[i]
+        if x is None or y is None:
+            continue
+        try:
+            lx, ly = len(x), len(y)
+        except TypeError:
+            continue
+        if lx != ly or lx == 0:
+            continue
+        groups.setdefault(lx, []).append(i)
+    for idxs in groups.values():
+        ii = np.asarray(idxs)
+        A = np.stack([np.asarray(av[i], dtype="float64") for i in idxs])
+        B = np.stack([np.asarray(bv[i], dtype="float64") for i in idxs])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[ii] = num / den
     return pd.Series(out)
 
 
@@ -127,13 +175,78 @@ def cosine_expr(a_sql: str, b_sql: str) -> str:
     )
 
 
-def cosine_cols(a_name: str, b_name: str) -> Column:
+#: crossover for the kernel dispatch in :func:`cosine_cols`: below this
+#: many SOURCE rows the Arrow kernel's fixed per-query floor (python
+#: worker spin-up + Arrow (de)serialization, ~0.15-0.2 s on this host)
+#: exceeds its einsum throughput win over the interpreted HOF fold;
+#: above it the win grows with data (3.1x at sf1, BENCH_NOTES r10).
+#: Sized call sites at oracle-gate scale (sf0.01, 500-row embeddings)
+#: therefore run the HOF fold — which is bit-identical to the DuckDB
+#: oracle's sequential summation, removing last-ulp threshold
+#: sensitivity at gate scale as a side effect.
+VECTORIZED_MIN_ROWS = 10_000
+
+#: parquet path -> footer num_rows (footers are immutable per path;
+#: index compaction writes NEW generation paths, never rewrites)
+_FOOTER_ROWS_CACHE: dict = {}
+
+
+def _footer_rows(df: DataFrame):
+    """Source-cardinality estimate from parquet footers — metadata only,
+    no Spark job. ``inputFiles()`` walks the LOGICAL plan, so this works
+    on derived and warm-cached frames alike (the cache substitution
+    happens at physical planning). Returns None when any input is not a
+    local parquet file — callers then assume BIG and keep the
+    vectorized kernel, the safe direction at scale."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for uri in files:
+        if uri in _FOOTER_ROWS_CACHE:
+            total += _FOOTER_ROWS_CACHE[uri]
+            continue
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None
+        path = unquote(parsed.path)
+        try:
+            rows = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+        _FOOTER_ROWS_CACHE[uri] = rows
+        total += rows
+    return total
+
+
+def cosine_cols(a_name: str, b_name: str, sized_by: DataFrame | None = None) -> Column:
     """:func:`cosine` over two NAMED columns. Routes through the shared
     kernel (vectorized by default, r10); with ``VECTORIZED_COSINE``
-    off it falls back to the single-parse HOF text form."""
-    if VECTORIZED_COSINE:
-        return cosine(F.col(a_name), F.col(b_name))
-    return cosine_cols_exact(a_name, b_name)
+    off it falls back to the single-parse HOF text form.
+
+    ``sized_by`` (r11): ORDERING/THRESHOLD-only call sites pass the
+    frame whose source cardinality should pick the kernel — the HOF
+    fold below :data:`VECTORIZED_MIN_ROWS` source rows (the Arrow
+    per-query floor dominates at toy scale), the einsum kernel at and
+    above it (the 100 TB-correct choice). Both kernels produce
+    identical ranks/threshold sets away from last-ulp ties
+    (test_similarity_kernels.py pins rank equality and the near-
+    threshold caveat); sites whose OUTPUT is the float itself must
+    call :func:`cosine_cols_exact` directly and never dispatch."""
+    if not VECTORIZED_COSINE:
+        return cosine_cols_exact(a_name, b_name)
+    if sized_by is not None:
+        rows = _footer_rows(sized_by)
+        if rows is not None and rows < VECTORIZED_MIN_ROWS:
+            return cosine_cols_exact(a_name, b_name)
+    return cosine(F.col(a_name), F.col(b_name))
 
 
 def cosine_cols_exact(a_name: str, b_name: str) -> Column:
@@ -168,7 +281,7 @@ def brute_force_topk(
     )
     scored = (
         v.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_cols("q_vec", "n_vec"))
+        .withColumn("cos", cosine_cols("q_vec", "n_vec", sized_by=vectors))
     )
     from pyspark.sql import Window
 
@@ -192,7 +305,7 @@ def threshold_pairs(
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
         a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_cols("vec_a", "vec_b"))
+        .withColumn("cos", cosine_cols("vec_a", "vec_b", sized_by=vectors))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
@@ -210,7 +323,7 @@ def assign_ivf_buckets(
     broadcast join + per-vector argmax. Centroid count is small (√n rule
     of thumb), so the broadcast never shuffles the corpus."""
     scored = vectors.join(broadcast(centroids)).withColumn(
-        "cos", cosine_cols(vec_col, centroid_vec)
+        "cos", cosine_cols(vec_col, centroid_vec, sized_by=vectors)
     )
     best = first_row_per_key(
         scored,
@@ -383,7 +496,7 @@ def _expand_value_pairs(
     ≥1 surviving bucket — the rows the uncapped banded join would have
     generated (same semantics as ``dedup.minhash_lsh_pairs``)."""
     ok = vals.filter(
-        cosine_cols(vec_col, vec_col) >= F.lit(threshold)
+        cosine_cols(vec_col, vec_col, sized_by=vals) >= F.lit(threshold)
     ).select("__vid")
     if surviving is not None:
         ok = ok.join(surviving.hint("shuffle_hash"), "__vid", "semi")
@@ -439,7 +552,7 @@ def _ivf_value_pairs(
             b.hint("shuffle_hash"),
             (a["centroid_id"] == b["centroid_id"])
             & (F.col("vid_a") < F.col("vid_b"))
-            & (cosine_cols("vec_a", "vec_b") >= F.lit(threshold)),
+            & (cosine_cols("vec_a", "vec_b", sized_by=vals) >= F.lit(threshold)),
         )
         .select("vid_a", "vid_b")
         .distinct()  # pairs sharing >1 probe bucket — verified rows only
@@ -512,7 +625,7 @@ def embedding_components(
     )
     selfok = vals.select(
         "__vid",
-        (cosine_cols(vec_col, vec_col) >= F.lit(threshold)).alias("__selfok"),
+        (cosine_cols(vec_col, vec_col, sized_by=vals) >= F.lit(threshold)).alias("__selfok"),
     )
     return (
         members.join(comp.withColumnRenamed("id", "__vid").hint("shuffle_hash"), "__vid")
@@ -643,7 +756,7 @@ def rp_lsh_pairs(
             (a["band_id"] == b["band_id"])
             & (a["band_key"] == b["band_key"])
             & (F.col("vid_a") < F.col("vid_b"))
-            & (cosine_cols("vec_a", "vec_b") >= F.lit(threshold)),
+            & (cosine_cols("vec_a", "vec_b", sized_by=vals) >= F.lit(threshold)),
         )
         .select("vid_a", "vid_b")
         .distinct()
@@ -721,7 +834,7 @@ def kmeans_inertia(
     """Sum of (1 - cosine-to-assigned-centroid) — the objective the Lloyd
     loop should not increase (asserted in tests)."""
     scored = vectors.join(broadcast(centroids)).withColumn(
-        "cos", cosine_cols(vec_col, "centroid_vec")
+        "cos", cosine_cols(vec_col, "centroid_vec", sized_by=vectors)
     )
     best = first_row_per_key(scored, [id_col], [F.col("cos").desc(), F.col("centroid_id").asc()])
     return best.agg(F.sum(F.lit(1.0) - F.col("cos"))).collect()[0][0]
@@ -761,7 +874,7 @@ def ivf_topk(
     scored = (
         v.join(broadcast(q_bucketed), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_cols("q_vec", "n_vec"))
+        .withColumn("cos", cosine_cols("q_vec", "n_vec", sized_by=vectors))
     )
     from pyspark.sql import Window
 
@@ -966,7 +1079,7 @@ def pq_rerank_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_cols("__qv", "__nv").alias("cos"),
+            cosine_cols("__qv", "__nv", sized_by=vectors).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
