@@ -54,16 +54,26 @@ def initial_symbols(wf: DataFrame) -> DataFrame:
 
 def pair_counts(state: DataFrame) -> DataFrame:
     """(left, right, cnt) — adjacent-symbol pair counts weighted by word
-    frequency. ``transform`` over index positions keeps the pair
-    generation inside codegen; the only shuffle is the pair-key groupBy."""
+    frequency. ``zip_with`` over the two shifted slices keeps the pair
+    generation inside codegen; the only shuffle is the pair-key groupBy.
+
+    The slice form (r11) is single-symbol-safe: the previous
+    ``transform(sequence(0, size-2), i -> (syms[i], syms[i+1]))`` shape
+    crashed the stage once any word merged down to ONE symbol —
+    ``sequence(0, -1)`` steps DOWNWARD in Spark, producing [0, -1], and
+    ``syms[1]`` on a 1-element array throws INVALID_ARRAY_INDEX under
+    ANSI mode. Frequent short words fully merge within ~a dozen rounds,
+    so this was a guaranteed mid-training crash at corpus scale (found
+    by the r11 plan-ratchet test's 12-merge run)."""
+    n = F.size("syms")
+    ln = F.greatest(n - 1, F.lit(0))
     pairs = state.select(
         "freq",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("syms") - 2),
-                lambda i: F.struct(
-                    F.col("syms")[i].alias("left"), F.col("syms")[i + 1].alias("right")
-                ),
+            F.zip_with(
+                F.slice(F.col("syms"), 1, ln),
+                F.slice(F.col("syms"), 2, ln),
+                lambda l, r: F.struct(l.alias("left"), r.alias("right")),
             )
         ).alias("p"),
     )

@@ -161,6 +161,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 2,
     damping: float = 0.85,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank over an edge list — the canonical iterative distributed
     graph computation (entity/domain importance scoring for corpus
@@ -252,7 +253,7 @@ def pagerank(
         # ranks_{i+1} references ranks_i twice (contribs + dangling), so
         # an unchecked plan tree doubles per round — flatten periodically,
         # freeing the superseded generation immediately (O(1) storage)
-        if rank_chain.live_generations() == 0 or (_ + 1) % 5 == 0:
+        if rank_chain.live_generations() == 0 or (_ + 1) % checkpoint_every == 0:
             ranks = rank_chain.step(ranks)
             rank_chain.retire(keep=1)
     # materialize the final ranks BEFORE releasing the static graph
