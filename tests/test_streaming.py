@@ -1126,3 +1126,112 @@ def test_drift_state_crash_redelivery_windows(spark, tmp_path):
     shutil.copytree(state, state + ".__old__")
     _ingest()
     assert _report() == want
+
+
+def test_ivf_compact_mid_stream_then_rebuild_parity(spark, tmp_path):
+    """VERDICT r11 item 6: a compaction via the FAMILY wrapper
+    (compact_ivf_index — root lease held, streaming marker preserved)
+    injected between two halves of one logical ingest; the stream
+    continues through the SAME checkpoint and the final probes equal a
+    from-scratch batch rebuild over everything ingested."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.ann_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        query_ivf_index,
+    )
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    first = emb.filter(F.col("vec_id") % 4 == 1)
+    second = emb.filter(F.col("vec_id") % 4 == 3)
+    idx = str(tmp_path / "ivf_stream")
+    build_ivf_index(seed, idx, k=4, iters=1, streaming=True)
+    src, ckpt = str(tmp_path / "emb_src"), str(tmp_path / "ckpt")
+
+    first.repartition(3).write.parquet(src)
+    _ivf_stream(spark, src, idx, ckpt)
+
+    def _n_files():
+        return sum(
+            1
+            for _r, _d, fs in os.walk(os.path.join(idx, "assignments"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    mid = sorted(tuple(r) for r in query_ivf_index(spark, idx, qs, k=5, probes=2).collect())
+    before_files = _n_files()
+    compact_ivf_index(spark, idx)  # the lease-holding family wrapper
+    assert _n_files() < before_files
+    assert (
+        sorted(tuple(r) for r in query_ivf_index(spark, idx, qs, k=5, probes=2).collect())
+        == mid
+    )
+
+    second.repartition(3).write.mode("append").parquet(src)
+    _ivf_stream(spark, src, idx, ckpt)  # same checkpoint: ids stay monotone
+
+    cents = spark.read.parquet(idx + "/centroids")
+    full = str(tmp_path / "ivf_full")
+    build_ivf_index(seed.unionByName(first).unionByName(second), full, centroids=cents)
+    got = sorted(tuple(r) for r in query_ivf_index(spark, idx, qs, k=5, probes=2).collect())
+    want = sorted(tuple(r) for r in query_ivf_index(spark, full, qs, k=5, probes=2).collect())
+    assert got == want and len(got) > 0
+    [pi] = spark.read.parquet(idx + "/params").collect()
+    [pf] = spark.read.parquet(full + "/params").collect()
+    assert pi.n_vectors == pf.n_vectors
+
+
+def test_lsh_compact_mid_stream_then_rebuild_parity(spark, tmp_path):
+    """Same mid-stream compaction parity for the LSH family wrapper."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ubdc_airbnb_spark.operators.dedup_index import (
+        build_lsh_index,
+        compact_lsh_index,
+        query_lsh_index,
+    )
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    first = docs.filter(F.col("doc_id") % 4 == 1)
+    second = docs.filter(F.col("doc_id") % 4 == 3)
+    idx = str(tmp_path / "lsh_stream")
+    build_lsh_index(seed, idx, n_buckets=8, streaming=True)
+    src, ckpt = str(tmp_path / "docs_src"), str(tmp_path / "ckpt")
+
+    first.repartition(3).write.parquet(src)
+    _lsh_stream(spark, src, idx, ckpt)
+
+    def _n_files():
+        return sum(
+            1
+            for _r, _d, fs in os.walk(os.path.join(idx, "banded"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    probe = docs.filter(F.col("doc_id") % 10 == 0).limit(40)
+    mid = sorted(tuple(r) for r in query_lsh_index(spark, idx, probe).collect())
+    before_files = _n_files()
+    compact_lsh_index(spark, idx)  # the lease-holding family wrapper
+    assert _n_files() < before_files
+    assert sorted(tuple(r) for r in query_lsh_index(spark, idx, probe).collect()) == mid
+
+    second.repartition(3).write.mode("append").parquet(src)
+    _lsh_stream(spark, src, idx, ckpt)
+
+    full = str(tmp_path / "lsh_full")
+    build_lsh_index(seed.unionByName(first).unionByName(second), full, n_buckets=8)
+    got = sorted(tuple(r) for r in query_lsh_index(spark, idx, probe).collect())
+    want = sorted(tuple(r) for r in query_lsh_index(spark, full, probe).collect())
+    assert got == want and len(got) > 0
