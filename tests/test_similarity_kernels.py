@@ -109,8 +109,9 @@ def test_topk_ranks_identical_across_kernels(spark, monkeypatch):
     monkeypatch.setattr(sim, "VECTORIZED_COSINE", False)
     hof = sorted(map(tuple, sim.brute_force_topk(corpus, queries, k=4).collect()))
     monkeypatch.setattr(sim, "VECTORIZED_COSINE", True)
-    # in-memory frames have no parquet footers -> dispatch assumes BIG
-    # -> the Arrow kernel; assert that really is the planned path
+    # force the Arrow kernel regardless of the tiny LocalRelation
+    # rowCount the dispatch would otherwise see
+    monkeypatch.setattr(sim, "VECTORIZED_MIN_ROWS", 0)
     vec_df = sim.brute_force_topk(corpus, queries, k=4)
     assert "ArrowEvalPython" in _plan(vec_df)
     vec = sorted(map(tuple, vec_df.collect()))
@@ -147,6 +148,31 @@ def test_footer_rows_estimate(spark, tmp_path):
     assert sim._footer_rows(df.filter(F.col("vec_id") > 5).select("embedding")) == 37
     # in-memory frames: unknown -> None
     assert sim._footer_rows(_toy_corpus(spark, n=3)) is None
+
+
+def test_plan_stats_rows_covers_cached_and_local_frames(spark, tmp_path):
+    """The warm-cache case the footer path cannot see (r11): a frame
+    whose optimized plan is a materialized InMemoryRelation has empty
+    inputFiles but EXACT stats — the dispatch must still size it."""
+    path = str(tmp_path / "emb_cached.parquet")
+    _toy_corpus(spark, n=41).write.parquet(path)
+    cached = spark.read.parquet(path).repartition(4).cache()
+    cached.count()  # materialize so the cache stats are exact
+    try:
+        # a NEW frame over the same plan resolves to the InMemoryRelation
+        probe = cached.select("vec_id", "embedding")
+        assert probe.inputFiles() == []  # the footer path is blind here
+        assert sim._approx_rows(probe) == 41
+        # RDD-backed frames (createDataFrame) carry no rowCount stat:
+        # unknown -> None -> the dispatch assumes BIG (the safe side)
+        assert sim._approx_rows(_toy_corpus(spark, n=7)) is None
+        # and the HOF dispatch engages on the cached frame
+        plan = _plan(
+            sim.brute_force_topk(probe, probe.limit(3), k=3)
+        )
+        assert "ArrowEvalPython" not in plan
+    finally:
+        cached.unpersist()
 
 
 def test_near_threshold_membership_pins_kernel_semantics(spark):

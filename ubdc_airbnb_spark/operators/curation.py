@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.psql import psql
+
 from ..functions.textstats import (
     word_ngrams,
     word_ngrams_arr,
@@ -417,7 +419,7 @@ def duplicate_spans(
     # gram-key join-back, two DOC-KEYED windows, and the zero-fill via
     # UNION ALL + one hash aggregate (no SMJ sort, output comes back
     # hash-partitioned on the doc id).
-    return docs.sparkSession.sql(
+    return psql(
         f"""
         WITH base AS (
           SELECT `{id_col}` AS __id, {ws} AS __ws FROM {{docs}}

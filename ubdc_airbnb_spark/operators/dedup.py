@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.psql import psql
+
 from fractions import Fraction
 
 from ..functions.textstats import char_ngrams, word_ngrams
@@ -202,7 +204,7 @@ def lsh_candidate_pairs(
         banded = banded.join(small, ["band_id", "band_key"], "left_semi")
     # the self-join tail as ONE parameterized parse (same plan; the
     # alias/condition Column chain is ~20 py4j calls of driver latency)
-    return banded.sparkSession.sql(
+    return psql(
         f"""
         SELECT DISTINCT a.`{id_col}` AS id_a, b.`{id_col}` AS id_b
         FROM {{banded}} a JOIN {{banded}} b
@@ -274,7 +276,7 @@ def _digest_groups(
     # carries the same (min, collect_list) aggregate shape, keeping the
     # exchange subtrees canonically identical for reuse.
     cap = f" AND size(__mids) <= {int(max_group)}" if max_group is not None else ""
-    return df.sparkSession.sql(
+    return psql(
         f"""
         SELECT `{text_col}` AS __text,
                min(`{id_col}`) AS __vid,
@@ -371,7 +373,7 @@ def _contracted_band_join(
     # Catalyst BROADCASTS one side (observed at sf0.1), which on a real
     # corpus is a distinct-texts-sized table = driver OOM (the class-1
     # hazard, same lesson as the r07 containment rewrite)
-    pairs = g.sparkSession.sql(
+    pairs = psql(
         f"""
         SELECT /*+ SHUFFLE_HASH(a, b) */
                a.__vid AS vid_a, b.__vid AS vid_b,
@@ -581,7 +583,7 @@ def lsh_jaccard_pairs(
         if verify_broadcast
         else "/*+ SHUFFLE_HASH(ga), SHUFFLE_HASH(gb) */"
     )
-    verified = g.sparkSession.sql(
+    verified = psql(
         f"""
         WITH grams AS (
           SELECT __vid, array_distinct({g_expr}) AS gr FROM {{reps}}
@@ -1183,7 +1185,7 @@ def lsh_recall_eval(
     # plan shapes as the equivalent DataFrame chain: gram-bucket
     # self-join bounded by the sample, integer cross-multiplied
     # threshold, full-outer pair compare)
-    return df.sparkSession.sql(
+    return psql(
         f"""
         WITH g AS (
           SELECT `{id_col}` AS id,

@@ -226,6 +226,33 @@ def _footer_rows(df: DataFrame):
     return total
 
 
+def _plan_stats_rows(df: DataFrame):
+    """Optimizer-stats row count — the estimate source for frames whose
+    file lineage is hidden behind a cache: a MATERIALIZED
+    InMemoryRelation (``warm_cache`` tables) reports its EXACT row
+    count, and a LocalRelation its literal length. Derived plans
+    usually report no rowCount (size-only stats visitor) — then None,
+    and the caller assumes BIG. No job is run: this reads driver-side
+    plan statistics only."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        return None
+    return None
+
+
+def _approx_rows(df: DataFrame):
+    """Best-effort source-cardinality estimate, cheapest first: parquet
+    footers (scan-backed frames), then optimizer-stats rowCount
+    (cached / driver-local frames). None = unknown = assume BIG."""
+    rows = _footer_rows(df)
+    if rows is not None:
+        return rows
+    return _plan_stats_rows(df)
+
+
 def cosine_cols(a_name: str, b_name: str, sized_by: DataFrame | None = None) -> Column:
     """:func:`cosine` over two NAMED columns. Routes through the shared
     kernel (vectorized by default, r10); with ``VECTORIZED_COSINE``
@@ -243,7 +270,7 @@ def cosine_cols(a_name: str, b_name: str, sized_by: DataFrame | None = None) -> 
     if not VECTORIZED_COSINE:
         return cosine_cols_exact(a_name, b_name)
     if sized_by is not None:
-        rows = _footer_rows(sized_by)
+        rows = _approx_rows(sized_by)
         if rows is not None and rows < VECTORIZED_MIN_ROWS:
             return cosine_cols_exact(a_name, b_name)
     return cosine(F.col(a_name), F.col(b_name))

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.psql import psql
 from pyspark.sql.functions import broadcast
 
 from ..functions.textstats import words, words_expr
@@ -200,7 +202,7 @@ def cosine_similar_pairs(
     # index self-join, norm join-backs pinned to SHUFFLE_HASH — the
     # doc-cardinality norms table must never broadcast off its lying
     # post-aggregate estimate; the Column chain costs ~40 py4j calls)
-    return terms.sparkSession.sql(
+    return psql(
         f"""
         WITH dots AS (
           SELECT a.`{id_col}` AS id_a, b.`{id_col}` AS id_b,
