@@ -327,7 +327,20 @@ def threshold_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dup
-    detection. Exact all-pairs; at scale gate it behind IVF buckets."""
+    detection. Exact all-pairs; at scale gate it behind IVF buckets.
+
+    Threshold membership is ulp-sensitive (r11, ADVICE): when the
+    vectorized kernel runs, a pair whose cosine lands within a few ulps
+    of ``threshold`` may flip relative to a sequential-fold engine —
+    the oracle-equality of every threshold gate is verified on the
+    actual datasets, i.e. empirical and data-dependent, not an
+    analytical invariant (unlike rank tie-breaks, which the
+    deterministic id ordering protects for exactly-equal scores).
+    test_similarity_kernels.py pins kernel == row-wise np.einsum at a
+    constructed near-threshold pair so a kernel/BLAS change fails the
+    suite instead of drifting the oracle. Same caveat applies to every
+    ``cosine >= threshold`` site (ivf_threshold_pairs, rp_lsh_pairs,
+    embedding_components)."""
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
