@@ -308,15 +308,21 @@ def row_udf_suspect(plan: str) -> bool:
 #: - keyed-but-bounded aggregate feed (class 2 of the broadcast
 #:   taxonomy): per-label centroids (#labels) x per-label centroids:
 #:   ns_label_centroid_sim; per-source counts (#sources) x scalar
-#:   totals: ns_source_balance_gini
+#:   totals: ns_source_balance_gini; k-centroid Lloyd-update feed
+#:   (groupBy(centroid_id) with <= k groups): ns_embed_kmeans — newly
+#:   FLAGGED r11 when the root-spine fix removed the old scan's false
+#:   negative (the seed LIMIT sits below the assignment join and never
+#:   bounded the iter-2 side); the <= k bound is machine-re-verified by
+#:   tests/test_benign_bounds.py::test_kmeans_centroid_feed_bounded
 #: Driver-local feeds (Scan ExistingRDD / LocalTableScan) are cleared
 #: mechanically by _subtree_bounded, not listed here. Re-adjudicate
 #: before extending.
 NLJ_BENIGN = frozenset(
     {
         "ns_ann_recall", "ns_embed_ivf_index", "ns_embed_ivf_multiprobe",
-        "ns_embed_ivf_topk", "ns_embed_outliers", "ns_embed_topk",
-        "ns_label_centroid_sim", "ns_rank_fusion", "ns_source_balance_gini",
+        "ns_embed_ivf_topk", "ns_embed_kmeans", "ns_embed_outliers",
+        "ns_embed_topk", "ns_label_centroid_sim", "ns_rank_fusion",
+        "ns_source_balance_gini",
     }
 )
 
