@@ -219,3 +219,53 @@ def test_decode_wav_stats_stage_matches_python_oracle(spark):
             sum((i + 1) * v for i, v in enumerate(s)),
             min(s), max(s),
         )
+
+
+def test_fused_png_stats_matches_two_stage(spark):
+    """r11 fusion parity: synthetic_png_stats(ids) row set is identical
+    to decode_png_stats(synthetic_png_media(ids)) — the fused fixture
+    stage must never drift from the composition it replaces."""
+    from ubdc_airbnb_spark.multimodal.binary_ops import (
+        decode_png_stats,
+        synthetic_png_media,
+        synthetic_png_stats,
+    )
+
+    ids = spark.range(0, 63).selectExpr("id as doc_id")
+    fused = {tuple(r) for r in synthetic_png_stats(ids).collect()}
+    staged = {tuple(r) for r in decode_png_stats(synthetic_png_media(ids)).collect()}
+    assert fused == staged
+    assert len(fused) == 63
+
+
+def test_fused_png_dhash_matches_two_stage(spark):
+    """r11 fusion parity for the dHash kernel."""
+    from ubdc_airbnb_spark.multimodal.binary_ops import (
+        image_dhash,
+        synthetic_png_dhash,
+        synthetic_png_media,
+    )
+
+    ids = spark.range(0, 63).selectExpr("id as doc_id")
+    fused = {tuple(r) for r in synthetic_png_dhash(ids).collect()}
+    staged = {tuple(r) for r in image_dhash(synthetic_png_media(ids)).collect()}
+    assert fused == staged
+    assert len(fused) == 63
+
+
+def test_ids_spread_leaves_thin_input_alone_and_spreads_fat(spark):
+    """_ids_spread: known-small input keeps its partitioning (no extra
+    tasks at toy scale); unknown-cardinality input assumes fat and
+    spreads to the session parallelism."""
+    from ubdc_airbnb_spark.multimodal.binary_ops import _ids_spread
+
+    thin = spark.range(0, 100).selectExpr("id as doc_id")  # LocalRelation-backed range: stats known
+    # range() reports exact rowCount via optimizer stats
+    out = _ids_spread(thin)
+    assert out.rdd.getNumPartitions() <= max(
+        thin.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
+    # a fat single partition (row estimate above the threshold) spreads
+    fat = spark.range(0, 40_000).coalesce(1).selectExpr("id as doc_id")
+    spread = _ids_spread(fat)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

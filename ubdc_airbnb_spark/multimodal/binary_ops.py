@@ -108,6 +108,28 @@ PNG_STATS_SCHEMA = T.StructType(
 )
 
 
+def _png_stats_append(out: dict, mid, content: bytes) -> None:
+    """Decode one PNG payload and append its stat row to ``out`` — the
+    single source of the per-image arithmetic, shared by the two-stage
+    ``decode_png_stats`` and the fused ``synthetic_png_stats`` so the
+    fused fixture path is bit-identical by construction."""
+    import numpy as np
+
+    from .png import decode_png
+
+    w, h, c, px = decode_png(bytes(content))
+    arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+    out["media_id"].append(mid)
+    out["width"].append(w)
+    out["height"].append(h)
+    out["channels"].append(c)
+    out["n_px"].append(arr.size)
+    out["px_sum"].append(int(arr.sum()))
+    out["px_wsum"].append(int((arr * (np.arange(arr.size) + 1)).sum()))
+    out["px_min"].append(int(arr.min()))
+    out["px_max"].append(int(arr.max()))
+
+
 def decode_png_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """REAL image decode stage — pure-stdlib PNG (zlib inflate, chunk CRC
     verification, all five scanline unfilters; see ``png.decode_png``) in
@@ -119,25 +141,12 @@ def decode_png_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
     Binary stays inside the stage; downstream shuffles 9 longs per image,
     never payloads. A malformed payload raises (fail-closed: a silently
     misdecoded image poisons training features)."""
-    import numpy as np
-
-    from .png import decode_png
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in PNG_STATS_SCHEMA.fieldNames()}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, c, px = decode_png(bytes(content))
-                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(c)
-                out["n_px"].append(arr.size)
-                out["px_sum"].append(int(arr.sum()))
-                out["px_wsum"].append(int((arr * (np.arange(arr.size) + 1)).sum()))
-                out["px_min"].append(int(arr.min()))
-                out["px_max"].append(int(arr.max()))
+                _png_stats_append(out, mid, content)
             yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
 
     spark = media.sparkSession
@@ -248,18 +257,14 @@ def synthetic_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (the gate never trusts the encoder and decoder to agree by shared
     bug: DuckDB computes the stats from the closed form). Output rows
     match the ``attach_binary`` media contract."""
-    from .png import encode_png
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids_, blobs = [], []
             for did in pdf[id_col]:
                 did = int(did)
-                w, h = 4 + did % 9, 3 + did % 7
-                c = (1, 3, 4)[did % 3]
-                px = bytes((did * 31 + i * 7) % 256 for i in range(w * h * c))
                 ids_.append(did)
-                blobs.append(encode_png(px, w, h, c, lambda y, d=did: (d + y) % 5))
+                blobs.append(_png_fixture_blob(did))
             yield pd.DataFrame({"media_id": pd.array(ids_, dtype="int64"), "content": blobs})
 
     schema = T.StructType(
@@ -269,6 +274,104 @@ def synthetic_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
     return ids.select(F.col(id_col)).mapInPandas(_make, schema)
+
+
+def _png_fixture_blob(did: int) -> bytes:
+    """The ``synthetic_png_media`` per-id blob formula (see its docstring)
+    as a plain function — the single source shared by the two-stage
+    fixture and the fused fixture+kernel stages below."""
+    from .png import encode_png
+
+    w, h = 4 + did % 9, 3 + did % 7
+    c = (1, 3, 4)[did % 3]
+    px = bytes((did * 31 + i * 7) % 256 for i in range(w * h * c))
+    return encode_png(px, w, h, c, lambda y, d=did: (d + y) % 5)
+
+
+#: rows-per-partition above which a fused fixture stage repartitions its
+#: (narrow) id input to the session parallelism before the kernel runs —
+#: the ids-side analog of ``_spread``'s one-fat-partition guard. Below
+#: it, the extra tasks' fixed Python-stage overhead exceeds the kernel
+#: win (measured r11: 5000 tiny-image kernels over 8 tasks 0.40 s vs
+#: 32 tasks 0.71 s on this host); a genuinely fat partition (unknown
+#: cardinality, or a single-partition drop) always spreads.
+_FUSE_SPREAD_ROWS_PER_PART = 4096
+
+
+def _ids_spread(ids: DataFrame) -> DataFrame:
+    """Parallelism guard for FUSED fixture+kernel stages: the payload is
+    created inside the kernel task, so only the narrow id rows ever
+    move (guide §8: decide placement with small rows, move heavy bytes
+    zero times here). Repartition to the session parallelism when the
+    input arrives in fewer partitions than cores AND the per-partition
+    row estimate is fat enough for the kernel win to beat the extra
+    tasks' fixed overhead; unknown cardinality assumes fat (the safe
+    direction at scale — at 100 TB inputs already arrive wider than
+    cores and this is a no-op)."""
+    from ..operators.similarity import _approx_rows
+
+    sc = ids.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    parts = ids.rdd.getNumPartitions()
+    if parts >= cores:
+        return ids
+    rows = _approx_rows(ids)
+    if rows is not None and rows <= parts * _FUSE_SPREAD_ROWS_PER_PART:
+        return ids
+    return ids.repartition(cores)
+
+
+def synthetic_png_stats(ids: DataFrame, id_col: str = "doc_id", batch_size: int = 256) -> DataFrame:
+    """FUSED fixture+decode (r11 optimization): bit-identical output to
+    ``decode_png_stats(synthetic_png_media(ids))`` — both compositions
+    call the same ``_png_fixture_blob`` / ``_png_stats_append`` row
+    kernels — but as ONE ``mapInPandas`` stage over the narrow id
+    column instead of two Python stages with a payload exchange between
+    them. What that removes, per guide §4/§8: a full extra JVM↔Python
+    Arrow crossing (the dominant fixed cost at toy scale, ~0.25 s per
+    stage on this host) and the ``_spread`` round-robin shuffle whose
+    rows are the encoded blobs (payload bytes now move ZERO times: each
+    task synthesizes and immediately consumes its own blobs). The
+    production decode path over stored payloads is unchanged
+    (``decode_png_stats``); this fusion exists because the FIXTURE is a
+    formula of the id, so the encode stage carries no information the
+    kernel task cannot recompute locally."""
+
+    def _make_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in PNG_STATS_SCHEMA.fieldNames()}
+            for did in pdf[id_col]:
+                did = int(did)
+                _png_stats_append(out, did, _png_fixture_blob(did))
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    spark = ids.sparkSession
+    _set_arrow_batch(spark, batch_size)
+    return _ids_spread(ids.select(F.col(id_col))).mapInPandas(
+        _make_and_decode, PNG_STATS_SCHEMA
+    )
+
+
+def synthetic_png_dhash(ids: DataFrame, id_col: str = "doc_id", batch_size: int = 256) -> DataFrame:
+    """FUSED fixture+dHash (r11 optimization): bit-identical output to
+    ``image_dhash(synthetic_png_media(ids))`` via the shared
+    ``_png_fixture_blob`` / ``_dhash_append`` row kernels; same
+    one-Python-stage / zero-payload-movement rationale as
+    ``synthetic_png_stats`` (see its docstring)."""
+
+    def _make_and_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
+            for did in pdf[id_col]:
+                did = int(did)
+                _dhash_append(out, did, _png_fixture_blob(did))
+            yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
+
+    spark = ids.sparkSession
+    _set_arrow_batch(spark, batch_size)
+    return _ids_spread(ids.select(F.col(id_col))).mapInPandas(
+        _make_and_hash, DHASH_SCHEMA
+    )
 
 
 def _extract_features(content: bytes, dims: int = 8) -> tuple[list[float], int, int]:
@@ -540,6 +643,39 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+def _dhash_append(out: dict, mid, content: bytes) -> None:
+    """Decode one PNG payload, compute its 9x8 dHash, append the row to
+    ``out`` — the single source of the per-image arithmetic, shared by
+    the two-stage ``image_dhash`` and the fused ``synthetic_png_dhash``
+    so the fused fixture path is bit-identical by construction."""
+    import numpy as np
+
+    from .png import decode_png
+
+    GW, GH = 9, 8  # 9 columns -> 8 horizontal comparisons x 8 rows = 64 bits
+    w, h, c, px = decode_png(bytes(content))
+    gray = (
+        np.frombuffer(px, dtype=np.uint8)[::c][: w * h]
+        .reshape(h, w)
+        .astype(np.int64)
+    )
+    rblk = (np.arange(h) * GH) // h
+    cblk = (np.arange(w) * GW) // w
+    flat = (rblk[:, None] * GW + cblk[None, :]).ravel()
+    sums = np.zeros(GH * GW, dtype=np.int64)
+    np.add.at(sums, flat, gray.ravel())
+    cnts = np.bincount(flat, minlength=GH * GW).astype(np.int64)
+    s = sums.reshape(GH, GW)
+    n = cnts.reshape(GH, GW)
+    bits = (s[:, : GW - 1] * n[:, 1:]) > (s[:, 1:] * n[:, : GW - 1])
+    flatbits = bits.ravel().astype(np.int64)  # b = r*8 + c, 64 bits
+    hi = int((flatbits[:32] << (31 - np.arange(32))).sum())
+    lo = int((flatbits[32:] << (63 - np.arange(32, 64))).sum())
+    out["media_id"].append(mid)
+    out["dhash_hi"].append(hi)
+    out["dhash_lo"].append(lo)
+
+
 def image_dhash(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Perceptual difference-hash (dHash) over the REAL PNG decode path —
     the image analog of MinHash for near-duplicate detection: channel-0
@@ -560,37 +696,12 @@ def image_dhash(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
     Same Arrow-batched mapInPandas plumbing + ``_spread`` guard as the
     other kernels; binary stays inside the stage."""
-    import numpy as np
-
-    from .png import decode_png
-
-    GW, GH = 9, 8  # 9 columns -> 8 horizontal comparisons x 8 rows = 64 bits
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, c, px = decode_png(bytes(content))
-                gray = (
-                    np.frombuffer(px, dtype=np.uint8)[:: c][: w * h]
-                    .reshape(h, w)
-                    .astype(np.int64)
-                )
-                rblk = (np.arange(h) * GH) // h
-                cblk = (np.arange(w) * GW) // w
-                flat = (rblk[:, None] * GW + cblk[None, :]).ravel()
-                sums = np.zeros(GH * GW, dtype=np.int64)
-                np.add.at(sums, flat, gray.ravel())
-                cnts = np.bincount(flat, minlength=GH * GW).astype(np.int64)
-                s = sums.reshape(GH, GW)
-                n = cnts.reshape(GH, GW)
-                bits = (s[:, : GW - 1] * n[:, 1:]) > (s[:, 1:] * n[:, : GW - 1])
-                flatbits = bits.ravel().astype(np.int64)  # b = r*8 + c, 64 bits
-                hi = int((flatbits[:32] << (31 - np.arange(32))).sum())
-                lo = int((flatbits[32:] << (63 - np.arange(32, 64))).sum())
-                out["media_id"].append(mid)
-                out["dhash_hi"].append(hi)
-                out["dhash_lo"].append(lo)
+                _dhash_append(out, mid, content)
             yield pd.DataFrame({k: pd.array(v, dtype="int64") for k, v in out.items()})
 
     spark = media.sparkSession

@@ -6319,10 +6319,14 @@ def ns_collocations(spark: SparkSession, sf: str) -> DataFrame:
     "halves (binary never leaves the mapInPandas stages)",
 )
 def mm_decode_png(spark: SparkSession, sf: str) -> DataFrame:
-    from .multimodal.binary_ops import decode_png_stats, synthetic_png_media
+    # r11: fused fixture+decode — one Python stage over the id column,
+    # zero payload movement; bit-identical to
+    # decode_png_stats(synthetic_png_media(docs)) via shared row kernels
+    # (pytest-pinned parity in tests/test_multimodal.py)
+    from .multimodal.binary_ops import synthetic_png_stats
 
     docs = load_table(spark, sf, "documents")
-    return decode_png_stats(synthetic_png_media(docs))
+    return synthetic_png_stats(docs)
 
 
 @q(
@@ -7720,10 +7724,12 @@ def ns_mixture_apply(spark: SparkSession, sf: str) -> DataFrame:
     "(multimodal/binary_ops.py image_dhash)",
 )
 def mm_image_dhash(spark: SparkSession, sf: str) -> DataFrame:
-    from .multimodal.binary_ops import image_dhash, synthetic_png_media
+    # r11: fused fixture+dhash — same one-stage rationale as
+    # mm_decode_png (parity pinned in tests/test_multimodal.py)
+    from .multimodal.binary_ops import synthetic_png_dhash
 
     docs = load_table(spark, sf, "documents")
-    return image_dhash(synthetic_png_media(docs))
+    return synthetic_png_dhash(docs)
 
 
 @q(
