@@ -34,9 +34,40 @@ def bridge_join(
     right: DataFrame,
     left_key: str,
     right_key: str,
+    broadcast_dims_below: int | None = None,
+    left_sized_by: DataFrame | None = None,
+    right_sized_by: DataFrame | None = None,
 ) -> DataFrame:
     """J9: M2M traversal through a two-column bridge table
-    (ref models.py:478,517-518)."""
+    (ref models.py:478,517-518).
+
+    ``broadcast_dims_below`` (r11, guide §3.1 "pick the strategy
+    deliberately"): the bridge is by construction at least as large as
+    either dim (one row per link), so when a broadcast join fires the
+    build side should be the DIM and the bridge should stream.
+    Catalyst's post-join size estimates routinely invert that at modest
+    scale — measured at sf0.1 it broadcast the 600k-row bridge and
+    streamed the 150k-row dim side (A/B best-of-5: 0.547 s auto vs
+    0.365 s dim-build). When this arg is set, a dim whose
+    source-cardinality estimate (parquet footers, falling back to
+    optimizer-stats rowCount — the r11 similarity-dispatch helper) is
+    KNOWN and below the row cap gets an explicit broadcast hint; an
+    unknown or larger estimate falls through to planner choice, so at
+    cluster scale where dims exceed the broadcast cap this is a no-op
+    and the planner's shuffle join stands. A derived dim (e.g. a
+    fact⋈small-dim projection) reports no rowCount; the caller then
+    passes ``left_sized_by``/``right_sized_by`` — a frame whose
+    cardinality UPPER-BOUNDS the dim (for j9, the raw orders table
+    bounds orders⋈customer, an FK join that cannot expand)."""
+    if broadcast_dims_below is not None:
+        from .similarity import _approx_rows
+
+        lrows = _approx_rows(left_sized_by if left_sized_by is not None else left)
+        if lrows is not None and lrows < broadcast_dims_below:
+            left = broadcast(left)
+        rrows = _approx_rows(right_sized_by if right_sized_by is not None else right)
+        if rrows is not None and rrows < broadcast_dims_below:
+            right = broadcast(right)
     return left.join(bridge, left_key).join(right, right_key)
 
 

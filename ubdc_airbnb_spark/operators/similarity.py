@@ -230,14 +230,24 @@ def _plan_stats_rows(df: DataFrame):
     """Optimizer-stats row count — the estimate source for frames whose
     file lineage is hidden behind a cache: a MATERIALIZED
     InMemoryRelation (``warm_cache`` tables) reports its EXACT row
-    count, and a LocalRelation its literal length. Derived plans
-    usually report no rowCount (size-only stats visitor) — then None,
-    and the caller assumes BIG. No job is run: this reads driver-side
-    plan statistics only."""
+    count, and a LocalRelation its literal length. The size-only stats
+    visitor drops rowCount at the first Project even though a
+    projection cannot change cardinality (r11: found via the fused
+    fixture stages, whose ``ids.select(id)`` over a cached table read
+    None and mis-classified a 5k-row input as BIG), so walk down
+    through row-preserving Project nodes until a rowCount appears.
+    Anything else (Filter, Join, Aggregate — genuinely cardinality-
+    changing) stops the walk: then None, and the caller assumes BIG.
+    No job is run: this reads driver-side plan statistics only."""
     try:
-        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
-        if rc.isDefined():
-            return int(str(rc.get()))
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for _ in range(32):
+            rc = plan.stats().rowCount()
+            if rc.isDefined():
+                return int(str(rc.get()))
+            if plan.getClass().getSimpleName() != "Project":
+                return None
+            plan = plan.children().apply(0)
     except Exception:
         return None
     return None

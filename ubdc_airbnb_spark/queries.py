@@ -895,6 +895,14 @@ def j9_bridge_join(spark: SparkSession, sf: str) -> DataFrame:
             part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
             "o_orderkey",
             "l_partkey",
+            # r11: pin the broadcast build side to the dims (known-small
+            # via footer/stats cardinality of the bounding source) so the
+            # 4x-larger bridge streams — Catalyst's post-join estimate
+            # inverted this (plan diff in plans/r11/, A/B 0.547 -> 0.365
+            # s); above the row cap the hint never fires and the
+            # planner's shuffle join stands
+            broadcast_dims_below=2_000_000,
+            left_sized_by=orders,
         )
         .groupBy("c_mktsegment", "p_brand")
         .agg(F.count(F.lit(1)).alias("n_links"))
