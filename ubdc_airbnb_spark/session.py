@@ -54,6 +54,22 @@ def get_spark(
         # row loop is a scale killer, so this is the production setting,
         # not a bench tweak.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # InferFiltersFromGenerate synthesizes `isnotnull(e) AND
+        # size(e) > 0` below every explode and the pushdown then inlines
+        # the generator's CHILD EXPRESSION into both predicates: for an
+        # explode over a derived expression the derivation runs 3x per
+        # row (x1's from_json measured 0.40 s -> 0.21 s at sf0.1 once
+        # excluded; every explode in this engine is over a derived
+        # expression — grams, band keys, parsed payloads — never a bare
+        # stored column, so the inferred filter never reaches a parquet
+        # scan where it could prune I/O). Cost-based, not scale-based:
+        # the duplicated work grows linearly with data, so the exclusion
+        # is the production setting too. Results are unaffected (the
+        # inferred filter only drops rows explode drops anyway).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
