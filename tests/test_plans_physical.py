@@ -47,6 +47,23 @@ def test_minhash_signatures_no_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_minhash_signatures_single_split_per_row(spark):
+    """r11 toks factoring: the word-array derivation (regex split over
+    the whole document) must appear exactly ONCE in the physical plan —
+    the inlined gram builder re-ran it 7x per row (2·ngram+1 references,
+    and HOFs are CodegenFallback, so no subexpression elimination). A
+    regression re-inlining it (e.g. a CollapseProject behavior change or
+    an edit collapsing the projection steps) shows up as extra split()
+    occurrences."""
+    from ubdc_airbnb_spark.operators.dedup import minhash_signatures
+    from ubdc_airbnb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    for shingle in ("word", "char"):
+        plan = _plan(minhash_signatures(docs, "doc_id", "text", 16, 3, shingle))
+        assert plan.count("split(") == 1, (shingle, plan.count("split("))
+
+
 def test_semi_anti_join_strategies(spark):
     plan = _plan(q.j4_semi_exists(spark, SF))
     assert "LeftSemi" in plan

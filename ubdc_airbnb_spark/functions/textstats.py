@@ -96,13 +96,25 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
 
 def char_ngrams_expr(col_sql: str, n: int = 3) -> str:
     """Spark-SQL text twin of :func:`char_ngrams` (single-parse)."""
-    chars = f"split({col_sql}, '')"
-    m = f"greatest(length({col_sql}) - {n - 1}, 0)"
-    acc = f"slice({chars}, 1, {m})"
+    return char_ngrams_arr_expr(f"split({col_sql}, '')", n, f"length({col_sql})")
+
+
+def char_ngrams_arr_expr(arr_sql: str, n: int = 3, len_sql: str | None = None) -> str:
+    """:func:`char_ngrams_expr` over a PRE-SPLIT char-array SQL fragment
+    (``split(text, '')``), with the short-string guard on ``len_sql``
+    (the cheap ``length(text)``; defaults to ``size(arr)``). Factoring
+    the split into its own projection lets it run once per row instead
+    of once per slice/size reference below (the zip_with builder
+    references the array 2n+1 times, and higher-order functions are
+    CodegenFallback, so no subexpression elimination merges them)."""
+    if len_sql is None:
+        len_sql = f"size({arr_sql})"
+    m = f"greatest({len_sql} - {n - 1}, 0)"
+    acc = f"slice({arr_sql}, 1, {m})"
     for k in range(1, n):
-        acc = f"zip_with({acc}, slice({chars}, {k + 1}, {m}), (a, b) -> concat(a, b))"
+        acc = f"zip_with({acc}, slice({arr_sql}, {k + 1}, {m}), (a, b) -> concat(a, b))"
     return (
-        f"CASE WHEN length({col_sql}) >= {n} THEN {acc} "
+        f"CASE WHEN {len_sql} >= {n} THEN {acc} "
         f"ELSE cast(array() as array<string>) END"
     )
 

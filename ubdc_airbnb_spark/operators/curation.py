@@ -25,9 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.psql import psql
 
 from ..functions.textstats import (
-    word_ngrams,
-    word_ngrams_arr,
-    word_ngrams_expr,
+    word_ngrams_arr_expr,
     words,
     words_expr,
 )
@@ -55,12 +53,22 @@ def ngram_overlap(
     hash join → per-doc count with map-side partial aggregation. The
     100 TB corpus is scanned once and never shuffled on gram.
     """
+    # word arrays factored into their own projection (r11): the zip_with
+    # gram builder references its input 2n+1 times and HOFs are
+    # CodegenFallback, so the inlined form re-ran the regex split that
+    # many times per row
     eval_grams = (
-        eval_df.select(F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"))
+        eval_df.selectExpr(f"{words_expr(f'`{text_col}`')} AS __toks")
+        .selectExpr(
+            f"explode(array_distinct({word_ngrams_arr_expr('`__toks`', n)})) AS gram"
+        )
         .distinct()
     )
-    train_grams = train.select(
-        F.col(id_col), F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram")
+    train_grams = train.selectExpr(
+        f"`{id_col}`", f"{words_expr(f'`{text_col}`')} AS __toks"
+    ).selectExpr(
+        f"`{id_col}`",
+        f"explode(array_distinct({word_ngrams_arr_expr('`__toks`', n)})) AS gram",
     )
     return (
         train_grams.join(F.broadcast(eval_grams), "gram")
@@ -112,12 +120,22 @@ def repetition_signals(
     token array — zero shuffle, whole-stage codegen, embarrassingly
     parallel at any corpus size. MassiveText drops docs with
     ``top_word_frac > 0.2`` or high duplicate-line fractions; the caller
-    applies thresholds."""
-    ws = words(text_col)
-    bg = word_ngrams(text_col, 2)
+    applies thresholds.
+
+    The token/bigram arrays are factored into their own projections
+    (r11): inlined, every ``size``/``array_sort``/``array_distinct``
+    reference re-expanded the regex split (HOFs are CodegenFallback, so
+    ~20 splits per row across the four metrics)."""
+    toksed = docs.selectExpr(
+        f"`{id_col}`", f"{words_expr(f'`{text_col}`')} AS __ws"
+    ).selectExpr(
+        f"`{id_col}`", "__ws", f"{word_ngrams_arr_expr('`__ws`', 2)} AS __bg"
+    )
+    ws = F.col("__ws")
+    bg = F.col("__bg")
     n = F.size(ws).cast("long")
     n_bg = F.size(bg).cast("long")
-    return docs.select(
+    return toksed.select(
         F.col(id_col),
         n.alias("n_words"),
         F.when(n > 0, (n - F.size(F.array_distinct(ws)).cast("long")).cast("double") / n)
@@ -235,9 +253,15 @@ def ngram_novelty(
 
     Output: (id_col, n_distinct_grams, n_novel, novelty) — documents
     with fewer than ``ngram`` words are absent (no grams to judge)."""
+    # lowercased word array factored into its own projection (r11): one
+    # lower()+regex-split per row instead of one per gram-builder
+    # reference (HOFs are CodegenFallback)
     grams = docs.selectExpr(
         f"`{id_col}` AS id",
-        f"explode(array_distinct({word_ngrams_expr(f'lower(`{text_col}`)', ngram)})) AS gram",
+        f"{words_expr(f'lower(`{text_col}`)')} AS __toks",
+    ).selectExpr(
+        "id",
+        f"explode(array_distinct({word_ngrams_arr_expr('`__toks`', ngram)})) AS gram",
     )
     first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
     return (
@@ -623,14 +647,20 @@ def contamination_spans(
     Output: one row per contaminated span —
     (id_col, span_id, span_start, span_end, span_tokens).
     """
-    hits = train.select(
-        F.col(id_col).alias("__id"),
-        F.expr(
-            f"posexplode({word_ngrams_expr(f'lower(`{text_col}`)', k)})"
-        ).alias("pos", "gram"),
+    # lowercased word arrays factored into their own projections (r11):
+    # one lower()+regex-split per row instead of one per gram-builder
+    # reference (HOFs are CodegenFallback)
+    hits = train.selectExpr(
+        f"`{id_col}` AS __id",
+        f"{words_expr(f'lower(`{text_col}`)')} AS __toks",
+    ).selectExpr(
+        "__id",
+        f"posexplode({word_ngrams_arr_expr('`__toks`', k)}) AS (pos, gram)",
     )
     eval_grams = eval_df.selectExpr(
-        f"explode(array_distinct({word_ngrams_expr(f'lower(`{text_col}`)', k)})) AS gram"
+        f"{words_expr(f'lower(`{text_col}`)')} AS __toks"
+    ).selectExpr(
+        f"explode(array_distinct({word_ngrams_arr_expr('`__toks`', k)})) AS gram"
     ).distinct()
     dh = hits.join(F.broadcast(eval_grams), "gram").select("__id", "pos")
     return _merge_hit_spans(dh, k).select(
@@ -663,9 +693,15 @@ def source_overlap_matrix(
 
     Output: (source_a, source_b, n_common, n_a, n_b, jaccard) for a<b.
     """
+    # lowercased word array factored into its own projection (r11): one
+    # lower()+regex-split per row instead of one per gram-builder
+    # reference (HOFs are CodegenFallback)
     gs = docs.selectExpr(
         f"`{source_col}` AS src",
-        f"explode(array_distinct({word_ngrams_expr(f'lower(`{text_col}`)', ngram)})) AS gram",
+        f"{words_expr(f'lower(`{text_col}`)')} AS __toks",
+    ).selectExpr(
+        "src",
+        f"explode(array_distinct({word_ngrams_arr_expr('`__toks`', ngram)})) AS gram",
     ).distinct()
     totals = gs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     sets = gs.groupBy("gram").agg(F.array_sort(F.collect_set("src")).alias("srcs"))

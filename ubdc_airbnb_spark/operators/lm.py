@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import word_ngrams_expr, words_expr
+from ..functions.textstats import word_ngrams_arr_expr, word_ngrams_expr, words_expr
 
 
 def doc_bigrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -37,10 +37,16 @@ def doc_bigrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     occurrence, tokens lowercased whitespace words joined by one space.
     Documents with fewer than two tokens contribute no rows. Single-parse
     assembly (passing a computed Column into the ngram helper falls back
-    to its ~40-py4j-call zip_with chain)."""
+    to its ~40-py4j-call zip_with chain). The lowercased word array is
+    factored into its own projection (r11): inlined, the gram builder's
+    5 array references re-ran lower()+regex-split 5× per row (HOFs are
+    CodegenFallback — no subexpression elimination)."""
     return df.selectExpr(
         f"`{id_col}` AS id",
-        f"explode({word_ngrams_expr(f'lower(`{text_col}`)', 2)}) AS bigram",
+        f"{words_expr(f'lower(`{text_col}`)')} AS __toks",
+    ).selectExpr(
+        "id",
+        f"explode({word_ngrams_arr_expr('`__toks`', 2)}) AS bigram",
     )
 
 

@@ -8036,8 +8036,14 @@ def ns_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ns_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    grams = docs.select(
-        "source", F.explode(textstats.word_ngrams("text", 3)).alias("gram")
+    # word array factored into its own projection (r11): one regex split
+    # per row instead of one per gram-builder reference (HOFs are
+    # CodegenFallback)
+    grams = docs.selectExpr(
+        "source", f"{textstats.words_expr('`text`')} AS __toks"
+    ).selectExpr(
+        "source",
+        f"explode({textstats.word_ngrams_arr_expr('`__toks`', 3)}) AS gram",
     )
     return grams.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
