@@ -230,26 +230,42 @@ def lsh_candidate_pairs(
     so the composition loses no coverage the cheap paths don't recover.
     The cap costs one extra map-side-combinable count over the banded
     rows. Default ``None`` (off) — gate-parity behavior."""
-    banded = banded_signatures(sigs, id_col, num_perm, bands)
-    if max_bucket is not None:
-        small = (
-            banded.groupBy("band_id", "band_key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket)
-            .select("band_id", "band_key")
-        )
-        banded = banded.join(small, ["band_id", "band_key"], "left_semi")
-    # the self-join tail as ONE parameterized parse (same plan; the
-    # alias/condition Column chain is ~20 py4j calls of driver latency)
-    return psql(
-        f"""
+    join_tail = f"""
         SELECT DISTINCT a.`{id_col}` AS id_a, b.`{id_col}` AS id_b
         FROM {{banded}} a JOIN {{banded}} b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.`{id_col}` < b.`{id_col}`
-        """,
-        banded=banded,
+        """
+    if max_bucket is None:
+        # banding + self-join as ONE parse (r11): the banding projection
+        # becomes a multi-reference CTE — deterministic CTEs inline, so
+        # the logical plan (duplicated banded subtree, recovered by
+        # ReusedExchange) is identical to the two-step form; one
+        # parse+analysis replaces two. Same band_sql fragment → keys
+        # bit-identical across shapes.
+        band_sql = ",".join(_band_key_terms(num_perm, bands))
+        return psql(
+            f"""
+            WITH banded AS (
+              SELECT `{id_col}`,
+                     posexplode(array({band_sql})) AS (band_id, band_key)
+              FROM {{sigs}}
+            )
+            {join_tail.format(banded="banded")}
+            """,
+            sigs=sigs,
+        )
+    banded = banded_signatures(sigs, id_col, num_perm, bands)
+    small = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band_id", "band_key")
     )
+    banded = banded.join(small, ["band_id", "band_key"], "left_semi")
+    # the self-join tail as ONE parameterized parse (same plan; the
+    # alias/condition Column chain is ~20 py4j calls of driver latency)
+    return psql(join_tail, banded=banded)
 
 
 def _digest_groups(
@@ -367,8 +383,10 @@ def _contracted_band_join(
     without an extra exchange.
 
     Returns ``(pairs, banded)``: pairs = (vid_a, vid_b, __ma, __mb
-    [, __ga, __gb]); banded = the (possibly capped) banded rep rows
-    (for within-group survival checks)."""
+    [, __ga, __gb]); banded = the capped banded rep rows (for
+    within-group survival checks) when ``max_bucket`` is set, else
+    ``None`` (uncapped callers never read it, and the uncapped path
+    fuses banding + self-join into one parse)."""
     toks_sql, hv_sql, sig_sql = _sig_exprs("`__text`", num_perm, ngram, shingle)
     carry = ["__vid", "__mids"]
     # token array factored into its own projection (see _sig_exprs):
@@ -383,30 +401,20 @@ def _contracted_band_join(
     extra = [f"array_distinct({gram_expr}) AS __garr"] if gram_expr else []
     carry2 = carry + (["__garr"] if gram_expr else [])
     band_terms = ",".join(_band_key_terms(num_perm, bands))
-    banded = psql(
-        f"""
+    banded_ctes = f"""
         WITH toksed AS (
           SELECT {", ".join(carry)}, __text, {toks_sql} AS __toks FROM {{g}}
         ),
         base AS (
           SELECT {", ".join(carry + extra)}, {hv_sql} AS hv FROM toksed
         ),
-        sigd AS (SELECT {", ".join(carry2)}, {sig_sql} AS sig FROM base)
-        SELECT {", ".join(carry2)}, sig,
-               posexplode(array({band_terms})) AS (band_id, band_key)
-        FROM sigd
-        """,
-        g=g,
-    )
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_id", "band_key")
-        banded = (
-            banded.withColumn("__bw", F.sum(F.size("__mids")).over(w))
-            .filter(F.col("__bw") <= max_bucket)
-            .drop("__bw")
+        sigd AS (SELECT {", ".join(carry2)}, {sig_sql} AS sig FROM base),
+        banded AS (
+          SELECT {", ".join(carry2)}, sig,
+                 posexplode(array({band_terms})) AS (band_id, band_key)
+          FROM sigd
         )
+        """
     rpb = num_perm // bands
 
     def _band_eq(j: int) -> str:
@@ -429,8 +437,7 @@ def _contracted_band_join(
     # Catalyst BROADCASTS one side (observed at sf0.1), which on a real
     # corpus is a distinct-texts-sized table = driver OOM (the class-1
     # hazard, same lesson as the r07 containment rewrite)
-    pairs = psql(
-        f"""
+    join_sql = f"""
         SELECT /*+ SHUFFLE_HASH(a, b) */
                a.__vid AS vid_a, b.__vid AS vid_b,
                a.__mids AS __ma, b.__mids AS __mb{gsel}
@@ -438,33 +445,30 @@ def _contracted_band_join(
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.__vid < b.__vid
          AND {dedup_cond}
-        """,
-        banded=banded,
+        """
+    if max_bucket is None:
+        # CTEs + self-join in ONE parse (r11): `banded` becomes a
+        # multi-reference CTE — deterministic CTEs inline, so the logical
+        # plan (duplicated banded subtree, recovered physically by
+        # ReusedExchange) is identical to the two-psql form; one
+        # parse+analysis replaces two. Plan-shape + checksum equality
+        # verified by tests/test_cte_fusion.py; callers never read
+        # `banded` in this mode (it only feeds the max_bucket survival
+        # checks), so None is returned in its place.
+        pairs = psql(banded_ctes + join_sql.format(banded="banded"), g=g)
+        return pairs, None
+    banded = psql(banded_ctes + "SELECT * FROM banded", g=g)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    banded = (
+        banded.withColumn("__bw", F.sum(F.size("__mids")).over(w))
+        .filter(F.col("__bw") <= max_bucket)
+        .drop("__bw")
     )
-    if max_bucket is not None:
-        pairs = pairs.dropDuplicates(["vid_a", "vid_b"])
+    pairs = psql(join_sql, banded=banded)
+    pairs = pairs.dropDuplicates(["vid_a", "vid_b"])
     return pairs, banded
-
-
-def _explode_pairs(val_pairs: DataFrame, *stat_cols: str) -> DataFrame:
-    """Member pairs from value pairs whose member lists are already
-    attached (``__ma``/``__mb``): the pure-narrow double-explode tail of
-    the contraction — zero shuffle; the B² blowup is output-inherent.
-    Self pairs (vid_a == vid_b) emit both orders, so those keep only
-    ``__ida < __idb``; cross pairs emit each unordered pair exactly once
-    (groups partition the ids)."""
-    return (
-        val_pairs.selectExpr(
-            "vid_a", "vid_b", "explode(__ma) AS __ida", "__mb", *stat_cols
-        )
-        .selectExpr("vid_a", "vid_b", "__ida", "explode(__mb) AS __idb", *stat_cols)
-        .filter("vid_a != vid_b OR __ida < __idb")
-        .selectExpr(
-            "least(__ida, __idb) AS id_a",
-            "greatest(__ida, __idb) AS id_b",
-            *stat_cols,
-        )
-    )
 
 
 def _expand_pairs(g: DataFrame, val_pairs: DataFrame, *stat_cols: str) -> DataFrame:
@@ -539,10 +543,30 @@ def minhash_lsh_pairs(
         gw = g.join(
             banded.select("__vid").distinct().hint("shuffle_hash"), "__vid", "semi"
         )
-    selfp = gw.filter("size(__mids) > 1").selectExpr(
-        "__vid AS vid_a", "__vid AS vid_b", "__mids AS __ma", "__mids AS __mb"
+    # within-group self pairs + member double-explode as ONE parse (r11):
+    # the UNION ALL / explode / least-greatest chain is expression-
+    # identical to the former unionByName + _explode_pairs DataFrame
+    # chain (single-reference CTEs inline — same logical plan), but one
+    # parse+analysis replaces ~6 growing-subtree re-analyses of pure
+    # driver latency. Checksum + plan-shape equality:
+    # tests/test_cte_fusion.py.
+    return psql(
+        """
+        WITH allp AS (
+          SELECT * FROM {pairs}
+          UNION ALL
+          SELECT __vid AS vid_a, __vid AS vid_b,
+                 __mids AS __ma, __mids AS __mb
+          FROM {gw} WHERE size(__mids) > 1
+        ),
+        e1 AS (SELECT vid_a, vid_b, explode(__ma) AS __ida, __mb FROM allp),
+        e2 AS (SELECT vid_a, vid_b, __ida, explode(__mb) AS __idb FROM e1)
+        SELECT least(__ida, __idb) AS id_a, greatest(__ida, __idb) AS id_b
+        FROM e2 WHERE vid_a != vid_b OR __ida < __idb
+        """,
+        pairs=pairs,
+        gw=gw,
     )
-    return _explode_pairs(pairs.unionByName(selfp)).select("id_a", "id_b")
 
 
 def lsh_jaccard_pairs(
@@ -626,17 +650,18 @@ def lsh_jaccard_pairs(
     # the shared threshold filter keeps/drops them exactly as the naive
     # per-member verify would (including the 0/0 ≥ 0 edge for gram-less
     # docs and the threshold > 1 rejection)
-    selfp = gs.filter("size(__mids) > 1").selectExpr(
-        "__vid AS vid_a", "__vid AS vid_b", "__mids AS __ma", "__mids AS __mb"
-    )
-    allp = pairs.unionByName(selfp)
     reps = g
     if prefilter_grams:
         # verify-side reduction (r09 A/B variant): compute grams only
         # for reps that actually appear in a candidate pair. Shrinks the
         # gram build/shuffle when candidates are sparse, at the price of
         # a second traversal of the band-join subtree (the vid set
-        # derives from `allp`) — the A/B decides whether that trade wins
+        # derives from the candidate union) — the A/B decides whether
+        # that trade wins
+        selfp = gs.filter("size(__mids) > 1").selectExpr(
+            "__vid AS vid_a", "__vid AS vid_b", "__mids AS __ma", "__mids AS __mb"
+        )
+        allp = pairs.unionByName(selfp)
         vids = (
             allp.selectExpr("vid_a AS __vid")
             .unionByName(allp.selectExpr("vid_b AS __vid"))
@@ -648,31 +673,52 @@ def lsh_jaccard_pairs(
         if verify_broadcast
         else "/*+ SHUFFLE_HASH(ga), SHUFFLE_HASH(gb) */"
     )
-    verified = psql(
+    # union + verify + member double-explode as ONE parse (r11): every
+    # CTE below is single-reference except `grams` (which was already a
+    # multi-reference inlined CTE in the two-call form), so the logical
+    # plan is identical to the former unionByName + psql +
+    # _explode_pairs chain while one parse+analysis replaces ~8
+    # growing-subtree re-analyses of pure driver latency. Checksum +
+    # plan-shape equality: tests/test_cte_fusion.py.
+    return psql(
         f"""
-        WITH toks AS (
+        WITH allp AS (
+          SELECT * FROM {{pairs}}
+          UNION ALL
+          SELECT __vid AS vid_a, __vid AS vid_b,
+                 __mids AS __ma, __mids AS __mb
+          FROM {{gs}} WHERE size(__mids) > 1
+        ),
+        toks AS (
           SELECT __vid, __text, {g_toks} AS __toks FROM {{reps}}
         ),
         grams AS (
           SELECT __vid, array_distinct({g_arr}) AS gr FROM toks
-        )
-        SELECT {hint}
-               p.vid_a, p.vid_b, p.__ma, p.__mb,
-               CAST(size(array_intersect(ga.gr, gb.gr)) AS BIGINT) AS inter,
-               CAST(size(ga.gr) + size(gb.gr)
-                    - size(array_intersect(ga.gr, gb.gr)) AS BIGINT) AS union_n
-        FROM {{allp}} p
-        JOIN grams ga ON ga.__vid = p.vid_a
-        JOIN grams gb ON gb.__vid = p.vid_b
-        WHERE size(array_intersect(ga.gr, gb.gr)) * {den}
-              >= (size(ga.gr) + size(gb.gr)
-                  - size(array_intersect(ga.gr, gb.gr))) * {num}
+        ),
+        verified AS (
+          SELECT {hint}
+                 p.vid_a, p.vid_b, p.__ma, p.__mb,
+                 CAST(size(array_intersect(ga.gr, gb.gr)) AS BIGINT) AS inter,
+                 CAST(size(ga.gr) + size(gb.gr)
+                      - size(array_intersect(ga.gr, gb.gr)) AS BIGINT) AS union_n
+          FROM allp p
+          JOIN grams ga ON ga.__vid = p.vid_a
+          JOIN grams gb ON gb.__vid = p.vid_b
+          WHERE size(array_intersect(ga.gr, gb.gr)) * {den}
+                >= (size(ga.gr) + size(gb.gr)
+                    - size(array_intersect(ga.gr, gb.gr))) * {num}
+        ),
+        e1 AS (SELECT vid_a, vid_b, explode(__ma) AS __ida, __mb,
+                      inter, union_n FROM verified),
+        e2 AS (SELECT vid_a, vid_b, __ida, explode(__mb) AS __idb,
+                      inter, union_n FROM e1)
+        SELECT least(__ida, __idb) AS id_a, greatest(__ida, __idb) AS id_b,
+               inter, union_n
+        FROM e2 WHERE vid_a != vid_b OR __ida < __idb
         """,
+        pairs=pairs,
+        gs=gs,
         reps=reps,
-        allp=allp,
-    )
-    return _explode_pairs(verified, "inter", "union_n").select(
-        "id_a", "id_b", "inter", "union_n"
     )
 
 
