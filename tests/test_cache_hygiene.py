@@ -87,3 +87,27 @@ def test_gate_queries_release_all_pins(spark):
             break
         time.sleep(0.1)
     assert _persistent_rdd_count(spark) <= before
+
+
+def test_corpus_rows_exact_and_memoless(spark):
+    """r12 (VERDICT r11 item 1a): the LSH-recall corpus constant must
+    come from per-build metadata (parquet footer / materialized-cache
+    stats), never a cross-run memo, and must be EXACT — a filtered frame
+    (where footer totals would be wrong) must fall back to a real count."""
+    import ubdc_airbnb_spark.operators.dedup as dd
+
+    # no module-level memo dict keyed on data/plans may exist
+    assert not hasattr(dd, "_COUNTS") and not hasattr(dd, "_count_memo")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    assert dd._corpus_rows(docs) == n
+    # projections preserve cardinality -> still the metadata path
+    assert dd._corpus_rows(docs.select("doc_id")) == n
+    # a filter breaks row-preservation: footer totals are WRONG here,
+    # the helper must return the true filtered count instead
+    filt = docs.filter("doc_id % 2 = 0")
+    assert dd._corpus_rows(filt) == filt.count()
+    # driver-local frames (no files, no footers) are exact too
+    local = spark.range(37).selectExpr("id AS doc_id", "'x' AS text")
+    assert dd._corpus_rows(local) == 37

@@ -101,19 +101,17 @@ def _band_join_legacy(g, num_perm, bands, ngram, shingle):
         base AS (
           SELECT __vid, __mids, {hv_sql} AS hv FROM toksed
         ),
-        sigd AS (SELECT __vid, __mids, {sig_sql} AS sig FROM base)
-        SELECT __vid, __mids, sig,
-               posexplode(array({band_terms})) AS (band_id, band_key)
-        FROM sigd
+        sigd AS (SELECT __vid, __mids, {sig_sql} AS sig FROM base),
+        bk AS (SELECT __vid, __mids, array({band_terms}) AS __bkeys FROM sigd)
+        SELECT __vid, __mids, __bkeys,
+               posexplode(__bkeys) AS (band_id, band_key)
+        FROM bk
         """,
         g=g,
     )
-    rpb = num_perm // bands
 
     def _band_eq(j: int) -> str:
-        return "(" + " AND ".join(
-            f"(a.sig[{j * rpb + i}] <=> b.sig[{j * rpb + i}])" for i in range(rpb)
-        ) + ")"
+        return f"(a.__bkeys[{j}] <=> b.__bkeys[{j}])"
 
     first_match = (
         "CASE a.band_id WHEN 0 THEN true "
@@ -214,7 +212,8 @@ def test_lsh_candidate_pairs_fusion_plan_and_rows(spark, docs):
     )
     legacy = psql(
         """
-        SELECT DISTINCT a.`doc_id` AS id_a, b.`doc_id` AS id_b
+        SELECT /*+ SHUFFLE_HASH(a, b) */
+               DISTINCT a.`doc_id` AS id_a, b.`doc_id` AS id_b
         FROM {banded} a JOIN {banded} b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.`doc_id` < b.`doc_id`
