@@ -421,14 +421,15 @@ def duplicate_spans(
     excision step never needed.
 
     Scale shape: positional k-grams come from ONE posexplode over the
-    zip_with n-gram builder (narrow, O(words·k) per row); the repeated-
-    gram election is a single map-side-combinable count on the gram text
-    (high-cardinality uniform hash key — the segment-dedup layout); the
-    hits join back on the same gram key; span assembly is two
-    doc-keyed windows (running max-end, running span counter) — never a
-    global window. No broadcast of anything corpus-sized, no driver
-    state; at 100 TB this is the same two-shuffle budget as C4 segment
-    dedup plus one keyed window stage.
+    zip_with n-gram builder (narrow, O(words·k) per row), derived ONCE;
+    the repeated-gram election is a COUNT window over the gram-keyed
+    exchange those hits need anyway (r12 — the former count-aggregate +
+    join-back shape re-derived every gram a second time, paid a second
+    gram exchange, and hash-built a corpus-sized gram dictionary per
+    task); span assembly is two doc-keyed windows (running max-end,
+    running span counter) — never a global window. No broadcast of
+    anything corpus-sized, no driver state; at 100 TB this is one
+    gram-keyed + one doc-keyed shuffle of the positional hits, total.
 
     Output: (id_col, n_tokens, n_spans, dup_tokens, dup_frac) for EVERY
     input document (zero-filled when nothing repeats).
@@ -452,15 +453,27 @@ def duplicate_spans(
           SELECT __id, pos, gram
           FROM base LATERAL VIEW posexplode({grams}) AS pos, gram
         ),
-        dup AS (SELECT gram FROM hits GROUP BY gram HAVING COUNT(*) >= 2),
-        -- SHUFFLE_HASH hint: the repeated-gram set is corpus-sized but
-        -- its post-aggregate size ESTIMATE is tiny; unhinted the planner
-        -- broadcasts the gram dictionary (OOM-crashed the 100x scale
-        -- smoke). Hash-partitioned join is the safe big-big plan, and
-        -- hashing the dictionary side skips both sort passes a MERGE
-        -- hint would pay (build side = grams/partitions rows, narrow).
-        dh AS (SELECT /*+ SHUFFLE_HASH(d) */ h.__id, h.pos
-               FROM hits h JOIN dup d ON h.gram = d.gram),
+        -- repeated-gram election as COUNT over the gram partition (r12,
+        -- VERDICT r11 item 4): the former GROUP BY gram HAVING + join-
+        -- back re-derived every positional gram a SECOND time (the
+        -- zip_with k-gram build over a fresh doc scan — HOFs are
+        -- CodegenFallback, the single most expensive per-row work here),
+        -- paid a second gram-keyed exchange for the count partials, and
+        -- hash-built the corpus-sized repeated-gram dictionary per task
+        -- (the r10 OOM hazard the old SHUFFLE_HASH hint existed to
+        -- contain). The window rides the ONE hits exchange the join-back
+        -- already required — same shuffled bytes, one gram derivation,
+        -- no dictionary build; the added per-partition sort on the gram
+        -- key is linear-memory and spills (never the all-to-one window
+        -- the plan audit flags — gram keys are corpus-cardinality).
+        -- Rowset is identical: a position survives iff its gram occurs
+        -- >= 2 times corpus-wide (the explicit IS NOT NULL preserves the
+        -- inner join's null rejection; grams are non-null concat output).
+        dh AS (SELECT __id, pos FROM (
+                 SELECT __id, pos,
+                        COUNT(*) OVER (PARTITION BY gram) AS __gcnt
+                 FROM hits WHERE gram IS NOT NULL)
+               WHERE __gcnt >= 2),
         marked AS (
           SELECT __id, pos,
                  CASE WHEN MAX(pos + {k - 1}) OVER w_prev IS NULL
