@@ -11,10 +11,12 @@ Spark-first design (100 TB):
   partials, never the corpus. Context (first-word) counts are DERIVED
   from the bigram counts (``c1 = Σ_w2 c12``), so the corpus is tokenized
   and exploded exactly once for training.
-- Scoring joins the per-occurrence bigram stream back to the count
-  tables: plain equi-joins on the bigram / context keys. Common bigrams
-  ("of the") are hot keys — at scale AQE's skew-join split handles the
-  fan-in; the join itself is 1:1 per occurrence (no row explosion).
+- Scoring first folds the smoothed probability into a MODEL-sized
+  (bigram → quantized p) table — the count tables join each other on
+  vocab-bounded keys — and only then joins the per-occurrence stream
+  ONCE on the bigram key (r12; the stream used to be shuffled per count
+  table). Common bigrams ("of the") are hot keys — at scale AQE's
+  skew-join split handles the fan-in; the join is 1:1 per occurrence.
 - The per-document mean is aggregated through ``DECIMAL`` (exact,
   associative) so the score is bit-identical across partitionings and
   engines — same rule as the rest of the battery (queries.py header).
@@ -95,43 +97,65 @@ def score_documents(
     """
     from .prefixsum import _pin
 
-    # the bigram stream feeds both the training aggregate and the
+    # the bigram stream feeds both the training aggregates and the
     # scoring join; pin it so the tokenize+explode runs once
     # (MEMORY_AND_DISK: spills, never OOMs, at corpus scale)
     grams = _pin(doc_bigrams(df, id_col, text_col))
-    bc, cc = bigram_model(grams)
+    bc = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    # context counts DIRECTLY from the pinned stream (r12, VERDICT r11
+    # item 7): Σ_w2 c12 grouped by w1 ≡ count of occurrences whose first
+    # word is w1, so one map-side-combined pass replaces the former
+    # bc-subtree re-aggregation (Catalyst cannot reuse the bc aggregate
+    # across its two consumers — inferred filters + column pruning
+    # specialize the subtrees — so `bc.groupBy(w1)` re-counted the whole
+    # stream through a second bigram-keyed exchange).
+    cc = grams.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w1")
+    ).agg(F.count(F.lit(1)).alias("c1"))
     vsz = df.selectExpr(
         f"explode({words_expr(f'lower(`{text_col}`)')}) AS w"
     ).agg(F.countDistinct("w").alias("vsz"))
-    # bigram/unigram model tables are vocab(^2)-sized — SHUFFLE_HASH,
-    # never broadcast (100x plan audit): both sides hash-partition on
-    # the key (scale-safe) and the per-partition model slice builds the
-    # hash map, skipping both sorts; vsz is one scalar row. The scoring
-    # tail stays in Column form ON PURPOSE: the r06 parameterized-SQL
-    # rewrite (a211ee1) silently lost the ``_pin`` cache reuse —
-    # ``spark.sql(stmt, grams=grams, ...)`` re-analyzes the substituted
-    # relations in a way the CacheManager no longer matches against the
-    # pinned InMemoryRelation, so all three consumers (scoring stream,
-    # bigram counts, context counts) re-ran tokenize+explode from the
-    # documents table. Plan evidence: the SQL form shows three
-    # ``Generate explode`` branches over InMemoryTableScan[text]; this
-    # form shows InMemoryTableScan[id, bigram]. Exec 0.27 s vs 0.42 s
-    # at sf0.1 (interleaved best-of-3, two passes, hash-identical) —
-    # and the gap GROWS with corpus size since it is a full re-tokenize.
-    scored = (
-        grams.join(bc.hint("shuffle_hash"), "bigram")
-        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    # Fold the smoothed probability into a MODEL-sized table before it
+    # ever meets the occurrence stream (r12, guide §2.3 "aggregate
+    # before you shuffle" / §2.4): the former shape joined c12 onto the
+    # stream, then shuffled the WHOLE per-occurrence stream a second
+    # time on the w1 key to attach c1. Joining cc into bc first costs
+    # two distinct-bigram-sized exchanges (vocab²-bounded, ≪ corpus) and
+    # shuffles the corpus-sized stream exactly once; the per-bigram
+    # quantized probability is computed once per DISTINCT bigram instead
+    # of once per occurrence — identical integers by construction (p is
+    # a pure function of (c12, c1, vsz), all exact int64 operands, so
+    # floor(p·1e9) is the same IEEE double → the same long either way).
+    # SHUFFLE_HASH / never broadcast: model tables are vocab(^2)-sized
+    # (100x plan audit); vsz is one scalar row (broadcast).
+    model = (
+        bc.withColumn("w1", F.substring_index("bigram", " ", 1))
         .join(cc.hint("shuffle_hash"), "w1")
         .join(F.broadcast(vsz))
-        .withColumn(
-            "p",
-            (F.col("c12") + F.lit(1)).cast("double")
-            / (F.col("c1") + F.col("vsz")).cast("double"),
+        .select(
+            "bigram",
+            F.floor(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("vsz")).cast("double")
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__ppb"),
         )
+    )
+    # The scoring tail stays in Column form ON PURPOSE: the r06
+    # parameterized-SQL rewrite (a211ee1) silently lost the ``_pin``
+    # cache reuse — ``spark.sql(stmt, grams=grams, ...)`` re-analyzes
+    # the substituted relations in a way the CacheManager no longer
+    # matches against the pinned InMemoryRelation, so every consumer
+    # re-ran tokenize+explode from the documents table (plan evidence in
+    # the r06 notes; the gap GROWS with corpus size).
+    scored = (
+        grams.join(model.hint("shuffle_hash"), "bigram")
         .groupBy(F.col("id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.floor(F.col("p") * F.lit(1e9)).cast("long")).alias("sum_ppb"),
+            F.sum("__ppb").alias("sum_ppb"),
         )
     )
     return scored.select(
@@ -299,7 +323,13 @@ def score_documents_interpolated(
     from .prefixsum import _pin
 
     grams = _pin(doc_bigrams(df, id_col, text_col))
-    bc, cc = bigram_model(grams)
+    bc = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    # context counts directly from the pinned stream (r12 — same
+    # equivalence as score_documents: Σ_w2 c12 per w1 ≡ occurrence count
+    # per first word; saves the bc-subtree re-aggregation)
+    cc = grams.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w1")
+    ).agg(F.count(F.lit(1)).alias("c1"))
     toks = df.selectExpr(f"explode({words_expr(f'lower(`{text_col}`)')}) AS w")
     uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c2"))
     tots = toks.agg(
@@ -311,18 +341,30 @@ def score_documents_interpolated(
         + F.lit(0.5)
         * ((F.col("c2") + F.lit(1)).cast("double") / (F.col("tt") + F.col("vsz")).cast("double"))
     )
-    scored = (
-        grams.join(bc.hint("shuffle_hash"), "bigram")
-        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    # Fold p into a MODEL-sized table before it meets the occurrence
+    # stream (r12, guide §2.3/§2.4 — same device as score_documents):
+    # the former shape shuffled the whole per-occurrence stream THREE
+    # times (bigram, w1, w2 keys); the model assembly joins
+    # vocab(^2)-bounded tables instead and the stream is shuffled once.
+    # p is a pure function of exact int64 counts, so the per-distinct-
+    # bigram floor(p·1e9) is bit-identical to the per-occurrence one.
+    model = (
+        bc.withColumn("w1", F.substring_index("bigram", " ", 1))
         .withColumn("w2", F.substring_index("bigram", " ", -1))
         .join(cc.hint("shuffle_hash"), "w1")
         .join(uc.withColumnRenamed("w", "w2").hint("shuffle_hash"), "w2")
         .join(F.broadcast(tots))
-        .withColumn("p", p)
+        .select(
+            "bigram",
+            F.floor(p * F.lit(1e9)).cast("long").alias("__ppb"),
+        )
+    )
+    scored = (
+        grams.join(model.hint("shuffle_hash"), "bigram")
         .groupBy(F.col("id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.floor(F.col("p") * F.lit(1e9)).cast("long")).alias("sum_ppb"),
+            F.sum("__ppb").alias("sum_ppb"),
         )
     )
     return scored.select(
