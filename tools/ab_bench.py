@@ -157,6 +157,181 @@ def _with_aqe_on(fn):
     return run
 
 
+# --- r12 rewrite A/B: the r11 shapes reconstructed inline ------------
+
+def _spans_old(spark, docs, sf_dir):
+    """r11 duplicate_spans: gram election via GROUP BY + join-back
+    (re-derives every positional gram a second time)."""
+    from ubdc_airbnb_spark.functions.psql import psql
+    from ubdc_airbnb_spark.functions.textstats import (
+        word_ngrams_arr_expr,
+        words_expr,
+    )
+
+    k = 5
+    ws = words_expr("lower(`text`)")
+    grams = word_ngrams_arr_expr("__ws", k)
+    return psql(
+        f"""
+        WITH base AS (
+          SELECT `doc_id` AS __id, {ws} AS __ws FROM {{docs}}
+        ),
+        hits AS (
+          SELECT __id, pos, gram
+          FROM base LATERAL VIEW posexplode({grams}) AS pos, gram
+        ),
+        dup AS (SELECT gram FROM hits GROUP BY gram HAVING COUNT(*) >= 2),
+        dh AS (SELECT /*+ SHUFFLE_HASH(d) */ h.__id, h.pos
+               FROM hits h JOIN dup d ON h.gram = d.gram),
+        marked AS (
+          SELECT __id, pos,
+                 CASE WHEN MAX(pos + {k - 1}) OVER w_prev IS NULL
+                        OR pos > MAX(pos + {k - 1}) OVER w_prev + 1
+                      THEN 1 ELSE 0 END AS is_new
+          FROM dh
+          WINDOW w_prev AS (PARTITION BY __id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        spans AS (
+          SELECT __id, span_id, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
+          FROM (SELECT __id, pos,
+                       SUM(is_new) OVER (PARTITION BY __id ORDER BY pos
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS span_id
+                FROM marked)
+          GROUP BY __id, span_id
+        ),
+        merged AS (
+          SELECT __id, CAST(size(__ws) AS BIGINT) AS n_tokens,
+                 CAST(0 AS BIGINT) AS one_span, CAST(0 AS BIGINT) AS span_toks
+          FROM base
+          UNION ALL
+          SELECT __id, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                 CAST(e - s + 1 AS BIGINT)
+          FROM spans
+        )
+        SELECT __id AS `doc_id`,
+               MAX(n_tokens) AS n_tokens,
+               CAST(SUM(one_span) AS BIGINT) AS n_spans,
+               CAST(SUM(span_toks) AS BIGINT) AS dup_tokens,
+               CASE WHEN MAX(n_tokens) > 0
+                    THEN CAST(SUM(span_toks) AS DOUBLE)
+                         / CAST(MAX(n_tokens) AS DOUBLE)
+                    ELSE 0.0 END AS dup_frac
+        FROM merged GROUP BY __id
+        """,
+        docs=docs,
+    )
+
+
+def _lm_old(spark, docs, sf_dir):
+    """r11 score_documents: per-occurrence stream joined to bc then
+    RE-SHUFFLED on w1 to attach cc (two corpus-sized exchanges)."""
+    from ubdc_airbnb_spark.functions.textstats import words_expr
+    from ubdc_airbnb_spark.operators.lm import bigram_model, doc_bigrams
+    from ubdc_airbnb_spark.operators.prefixsum import _pin
+
+    grams = _pin(doc_bigrams(docs, "doc_id", "text"))
+    bc, cc = bigram_model(grams)
+    vsz = docs.selectExpr(
+        f"explode({words_expr('lower(`text`)')}) AS w"
+    ).agg(F.countDistinct("w").alias("vsz"))
+    scored = (
+        grams.join(bc.hint("shuffle_hash"), "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(cc.hint("shuffle_hash"), "w1")
+        .join(F.broadcast(vsz))
+        .withColumn(
+            "p",
+            (F.col("c12") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("vsz")).cast("double"),
+        )
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.floor(F.col("p") * F.lit(1e9)).cast("long")).alias("sum_ppb"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            (F.col("sum_ppb").cast("double") / F.lit(1e9))
+            / F.col("n_bigrams").cast("double")
+        ).alias("avg_cond_p"),
+    )
+
+
+def _recall_old(spark, docs, sf_dir):
+    """r11 lsh_recall_eval: unhinted candidate band join (planner
+    broadcasts the sample => sig pipeline computed twice) + truth branch
+    with a separate sizes aggregate and two size joins (gram set derived
+    three times)."""
+    from ubdc_airbnb_spark.functions.psql import psql
+    from ubdc_airbnb_spark.functions.textstats import (
+        word_ngrams_arr_expr,
+        words_expr,
+    )
+    from ubdc_airbnb_spark.operators import dedup
+    from ubdc_airbnb_spark.operators.sampling import _M, hash_bucket
+
+    n = dedup._corpus_rows(docs)
+    thr = min(_M, max(1, (2500 * _M) // max(n, 1)))
+    samp = docs.filter(hash_bucket(F.col("doc_id").cast("string"), "lshrecall") < thr)
+    sigs = dedup.minhash_signatures(samp, "doc_id", "text", 16, 3, shingle="word")
+    band_sql = ",".join(dedup._band_key_terms(16, 4))
+    cand = psql(
+        f"""
+        WITH banded AS (
+          SELECT `doc_id`, posexplode(array({band_sql})) AS (band_id, band_key)
+          FROM {{sigs}}
+        )
+        SELECT DISTINCT a.`doc_id` AS id_a, b.`doc_id` AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.`doc_id` < b.`doc_id`
+        """,
+        sigs=sigs,
+    ).select("id_a", "id_b")
+    return psql(
+        f"""
+        WITH t AS (
+          SELECT `doc_id` AS id, {words_expr('`text`')} AS __toks FROM {{samp}}
+        ),
+        g AS (
+          SELECT id,
+                 explode(array_distinct({word_ngrams_arr_expr('`__toks`', 3)})) AS gram
+          FROM t
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n_grams FROM g GROUP BY id),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+          FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+          GROUP BY a.id, b.id
+        ),
+        truth AS (
+          SELECT id_a, id_b FROM inter
+          JOIN (SELECT id AS id_a, n_grams AS n_a FROM sizes) USING (id_a)
+          JOIN (SELECT id AS id_b, n_grams AS n_b FROM sizes) USING (id_b)
+          WHERE inter * 10 >= (n_a + n_b - inter) * 3
+        ),
+        j AS (
+          SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 END AS t,
+                 CASE WHEN c.id_a IS NOT NULL THEN 1 END AS c
+          FROM truth t FULL OUTER JOIN {{cand}} c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b
+        )
+        SELECT CAST(SUM(coalesce(t, 0)) AS BIGINT) AS n_truth,
+               CAST(SUM(coalesce(c, 0)) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM j
+        """,
+        samp=samp,
+        cand=cand,
+    )
+
+
 AB_SUITES = {
     "minhash_contraction": {
         "lsh_naive": _naive_minhash_lsh,
@@ -198,6 +373,16 @@ AB_SUITES = {
         "broadcast": _with_aqe_on(_jaccard_variant(verify_broadcast=True)),
         "prefiltered": _with_aqe_on(_jaccard_variant(prefilter_grams=True)),
         "aqe_off": _jaccard_aqe_off,
+    },
+    # r12 rewrites, old shape (reconstructed inline from the r11 source)
+    # vs the new gate — interleaved within one session (guide §1).
+    "r12_rewrites": {
+        "spans_old": _spans_old,
+        "spans_new": _gate("ns_dedup_spans"),
+        "lm_old": _lm_old,
+        "lm_new": _gate("ns_bigram_lm"),
+        "recall_old": _recall_old,
+        "recall_new": _gate("ns_lsh_recall"),
     },
 }
 

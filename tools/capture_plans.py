@@ -1,5 +1,6 @@
 """Capture .explain("formatted") for the headline bench queries into
-plans/r11/<query>_{before,after}.txt (round-11 optimization evidence).
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_{before,after}.txt (optimization
+round evidence; the round dir defaults to r12).
 
 Usage: python tools/capture_plans.py before|after [query ...]
 
@@ -45,7 +46,8 @@ def main() -> None:
 
         warm_cache(spark, sf_dir, partitions=parts)
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
     specs = {s.name: s for s in q_mod.registry()}
     for name in bench_mod.HEADLINE:
