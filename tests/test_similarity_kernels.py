@@ -215,3 +215,51 @@ def test_near_threshold_membership_pins_kernel_semantics(spark):
     expected_vec_in = 1 if ein >= thr else 0
     vec_in = df.filter(sim.cosine(F.col("a"), F.col("b")) >= F.lit(thr)).count()
     assert vec_in == expected_vec_in
+
+
+def test_near_threshold_membership_under_both_dispatch_branches(spark, tmp_path):
+    """r12 (VERDICT r11 item 8): run the ulp-boundary pair through the
+    ``cosine_cols`` DISPATCH itself, under a sized_by frame on each side
+    of VECTORIZED_MIN_ROWS — a future retune of the threshold (or a
+    stats-estimation change) that silently flips a threshold gate's
+    kernel now fails here, at the membership boundary, instead of
+    drifting the oracle."""
+    rng = np.random.default_rng(3)
+    a = [float(x) for x in rng.normal(size=64)]
+    b = [float(x) for x in rng.normal(size=64)]
+
+    def fold_dot(x, y):
+        acc = 0.0
+        for xi, yi in zip(x, y):
+            acc += xi * yi
+        return acc
+
+    def fold_norm(x):
+        acc = 0.0
+        for xi in x:
+            acc += xi * xi
+        return math.sqrt(acc)
+
+    thr = fold_dot(a, b) / (fold_norm(a) * fold_norm(b))
+    df = _mk_pairs(spark, [(0, a, b)])
+
+    # below the dispatch floor: the HOF fold runs (no Python eval node)
+    # and exact threshold equality is INCLUDED, like the DuckDB oracle
+    small = spark.range(sim.VECTORIZED_MIN_ROWS - 1).selectExpr("id AS doc_id")
+    cond_small = df.filter(sim.cosine_cols("a", "b", sized_by=small) >= F.lit(thr))
+    plan_small = _plan(cond_small)
+    assert "ArrowEvalPython" not in plan_small and "BatchEvalPython" not in plan_small
+    assert cond_small.count() == 1
+
+    # at/above the floor: the Arrow kernel runs and membership must
+    # match row-wise np.einsum computed here
+    A = np.asarray([a])
+    B = np.asarray([b])
+    ein = float(
+        np.einsum("ij,ij->i", A, B)[0]
+        / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))[0]
+    )
+    big = spark.range(sim.VECTORIZED_MIN_ROWS).selectExpr("id AS doc_id")
+    cond_big = df.filter(sim.cosine_cols("a", "b", sized_by=big) >= F.lit(thr))
+    assert "ArrowEvalPython" in _plan(cond_big)
+    assert cond_big.count() == (1 if ein >= thr else 0)
