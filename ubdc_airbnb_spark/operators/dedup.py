@@ -1102,34 +1102,43 @@ def ngram_containment_pairs(
     from ..functions.textstats import word_ngrams_arr_expr, words_expr
 
     # word array factored into its own projection (r11, see _sig_exprs):
-    # one regex split per rep row instead of 7
+    # one regex split per rep row instead of 7.
+    # r12 (guide §2.3/§2.4, same device as lsh_recall_eval's truth
+    # branch): each rep's distinct-gram count rides the exploded rows —
+    # n is functionally determined by id, so adding it to the GROUP BY
+    # changes no groups — which deletes the separate `sizes` aggregate
+    # (a third traversal of the gram derivation + its own exchange) and
+    # both size joins.
     toksed = g.selectExpr("__vid", f"{words_expr('`__text`')} AS __toks")
     grams = toksed.selectExpr(
         "`__vid` AS id",
-        f"explode(array_distinct({word_ngrams_arr_expr('`__toks`', ngram)})) AS gram",
-    )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+        f"array_distinct({word_ngrams_arr_expr('`__toks`', ngram)}) AS garr",
+    ).selectExpr("id", "size(garr) AS n", "explode(garr) AS gram")
     a = grams.alias("a")
-    b = grams.alias("b")
     # shuffle_hash pin: grams now derives from the contraction's semi
     # join, whose post-aggregate size estimate is structurally tiny —
     # unhinted, Catalyst BROADCASTS the corpus-sized gram table (caught
     # by the r07 plan-audit ratchet on this very rewrite; the pre-
-    # contraction grams came straight off the scan with honest stats)
+    # contraction grams came straight off the scan with honest stats).
+    # Both sides hinted: the identical gram-keyed exchanges let
+    # ReusedExchange compute the gram derivation once.
+    b = grams.alias("b").hint("shuffle_hash")
     inter = (
-        a.join(
-            b.hint("shuffle_hash"),
+        a.hint("shuffle_hash")
+        .join(
+            b,
             (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("vid_a"), F.col("b.id").alias("vid_b"))
+        .groupBy(
+            F.col("a.id").alias("vid_a"),
+            F.col("b.id").alias("vid_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("vid_a"), F.col("n_grams").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("vid_b"), F.col("n_grams").alias("n_b"))
     val_pairs = (
-        inter.join(sa.hint("shuffle_hash"), "vid_a")
-        .join(sb.hint("shuffle_hash"), "vid_b")
-        .withColumn("min_n", F.least(F.col("n_a"), F.col("n_b")))
+        inter.withColumn("min_n", F.least(F.col("n_a"), F.col("n_b")))
         .filter(F.col("inter") * den >= F.col("min_n") * num)
         .select(
             "vid_a",
@@ -1143,18 +1152,20 @@ def ngram_containment_pairs(
     )
     # within-group pairs ride the same expansion as cross pairs via
     # self value-pairs: containment 1.0 with inter = min_n = the rep's
-    # distinct-gram count — joining ``sizes`` keeps only groups with ≥1
-    # gram (the naive gram self-join can never pair gram-less docs).
+    # distinct-gram count, computed per (filtered, multi-member) rep row
+    # — no sizes join; the n >= 1 filter keeps the naive semantics (a
+    # gram-less doc can never pair in the gram self-join).
     # Excluded entirely for threshold > 1 (containment 1 can't qualify).
     if num <= den:
         selfp = (
-            _self_pairs(g)
-            .join(
-                sizes.select(F.col("id").alias("vid_a"), "n_grams").hint(
-                    "shuffle_hash"
-                ),
-                "vid_a",
+            g.filter(F.size("__mids") > 1)
+            .selectExpr("__vid", f"{words_expr('`__text`')} AS __toks")
+            .selectExpr(
+                "__vid AS vid_a",
+                "__vid AS vid_b",
+                f"size(array_distinct({word_ngrams_arr_expr('`__toks`', ngram)})) AS n_grams",
             )
+            .filter(F.col("n_grams") >= 1)
             .select(
                 "vid_a",
                 "vid_b",
